@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: media is carried as opaque `binary` payloads
+  * with typed metadata, and decode/feature-extraction runs as a partition-wise
+  * transformation over the binary column.
+  *
+  * The container has no image/audio codecs, so the decode itself is a
+  * *deterministic stub* (`FakeDecode`): features derive only from payload
+  * length and bytes. Everything around it — the binary column, the schema, the
+  * `mapPartitions` batch shape, partitioning — is the real plumbing you'd keep
+  * when swapping in a real decoder. At 100 TB the payloads dominate I/O, so
+  * the op projects only (id, payload) before the partition-wise decode, keeps
+  * metadata columns pruned, and never collects binaries to the driver.
+  */
+object Multimodal {
+
+  /** STUB: stand-in for image/audio decode + feature extraction. Deterministic
+    * pure function of the payload bytes so the DuckDB oracle can mirror it.
+    * A real implementation would decode the payload and emit real features.
+    */
+  private object FakeDecode {
+    def features(payload: Array[Byte]): (Long, Long, Long, Long) = {
+      val n = payload.length.toLong
+      val checksum = payload.foldLeft(0L)((acc, b) => (acc + (b & 0xffL)) % 65521L) // adler-ish, mirrored in SQL
+      (n, n % 640, (n * 7) % 480, checksum)
+    }
+  }
+
+  private def withPayload(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  val all: Seq[Q] = Seq(
+    // ----- binary column + typed metadata extraction (pure column ops) -----
+    Q(
+      "m35_binary_meta",
+      (s, d) =>
+        withPayload(s, d)
+          .select(
+            col("doc_id"),
+            length(col("payload")).cast("long").as("n_bytes"),
+            (length(col("payload")).cast("long") % 640).as("width"),
+            ((length(col("payload")).cast("long") * 7) % 480).as("height"),
+            (length(col("payload")).cast("long") % 16 + 1).as("n_frames"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+             |  CAST(octet_length(encode(text)) * 7 % 480 AS BIGINT) AS height,
+             |  CAST(octet_length(encode(text)) % 16 + 1 AS BIGINT) AS n_frames
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ----- partition-wise decode / feature extraction over binary payloads -----
+    Q(
+      "m36_decode_features",
+      (s, d) => {
+        val src = withPayload(s, d)
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("n_bytes", LongType),
+          StructField("width", LongType),
+          StructField("height", LongType),
+          StructField("checksum", LongType)))
+        val decoded = src.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val payload = r.getAs[Array[Byte]](1)
+            val (n, w, h, c) = FakeDecode.features(payload)
+            Row(id, n, w, h, c)
+          }
+        }(RowEncoder.encoderFor(outSchema))
+        decoded.orderBy("doc_id")
+      },
+      // The test corpus is pure ASCII (verified), so the UTF-8 byte sum equals
+      // the per-character codepoint sum — expressible in plain SQL.
+      Some("""WITH ck AS (
+             |  SELECT doc_id, octet_length(encode(text)) AS n,
+             |         list_sum(list_transform(generate_series(1, length(text)),
+             |                                 i -> unicode(substring(text, i, 1)))) AS bytesum
+             |  FROM documents)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+             |  CAST(n % 640 AS BIGINT) AS width,
+             |  CAST(n * 7 % 480 AS BIGINT) AS height,
+             |  CAST(bytesum % 65521 AS BIGINT) AS checksum
+             |FROM ck ORDER BY doc_id""".stripMargin),
+    ),
+  )
+}

@@ -1,0 +1,24 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One testable engine capability: a Spark DataFrame builder plus (when the
+  * semantics are SQL-expressible) an equivalent DuckDB oracle query over the
+  * same parquet tables. Column names/types and total ordering must match
+  * between the two — the driver hash-compares canonicalized output.
+  */
+final case class Q(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+)
+
+object Q {
+  /** SUM over money doubles must not depend on float summation order (Spark
+    * partial-aggregates per partition; DuckDB sums sequentially). The test
+    * tables carry 2-decimal values, so `CAST(ROUND(x*100) AS BIGINT)` is an
+    * exact integer-cents representation in both engines and integer sums are
+    * order-independent. Rendered back as ROUND(sum/100.0, 4).
+    */
+  val centsSql = "CAST(ROUND(%s*100) AS BIGINT)"
+}

@@ -1,0 +1,448 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The relational query surface Q1–Q22 of SURVEY.md §2.3.
+  *
+  * Design rules (see SURVEY.md §2.3 / FIXTURES.md §1 canonicalization):
+  *   - every query ends with a total ORDER BY;
+  *   - every double output is ROUND(x, 4);
+  *   - money SUMs go through exact integer cents (see [[Q.centsSql]]) so the
+  *     result is independent of partial-aggregation order;
+  *   - COUNT-ish integer outputs are BIGINT in both engines (DuckDB SUM(int)
+  *     returns HUGEINT — always CAST in the oracle).
+  *
+  * Scale notes (100 TB mindset): all aggregations here are partial-agg
+  * friendly (map-side combine for free), joins on big×big tables use their
+  * natural equi-keys (sort-merge/shuffled-hash picked by Catalyst + AQE),
+  * small dims (region/nation) are broadcast explicitly. The two global-window
+  * queries (q10 runs per-customer partitions; q20 is a deliberate re-expression
+  * of the reference's single-sequence split-packing algorithm,
+  * CopyInputFormat.java:51-77, which is inherently a prefix-sum — at cluster
+  * scale it would be a two-pass range-partitioned prefix sum; see
+  * graft.plan.BinPacking for the distributed variant).
+  */
+object Relational {
+
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+  private def money(sumCents: Column): Column = round(sumCents.cast("double") / 100.0, 4)
+
+  val all: Seq[Q] = Seq(
+    // ----- Q1: scan + filter + project (ref ops 1,3,5) -----
+    Q(
+      "q01_filter_project",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") && col("l_quantity") < 10)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("net"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  ROUND(l_extendedprice * (1.0 - l_discount), 4) AS net
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_quantity < 10
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+    ),
+
+    // ----- Q2: hash aggregation, TPC-H Q1 shape -----
+    Q(
+      "q02_agg_pricing",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            money(sum(cents(col("l_quantity")))).as("sum_qty"),
+            money(sum(cents(col("l_extendedprice")))).as("sum_price"),
+            round(sum(cents(col("l_extendedprice"))).cast("double") / 100.0 / count(lit(1)), 4).as("avg_price"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+             |  ROUND(SUM(CAST(ROUND(l_quantity*100) AS BIGINT))/100.0, 4) AS sum_qty,
+             |  ROUND(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))/100.0, 4) AS sum_price,
+             |  ROUND(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))/100.0/COUNT(*), 4) AS avg_price
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    ),
+
+    // ----- Q3: equi inner join (shuffle join on the big side) -----
+    Q(
+      "q03_join_agg",
+      (s, d) =>
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"), money(sum(cents(col("o_totalprice")))).as("revenue"))
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+             |  ROUND(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))/100.0, 4) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    ),
+
+    // ----- Q4: broadcast join of small dims -----
+    Q(
+      "q04_broadcast_join",
+      (s, d) =>
+        Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_name"), col("n_name"))
+          .orderBy("r_name", "n_name"),
+      Some("""SELECT r_name, n_name
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |ORDER BY r_name, n_name""".stripMargin),
+    ),
+
+    // ----- Q5: multi-way join (fact ⋈ dim chain, dims broadcast) -----
+    Q(
+      "q05_multiway_join",
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_orders"), money(sum(cents(col("o_totalprice")))).as("revenue"))
+          .orderBy("r_name"),
+      Some("""SELECT r_name, COUNT(*) AS n_orders,
+             |  ROUND(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))/100.0, 4) AS revenue
+             |FROM customer
+             |JOIN orders ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin),
+    ),
+
+    // ----- Q6: left outer join -----
+    Q(
+      "q06_left_outer",
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"))
+          .orderBy("c_custkey")
+          .limit(100),
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+             |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey LIMIT 100""".stripMargin),
+    ),
+
+    // ----- Q7: left semi join (EXISTS; ref op 6's "present on both sides") -----
+    Q(
+      "q07_semi_join",
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+    ),
+
+    // ----- Q8: left anti join (ref op 9 delete-sync) -----
+    Q(
+      "q08_anti_join",
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+    ),
+
+    // ----- Q9: window ranking, top-3 per group -----
+    Q(
+      "q09_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+            round(col("o_totalprice"), 4).as("price"))
+          .orderBy("o_orderpriority", "rn")
+      },
+      Some("""SELECT o_orderpriority, rn, o_orderkey, ROUND(o_totalprice, 4) AS price
+             |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |        ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |      FROM orders)
+             |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin),
+    ),
+
+    // ----- Q10: running sum window frame (ref op 5 cumulative limits) -----
+    Q(
+      "q10_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            money(sum(cents(col("o_totalprice"))).over(w)).as("run_total"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  ROUND(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+             |          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/100.0, 4) AS run_total
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+    ),
+
+    // ----- Q11: global top-k (TakeOrderedAndProject) -----
+    Q(
+      "q11_topk",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), round(col("l_extendedprice"), 4).as("price"))
+          .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(50),
+      Some("""SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 4) AS price
+             |FROM lineitem
+             |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 50""".stripMargin),
+    ),
+
+    // ----- Q12: exact distinct counts -----
+    Q(
+      "q12_distinct",
+      (s, d) => {
+        val a = Tables.orders(s, d).agg(countDistinct(col("o_custkey")).as("n_cust"))
+        val b = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_linestatus"))
+          .distinct().agg(count(lit(1)).as("n_flag_pairs"))
+        a.crossJoin(b)
+      },
+      Some("""SELECT (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_cust,
+             |  (SELECT COUNT(*) FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)) AS n_flag_pairs""".stripMargin),
+    ),
+
+    // ----- Q13: set operations -----
+    Q(
+      "q13_setops",
+      (s, d) => {
+        val withOrders = Tables.orders(s, d).select(col("o_custkey").as("k"))
+        val allCust = Tables.customer(s, d).select(col("c_custkey").as("k"))
+        val inter = allCust.intersect(withOrders).withColumn("op", lit("intersect"))
+        val exc = allCust.except(withOrders).withColumn("op", lit("except"))
+        inter.unionByName(exc).select(col("op"), col("k")).orderBy("op", "k")
+      },
+      Some("""SELECT 'intersect' AS op, k FROM
+             |  (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders)
+             |UNION ALL
+             |SELECT 'except' AS op, k FROM
+             |  (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders)
+             |ORDER BY op, k""".stripMargin),
+    ),
+
+    // ----- Q14: rollup with grouping markers -----
+    Q(
+      "q14_rollup",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"), money(sum(cents(col("l_quantity")))).as("sum_qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("cnt"), col("sum_qty"))
+          .orderBy("rf", "ls"),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+             |  COUNT(*) AS cnt,
+             |  ROUND(SUM(CAST(ROUND(l_quantity*100) AS BIGINT))/100.0, 4) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin),
+    ),
+
+    // ----- Q15: string functions (ref ops 3,4 regex selection) -----
+    Q(
+      "q15_string_funcs",
+      (s, d) =>
+        Tables.part(s, d)
+          .groupBy(col("p_brand"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(when(col("p_name").like("%re%"), 1L).otherwise(0L)).as("n_re"),
+            sum(when(col("p_name").rlike("^(red|blue|green)"), 1L).otherwise(0L)).as("n_color"),
+            sum(length(col("p_name")).cast("long")).as("total_len"),
+            min(substring(col("p_type"), 1, 3)).as("type_pfx"))
+          .select(upper(col("p_brand")).as("brand_u"), col("cnt"), col("n_re"),
+            col("n_color"), col("total_len"), col("type_pfx"))
+          .orderBy("brand_u"),
+      Some("""SELECT UPPER(p_brand) AS brand_u, COUNT(*) AS cnt,
+             |  CAST(SUM(CASE WHEN p_name LIKE '%re%' THEN 1 ELSE 0 END) AS BIGINT) AS n_re,
+             |  CAST(SUM(CASE WHEN regexp_matches(p_name, '^(red|blue|green)') THEN 1 ELSE 0 END) AS BIGINT) AS n_color,
+             |  CAST(SUM(LENGTH(p_name)) AS BIGINT) AS total_len,
+             |  MIN(SUBSTR(p_type, 1, 3)) AS type_pfx
+             |FROM part GROUP BY p_brand ORDER BY brand_u""".stripMargin),
+    ),
+
+    // ----- Q16: date/time functions -----
+    Q(
+      "q16_datetime",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(date_trunc("month", col("o_orderdate")).as("o_month"))
+          .agg(
+            min(year(col("o_orderdate")).cast("long")).as("o_year"),
+            count(lit(1)).as("n_orders"),
+            money(sum(cents(col("o_totalprice")))).as("revenue"))
+          .orderBy("o_month"),
+      Some("""SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS o_month,
+             |  CAST(MIN(EXTRACT(YEAR FROM o_orderdate)) AS BIGINT) AS o_year,
+             |  COUNT(*) AS n_orders,
+             |  ROUND(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))/100.0, 4) AS revenue
+             |FROM orders GROUP BY DATE_TRUNC('month', o_orderdate)
+             |ORDER BY o_month""".stripMargin),
+    ),
+
+    // ----- Q17: conditional + math -----
+    Q(
+      "q17_conditional_math",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .withColumn("band",
+            when(col("l_extendedprice") < 20000, "low")
+              .when(col("l_extendedprice") < 60000, "mid")
+              .otherwise("high"))
+          .groupBy(col("band"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            money(sum(cents(col("l_extendedprice")))).as("sum_price"),
+            sum(floor(col("l_quantity")).cast("long") % 7).as("mod7_sum"),
+            money(sum(cents(abs(col("l_extendedprice") - 40000.0)))).as("sum_absdev"))
+          .orderBy("band"),
+      Some("""SELECT CASE WHEN l_extendedprice < 20000 THEN 'low'
+             |            WHEN l_extendedprice < 60000 THEN 'mid'
+             |            ELSE 'high' END AS band,
+             |  COUNT(*) AS cnt,
+             |  ROUND(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))/100.0, 4) AS sum_price,
+             |  CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT) % 7) AS BIGINT) AS mod7_sum,
+             |  ROUND(SUM(CAST(ROUND(ABS(l_extendedprice - 40000.0)*100) AS BIGINT))/100.0, 4) AS sum_absdev
+             |FROM lineitem GROUP BY 1 ORDER BY band""".stripMargin),
+    ),
+
+    // ----- Q18: tumbling event-time window (batch analog of streaming agg) -----
+    Q(
+      "q18_event_window",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("user_id"), window(col("ts_us"), "1 hour"))
+          .agg(count(lit(1)).as("n_events"), money(sum(cents(col("value")))).as("sum_value"))
+          .select(col("user_id"), col("window.start").as("win_start"), col("n_events"), col("sum_value"))
+          .orderBy("user_id", "win_start"),
+      Some("""SELECT user_id,
+             |  time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start,
+             |  COUNT(*) AS n_events,
+             |  ROUND(SUM(CAST(ROUND(value*100) AS BIGINT))/100.0, 4) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY user_id, win_start""".stripMargin),
+    ),
+
+    // ----- Q19: sessionization via lag + cumulative sum -----
+    Q(
+      "q19_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+        val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("prev_ns", lag(col("ts_ns"), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_ns").isNull || (col("ts_ns") - col("prev_ns")) > lit(1800000000000L), 1L)
+              .otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(cum))
+          .groupBy(col("user_id"))
+          .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT user_id, event_id, epoch_ns(ts) AS ts_n,
+             |         LAG(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_n
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id,
+             |         SUM(CASE WHEN prev_n IS NULL OR ts_n - prev_n > 1800000000000 THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY user_id ORDER BY ts_n, event_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+             |  FROM t)
+             |SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+             |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+
+    // ----- Q20: bin-packing bucket assignment (ref op 10, CopyInputFormat.java:51-77) -----
+    Q(
+      "q20_binpack",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(cents(col("l_extendedprice")).as("c"), col("l_orderkey"), col("l_linenumber"))
+        val cumW = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val total = li.agg(sum(col("c")).as("total"))
+        li.withColumn("cum", sum(col("c")).over(cumW))
+          .crossJoin(broadcast(total))
+          .withColumn("bucket", expr("CAST(greatest(cum - 1, 0) div (total div 32 + 1) AS BIGINT)"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_rows"), money(sum(col("c"))).as("bucket_weight"))
+          .orderBy("bucket")
+      },
+      Some("""WITH t AS (
+             |  SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c, l_orderkey, l_linenumber
+             |  FROM lineitem),
+             |w AS (
+             |  SELECT c,
+             |         SUM(c) OVER (ORDER BY l_orderkey, l_linenumber
+             |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |         SUM(c) OVER () AS total
+             |  FROM t)
+             |SELECT CAST(GREATEST(cum - 1, 0) // (total // 32 + 1) AS BIGINT) AS bucket,
+             |       COUNT(*) AS n_rows,
+             |       ROUND(CAST(SUM(c) AS DOUBLE)/100.0, 4) AS bucket_weight
+             |FROM w GROUP BY 1 ORDER BY bucket""".stripMargin),
+    ),
+
+    // ----- Q21: duplicate detection (ref op 8 duplicate-destination check) -----
+    Q(
+      "q21_dup_detect",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_custkey"), col("o_orderdate").cast("date").as("o_day"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") > 1)
+          .orderBy("o_custkey", "o_day"),
+      Some("""SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_day, COUNT(*) AS cnt
+             |FROM orders GROUP BY 1, 2 HAVING COUNT(*) > 1
+             |ORDER BY o_custkey, o_day""".stripMargin),
+    ),
+
+    // ----- Q22: full-outer snapshot diff (ref op 6 update semantics) -----
+    Q(
+      "q22_fullouter_diff",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val old = o.filter(col("o_orderkey") % 3 =!= 0).select(col("o_orderkey").as("k_old"))
+        val neu = o.filter(col("o_orderkey") % 5 =!= 0).select(col("o_orderkey").as("k_new"))
+        old.join(neu, col("k_old") === col("k_new"), "full")
+          .select(
+            when(col("k_old").isNull, "only_dst")
+              .when(col("k_new").isNull, "only_src")
+              .otherwise("both").as("status"))
+          .groupBy(col("status")).agg(count(lit(1)).as("cnt"))
+          .orderBy("status")
+      },
+      Some("""WITH old AS (SELECT o_orderkey AS k_old FROM orders WHERE o_orderkey % 3 <> 0),
+             |     new AS (SELECT o_orderkey AS k_new FROM orders WHERE o_orderkey % 5 <> 0)
+             |SELECT CASE WHEN k_old IS NULL THEN 'only_dst'
+             |            WHEN k_new IS NULL THEN 'only_src'
+             |            ELSE 'both' END AS status,
+             |       COUNT(*) AS cnt
+             |FROM old FULL JOIN new ON k_old = k_new
+             |GROUP BY 1 ORDER BY status""".stripMargin),
+    ),
+  )
+}
