@@ -1,0 +1,127 @@
+package graft.enumerate
+
+import java.util.regex.Pattern
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.core.{FileMeta, Fs, PathUtils}
+
+/** Parallel filesystem enumeration (SURVEY.md §2.1 ops 1-4, 18).
+  *
+  * The reference walks each source tree with a driver-side stack
+  * (DistCPPlus.java:611-750) and batches metadata RPCs by parent dir
+  * (FileStatusClusterOptimizer.java:50-115). Here the walk is a distributed
+  * level-by-level BFS: each round lists the current frontier of directories
+  * with one `listStatus` per dir executed inside `mapPartitions`, so a
+  * 1000-executor cluster fans the metadata RPCs out instead of serializing
+  * them on the driver — the reference's worst scalability bottleneck
+  * (SURVEY.md §2.2). The result is metadata-scale (one row per file), so
+  * collect-free Dataset unions stay cheap relative to the data being copied.
+  */
+object Enumerate {
+
+  def toMeta(st: FileStatus): FileMeta =
+    FileMeta(
+      path = st.getPath.toUri.getPath,
+      length = st.getLen,
+      isDir = st.isDirectory,
+      replication = st.getReplication.toInt,
+      blockSize = st.getBlockSize,
+      mtime = st.getModificationTime,
+      atime = st.getAccessTime,
+      perm = st.getPermission.toString,
+      owner = st.getOwner,
+      group = st.getGroup,
+    )
+
+  private def fs(conf: Configuration, path: String): FileSystem =
+    new Path(path).getFileSystem(conf)
+
+  /** List the children of a set of directories, one listStatus RPC per dir
+    * (executor-side). */
+  private def listLevel(spark: SparkSession, dirs: Dataset[String]): Dataset[FileMeta] = {
+    import spark.implicits._
+    dirs.mapPartitions { paths =>
+      val conf = Fs.conf()
+      paths.flatMap { p =>
+        val f = fs(conf, p)
+        f.listStatus(new Path(p)).iterator.map(toMeta)
+      }
+    }
+  }
+
+  /** Full recursive enumeration of `root` (the root entry itself included). */
+  def listTree(spark: SparkSession, root: String): Dataset[FileMeta] = {
+    import spark.implicits._
+    val conf = Fs.conf()
+    val rootMeta = toMeta(fs(conf, root).getFileStatus(new Path(root)))
+    var acc = spark.createDataset(Seq(rootMeta))
+    var frontier = spark.createDataset(if (rootMeta.isDir) Seq(rootMeta.path) else Nil)
+    while (frontier.count() > 0) {
+      val level = listLevel(spark, frontier).localCheckpoint()
+      acc = acc.union(level)
+      frontier = level.filter(_.isDir).map(_.path)
+    }
+    acc
+  }
+
+  /** `-f <urilist>`: newline-delimited URI list (DistCpUtils.java:378-394). */
+  def fileList(spark: SparkSession, uri: String): Dataset[String] =
+    spark.read.textFile(uri).filter(_.trim.nonEmpty)
+
+  /** `-rg` flat regex source (Arguments.java:184-201,306-346): list `dir`,
+    * keep children whose NAME matches the anchored pattern. */
+  def flatRegex(spark: SparkSession, dirAndPattern: String): Dataset[FileMeta] = {
+    import spark.implicits._
+    val idx = dirAndPattern.lastIndexOf('/')
+    val (dir, pattern) = (dirAndPattern.take(idx), dirAndPattern.drop(idx + 1))
+    val level = listLevel(spark, spark.createDataset(Seq(dir)))
+    level.filter { m =>
+      val name = m.path.substring(m.path.lastIndexOf('/') + 1)
+      Pattern.matches(pattern, name)
+    }
+  }
+
+  /** `-regexPath` depth-wise regex selection (Arguments.java:363-437): the
+    * relative path segment at depth d must fully match `regexes(d)`; leaves
+    * are entries with exactly `regexes.length` matching segments. Returns
+    * (selected leaves, touched intermediate dirs). */
+  def depthRegex(
+      spark: SparkSession,
+      root: String,
+      regexes: Seq[String],
+  ): (Dataset[FileMeta], Dataset[FileMeta]) = {
+    val compiled = regexes.map(Pattern.compile(_))
+    val tree = listTree(spark, root)
+    def relSegs(m: FileMeta): Option[Vector[String]] =
+      PathUtils.makeRelative(root, m.path).filter(_ != ".").map(_.split('/').toVector)
+    def prefixMatches(segs: Vector[String]): Boolean =
+      segs.length <= compiled.length &&
+        segs.zip(compiled).forall { case (s, p) => p.matcher(s).matches() }
+    val leaves = tree.filter { m =>
+      relSegs(m).exists(s => s.length == compiled.length && prefixMatches(s))
+    }
+    val touched = tree.filter { m =>
+      m.isDir && relSegs(m).exists(s => s.length < compiled.length && prefixMatches(s))
+    }
+    (leaves, touched)
+  }
+
+  /** Batched metadata fetch (FileStatusClusterOptimizer.java:33-147): group
+    * requested paths by parent, hydrate each group with ONE listStatus RPC. */
+  def batchedStatus(spark: SparkSession, paths: Dataset[String]): Dataset[FileMeta] = {
+    import spark.implicits._
+    paths
+      .groupByKey(p => p.take(math.max(p.lastIndexOf('/'), 1)))
+      .flatMapGroups { (parent, children) =>
+        val want = children.toSet
+        val conf = Fs.conf()
+        val f = fs(conf, parent)
+        f.listStatus(new Path(parent)).iterator
+          .filter(st => want.contains(st.getPath.toUri.getPath))
+          .map(toMeta)
+      }
+  }
+}

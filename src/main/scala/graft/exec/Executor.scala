@@ -1,0 +1,197 @@
+package graft.exec
+
+import java.io.IOException
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.core._
+import graft.plan.CopyPlan
+
+/** Distributed copy execution (SURVEY.md §2.1 ops 12-17, 21).
+  *
+  * Mirrors DefaultCopyFilesMapper.java:105-287: per task — dirs → mkdirs;
+  * files → skip re-check, stream src→tmp in 128 KiB chunks, verify copied
+  * length, delete-existing + rename tmp→dst, apply preserved attributes.
+  * Unlike the reference's shared tmp path (safe only because MR speculation
+  * is off, DistCPPlus.java:459-461), tmp paths here are task-attempt-scoped
+  * so Spark task retries stay idempotent (SURVEY.md §7 risks).
+  *
+  * Tasks are bucketed by the size-weighted packer before mapPartitions, so
+  * each partition carries ~equal bytes — the reference's 256 MiB/map model
+  * (DistCPPlus.java:101,442-451) — rather than ~equal file counts.
+  */
+object Executor {
+
+  val BufferSize = 128 * 1024 // copy.buf.size, DefaultCopyFilesMapper.java:33
+
+  final case class CopyStats(copied: Long, skipped: Long, failed: Long, dirs: Long, bytesCopied: Long)
+
+  def copyOne(
+      conf: Configuration,
+      task: CopyTask,
+      dstRoot: String,
+      cfg: CopyConfig,
+      attempt: String,
+  ): CopyResult = {
+    val srcPath = new Path(task.src.path)
+    val dstPath = if (task.relDst == ".") new Path(dstRoot) else new Path(dstRoot, task.relDst)
+    val dfs = dstPath.getFileSystem(conf)
+    val sfs = srcPath.getFileSystem(conf)
+    try {
+      if (task.src.isDir) {
+        dfs.mkdirs(dstPath)
+        CopyResult(task.relDst, task.src.path, "DIR", 0L, "")
+      } else if (!cfg.overwrite && cfg.update && sameAtCopyTime(sfs, srcPath, dfs, dstPath, task, cfg)) {
+        // plan-time vs copy-time checks are intentionally redundant: files
+        // change between plan and execute (SURVEY.md §2.2).
+        CopyResult(task.relDst, task.src.path, "SKIP", 0L, "")
+      } else {
+        val tmp = new Path(dstPath.getParent, s".graft.tmp.${dstPath.getName}.$attempt")
+        dfs.mkdirs(dstPath.getParent)
+        var copied = 0L
+        val in = sfs.open(srcPath)
+        try {
+          val out = dfs.create(tmp, true, BufferSize,
+            if (cfg.preserve.contains(FileAttribute.Replication)) task.src.replication.toShort
+            else dfs.getDefaultReplication(tmp),
+            if (cfg.preserve.contains(FileAttribute.BlockSize)) task.src.blockSize
+            else dfs.getDefaultBlockSize(tmp))
+          try {
+            val buf = new Array[Byte](BufferSize)
+            var n = in.read(buf)
+            while (n >= 0) {
+              if (n > 0) { out.write(buf, 0, n); copied += n }
+              n = in.read(buf)
+            }
+          } finally out.close()
+        } finally in.close()
+        // double length verification (DefaultCopyFilesMapper.java:166-198)
+        val srcLenNow = sfs.getFileStatus(srcPath).getLen
+        val tmpLen = dfs.getFileStatus(tmp).getLen
+        if (copied != srcLenNow || tmpLen != srcLenNow) {
+          dfs.delete(tmp, false)
+          throw new IOException(s"length mismatch: copied=$copied tmp=$tmpLen src=$srcLenNow")
+        }
+        if (dfs.exists(dstPath)) dfs.delete(dstPath, true) // rename protocol, DistCpUtils.java:44-57
+        if (!dfs.rename(tmp, dstPath)) throw new IOException(s"rename $tmp -> $dstPath failed")
+        preserveAttrs(dfs, dstPath, task.src, cfg.preserve)
+        CopyResult(task.relDst, task.src.path, "COPY", copied, "")
+      }
+    } catch {
+      case e: Exception =>
+        // tmp cleanup with bounded retry (DefaultCopyFilesMapper.java:266-282)
+        val tmp = new Path(dstPath.getParent, s".graft.tmp.${dstPath.getName}.$attempt")
+        var tries = 0
+        while (tries < 3 && scala.util.Try(dfs.exists(tmp)).getOrElse(false)) {
+          scala.util.Try(dfs.delete(tmp, false))
+          tries += 1
+        }
+        CopyResult(task.relDst, task.src.path, "FAIL", 0L, s"${e.getClass.getName}: ${e.getMessage}")
+    }
+  }
+
+  /** Copy-time skip re-check: TS → length (checksum lazily only when lengths
+    * match), same predicate order as DistCpUtils.java:239-291. Null/unsupported
+    * checksum ⇒ treat as same. */
+  def sameAtCopyTime(
+      sfs: FileSystem,
+      src: Path,
+      dfs: FileSystem,
+      dst: Path,
+      task: CopyTask,
+      cfg: CopyConfig,
+  ): Boolean = {
+    if (!dfs.exists(dst)) return false
+    val d = dfs.getFileStatus(dst)
+    if (!cfg.skipTs && d.getModificationTime != task.src.mtime) return false
+    if (d.getLen != task.src.length) return false
+    if (cfg.skipCrc) return true
+    val sc = sfs.getFileChecksum(src)
+    val dc = dfs.getFileChecksum(dst)
+    sc == null || dc == null || sc == dc
+  }
+
+  def preserveAttrs(fs: FileSystem, p: Path, src: FileMeta, attrs: Set[FileAttribute]): Unit = {
+    val st = fs.getFileStatus(p)
+    if (attrs.contains(FileAttribute.Permission) && st.getPermission.toString != src.perm)
+      fs.setPermission(p, FsPermission.valueOf(permWithType(st.isDirectory, src.perm)))
+    if ((attrs.contains(FileAttribute.User) && st.getOwner != src.owner) ||
+        (attrs.contains(FileAttribute.Group) && st.getGroup != src.group))
+      scala.util.Try(fs.setOwner(p,
+        if (attrs.contains(FileAttribute.User)) src.owner else null,
+        if (attrs.contains(FileAttribute.Group)) src.group else null))
+    if (attrs.contains(FileAttribute.Timestamp) && !st.isDirectory)
+      fs.setTimes(p, src.mtime, src.atime) // files only: HDFS-2436, DistCPPlus.java:256-258
+  }
+
+  private def permWithType(isDir: Boolean, perm: String): String =
+    (if (isDir) "d" else "-") + perm
+
+  /** Execute a plan: mkdirs for dirs (driver — dir count is small), bucketed
+    * mapPartitions copy for files, then delete-sync and dir-attribute
+    * finalize (DistCPPlus.java:264-297). */
+  def execute(spark: SparkSession, planned: CopyPlan, cfg: CopyConfig): CopyStats = {
+    import spark.implicits._
+    val dstRoot = cfg.dst
+    val conf = Fs.conf()
+    val dfs = new Path(dstRoot).getFileSystem(conf)
+    dfs.mkdirs(new Path(dstRoot))
+
+    val numBuckets = {
+      val totalBytes = planned.tasks.filter(!_.src.isDir).agg(org.apache.spark.sql.functions.sum("src.length"))
+        .head().let(r => if (r.isNullAt(0)) 0L else r.getLong(0))
+      val derived = math.max(1L, totalBytes / cfg.bytesPerTask).toInt
+      if (cfg.maxTasks > 0) math.min(cfg.maxTasks, math.max(derived, 1))
+      else math.max(derived, spark.sparkContext.defaultParallelism)
+    }
+
+    val bucketed = graft.plan.Planner.assignBuckets(planned.tasks, numBuckets)
+    val results: Dataset[CopyResult] = bucketed
+      .repartition(numBuckets, org.apache.spark.sql.functions.col("_2"))
+      .mapPartitions { iter =>
+        val c = Fs.conf()
+        val attempt = Option(TaskContext.get()).map(_.taskAttemptId().toString).getOrElse("0")
+        iter.map { case (task, _) => copyOne(c, task, dstRoot, cfg, attempt) }
+      }
+      .localCheckpoint()
+
+    val failed = results.filter(_.status == "FAIL")
+    val nFailed = failed.count()
+    if (nFailed > 0) {
+      failed.collect().take(10).foreach(r => System.err.println(s"FAIL ${r.relDst} : ${r.error}"))
+      if (!cfg.ignoreFailures)
+        throw new IOException(s"$nFailed copy failures (use -i to ignore)")
+    }
+
+    // delete-sync: depth-first (children before parents is unnecessary with
+    // recursive delete + ancestor suppression, mirroring FsShell -rmr)
+    planned.deletes.collect().foreach { rel =>
+      dfs.delete(new Path(dstRoot, rel), true)
+    }
+
+    // dir-attribute finalize pass (DistCPPlus.java:264-297)
+    if (cfg.preserve.nonEmpty) {
+      planned.dirs.collect().foreach { t =>
+        val p = if (t.relDst == ".") new Path(dstRoot) else new Path(dstRoot, t.relDst)
+        if (dfs.exists(p)) preserveAttrs(dfs, p, t.src, cfg.preserve)
+      }
+    }
+
+    CopyStats(
+      copied = results.filter(_.status == "COPY").count(),
+      skipped = results.filter(_.status == "SKIP").count(),
+      failed = nFailed,
+      dirs = results.filter(_.status == "DIR").count(),
+      bytesCopied = results.filter(_.status == "COPY").agg(org.apache.spark.sql.functions.sum("bytes"))
+        .head().let(r => if (r.isNullAt(0)) 0L else r.getLong(0)),
+    )
+  }
+
+  private implicit class LetOps[A](private val a: A) extends AnyVal {
+    def let[B](f: A => B): B = f(a)
+  }
+}

@@ -1,0 +1,204 @@
+package graft.plan
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.enumerate.Enumerate
+
+/** The copy planner as Dataset algebra (SURVEY.md §7 step 3).
+  *
+  * What the reference does with hand-rolled external sorts and merge loops
+  * (DistCpUtils.java:84-223) becomes groupBy/anti-join/window plans that
+  * Catalyst executes distributed:
+  *   - limits        → ordered window cumulative sum + filter  (op 5)
+  *   - update diff   → left join src⟕dst on relDst + predicate (op 6)
+  *   - dup check     → groupBy(relDst).count > 1               (op 8)
+  *   - delete sync   → dst left-anti src + ancestor suppression (op 9)
+  *   - split packing → driver greedy (exact, small manifests) or window
+  *                     cumsum bucketing (distributed)           (op 10)
+  */
+final case class CopyPlan(
+    tasks: Dataset[CopyTask],
+    deletes: Dataset[String],
+    dirs: Dataset[CopyTask],
+) {
+  /** Dry-run surface (op 19): planned file copies without executing. */
+  def sourceFilesForTransfer: Seq[String] =
+    tasks.filter(!_.src.isDir).collect().map(_.src.path).toSeq
+  def hasFileCopied: Boolean = tasks.filter(!_.src.isDir).limit(1).count() > 0
+}
+
+object Planner {
+
+  /** Build CopyTasks for one source root: every descendant keyed by its
+    * dest-relative path. With multiple roots each root nests under its
+    * basename (distcp semantics). */
+  private def tasksForRoot(
+      spark: SparkSession,
+      root: String,
+      cfg: CopyConfig,
+  ): Dataset[CopyTask] = {
+    import spark.implicits._
+    val baseName = root.split('/').filter(_.nonEmpty).lastOption.getOrElse("")
+    val nest = cfg.srcs.length > 1
+    val metas: Dataset[FileMeta] = cfg.depthRegexes match {
+      case Nil => Enumerate.listTree(spark, root)
+      case rx =>
+        val (leaves, _) = Enumerate.depthRegex(spark, root, rx)
+        // leaves may be dirs: expand each matched dir to its full subtree
+        val dirs = leaves.filter(_.isDir).collect()
+        dirs.foldLeft(leaves.filter(!_.isDir))((acc, d) =>
+          acc.union(Enumerate.listTree(spark, d.path).filter(!_.isDir)))
+    }
+    metas.flatMap { m =>
+      PathUtils.makeRelative(root, m.path).flatMap { rel =>
+        val r = if (rel == ".") {
+          if (m.isDir) None else Some(baseName) // single-file source keeps its name
+        } else Some(if (nest) s"$baseName/$rel" else rel)
+        r.map(CopyTask(m, _))
+      }.iterator
+    }
+  }
+
+  /** File/size limits in traversal (path) order via window cumulative sums
+    * (DistCPPlus.java:677-678). */
+  def applyLimits(tasks: Dataset[CopyTask], fileLimit: Long, sizeLimit: Long): Dataset[CopyTask] = {
+    if (fileLimit == Long.MaxValue && sizeLimit == Long.MaxValue) tasks
+    else {
+      import tasks.sparkSession.implicits._
+      val w = Window.orderBy(col("relDst")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val files = tasks.filter(!_.src.isDir)
+      val dirs = tasks.filter(_.src.isDir)
+      val kept = files
+        .withColumn("cumFiles", count(lit(1)).over(w))
+        .withColumn("cumBytes", sum(col("src.length")).over(w))
+        .filter(col("cumFiles") <= fileLimit && col("cumBytes") <= sizeLimit)
+        .drop("cumFiles", "cumBytes")
+        .as[CopyTask]
+      dirs.union(kept)
+    }
+  }
+
+  /** Update-diff: drop tasks whose destination is already "the same"
+    * (DistCpUtils.java:239-291 predicate order: timestamp → length; checksum
+    * re-checked lazily at copy time for length-equal pairs). */
+  def updateDiff(
+      tasks: Dataset[CopyTask],
+      dstRoot: String,
+      skipTs: Boolean,
+  ): Dataset[CopyTask] = {
+    val spark = tasks.sparkSession
+    import spark.implicits._
+    val conf = Fs.conf()
+    val dfs = new Path(dstRoot).getFileSystem(conf)
+    if (!dfs.exists(new Path(dstRoot))) tasks
+    else {
+      val dst = Enumerate.listTree(spark, dstRoot)
+        .flatMap(m => PathUtils.makeRelative(dstRoot, m.path).filter(_ != ".").map(r => (r, m.length, m.mtime, m.isDir)))
+        .toDF("relDst", "dLen", "dMtime", "dIsDir")
+      tasks
+        .join(dst, Seq("relDst"), "left")
+        .filter(
+          col("src.isDir") || col("dLen").isNull ||
+            col("src.length") =!= col("dLen") ||
+            (if (skipTs) lit(false) else col("src.mtime") =!= col("dMtime")))
+        .drop("dLen", "dMtime", "dIsDir")
+        .as[CopyTask]
+    }
+  }
+
+  /** Duplicate-destination check (DistCpUtils.java:84-110): two sources
+    * mapping to one relDst is a planning error (exit -2). */
+  def checkDuplication(tasks: Dataset[CopyTask]): Unit = {
+    val dups = tasks.groupBy(col("relDst")).count().filter(col("count") > 1).limit(1).collect()
+    if (dups.nonEmpty)
+      throw new DuplicationException(s"duplicate destination: ${dups.head.getString(0)}")
+  }
+
+  /** Delete-sync (DistCpUtils.java:136-223): destination paths absent from
+    * the source manifest, with ancestor suppression — a left-anti join plus a
+    * parent-membership anti-join (the delete set is closed under descendants,
+    * so suppressing direct children of deleted dirs is sufficient). */
+  def deleteTargets(
+      spark: SparkSession,
+      tasks: Dataset[CopyTask],
+      dstRoot: String,
+  ): Dataset[String] = {
+    import spark.implicits._
+    val conf = Fs.conf()
+    val dfs = new Path(dstRoot).getFileSystem(conf)
+    if (!dfs.exists(new Path(dstRoot))) spark.emptyDataset[String]
+    else {
+      val dst = Enumerate.listTree(spark, dstRoot)
+        .flatMap(m => PathUtils.makeRelative(dstRoot, m.path).filter(_ != "."))
+        .toDF("relDst")
+      val doomed = dst.join(tasks.select(col("relDst")), Seq("relDst"), "left_anti")
+      val withParent = doomed.withColumn(
+        "parent",
+        when(col("relDst").contains("/"), regexp_replace(col("relDst"), "/[^/]*$", ""))
+          .otherwise(lit(null)))
+      withParent
+        .join(doomed.select(col("relDst").as("parent")), Seq("parent"), "left_anti")
+        .select(col("relDst")).as[String]
+    }
+  }
+
+  /** Size-weighted bucket assignment (CopyInputFormat.java:33-79). Driver-side
+    * exact greedy first-fit when the manifest is small (the reference itself
+    * plans on the driver); distributed window-cumsum approximation otherwise.
+    */
+  def assignBuckets(tasks: Dataset[CopyTask], numBuckets: Int): Dataset[(CopyTask, Int)] = {
+    val spark = tasks.sparkSession
+    import spark.implicits._
+    val n = math.max(numBuckets, 1)
+    val cnt = tasks.count()
+    if (cnt <= 1000000) {
+      val sorted = tasks.collect().sortBy(_.relDst)
+      val lengths = sorted.map(t => if (t.src.isDir) 0L else t.src.length)
+      val total = lengths.sum
+      val target = math.max(total / n, 1L)
+      val buckets = PathUtils.packGreedy(lengths.toIndexedSeq, target)
+      spark.createDataset(sorted.zip(buckets).toIndexedSeq)
+    } else {
+      val w = Window.orderBy(col("relDst")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withCum = tasks
+        .withColumn("len", when(col("src.isDir"), 0L).otherwise(col("src.length")))
+        .withColumn("cum", sum(col("len")).over(w))
+      val total = withCum.agg(max(col("cum"))).as[Long].head()
+      val target = math.max(total / n, 1L)
+      withCum
+        .withColumn("bucket", expr(s"CAST(greatest(cum - 1, 0) div $target AS INT)"))
+        .select(struct(col("src"), col("relDst")).as("_1"), col("bucket").as("_2"))
+        .as[(CopyTask, Int)]
+    }
+  }
+
+  /** Full plan: enumerate → limits → diff → dup-check → delete set. */
+  def plan(spark: SparkSession, cfg: CopyConfig): CopyPlan = {
+    import spark.implicits._
+    val roots = cfg.flatRegex match {
+      case Some(rg) =>
+        val sel = Enumerate.flatRegex(spark, rg).collect().map(_.path).toSeq
+        cfg.srcs ++ sel
+      case None =>
+        cfg.srcs ++ cfg.fileList.toSeq.flatMap(f => Enumerate.fileList(spark, f).collect())
+    }
+    val effCfg = cfg.copy(srcs = roots)
+    val all = roots.map(tasksForRoot(spark, _, effCfg)).reduceOption(_ union _)
+      .getOrElse(spark.emptyDataset[CopyTask])
+    val limited = applyLimits(all, cfg.fileLimit, cfg.sizeLimit)
+    val diffed = if (cfg.update) updateDiff(limited, cfg.dst, cfg.skipTs) else limited
+    checkDuplication(diffed)
+    val deletes =
+      if (cfg.delete) deleteTargets(spark, all, cfg.dst) else spark.emptyDataset[String]
+    CopyPlan(
+      tasks = diffed.localCheckpoint(),
+      deletes = deletes,
+      dirs = all.filter(_.src.isDir),
+    )
+  }
+}

@@ -1,0 +1,212 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import scala.jdk.CollectionConverters._
+import scala.util.Random
+
+import graft.core._
+import graft.enumerate.Enumerate
+import graft.exec.Executor
+import graft.plan.Planner
+
+/** Golden filesystem tests for the copy layer (FIXTURES.md §2): synthesize a
+  * local tree, run the planner + executor, assert recursive dest equality and
+  * the scenario behaviors (update skip, delete sync, duplication, limits,
+  * regex selection, attribute preservation).
+  */
+class CopyLayerSpec extends SparkTestBase {
+
+  private def mkTree(base: Path): Path = {
+    val rnd = new Random(7)
+    def write(rel: String, n: Int): Unit = {
+      val p = base.resolve(rel)
+      Files.createDirectories(p.getParent)
+      val bytes = Array.ofDim[Byte](n)
+      rnd.nextBytes(bytes)
+      Files.write(p, bytes)
+    }
+    write("a.txt", 1024)
+    write("empty.bin", 0)
+    write("big.bin", 4 * 1024 * 1024)
+    write("sub1/b.log", 2048)
+    write("sub1/deep/c.dat", 3072)
+    Files.createDirectories(base.resolve("sub2"))
+    write("üñïçødé dir/x y.txt", 99)
+    write("logs-2024-01/part-000.txt", 10)
+    write("logs-2024-02/part-001.txt", 10)
+    base
+  }
+
+  private def tmpDir(tag: String): Path = {
+    val p = Paths.get("target/fixtures", tag + "-" + System.nanoTime()).toAbsolutePath
+    Files.createDirectories(p)
+    p
+  }
+
+  private def treeListing(root: Path): Map[String, Long] =
+    Files.walk(root).iterator().asScala
+      .filter(p => p != root)
+      .map(p => root.relativize(p).toString -> (if (Files.isDirectory(p)) -1L else Files.size(p)))
+      .toMap
+
+  private def fileBytes(p: Path): Array[Byte] = Files.readAllBytes(p)
+
+  private def runCopy(extra: Seq[String], src: Path, dst: Path): Executor.CopyStats = {
+    val cfg = Args.parse(extra ++ Seq(src.toString, dst.toString)).toOption.get
+    val plan = Planner.plan(spark, cfg)
+    Executor.execute(spark, plan, cfg)
+  }
+
+  test("plain recursive copy reproduces the tree") {
+    val src = mkTree(tmpDir("src"))
+    val dst = tmpDir("dst").resolve("out")
+    val stats = runCopy(Nil, src, dst)
+    assert(treeListing(src) == treeListing(dst))
+    assert(stats.copied == 8 && stats.failed == 0)
+    assert(fileBytes(src.resolve("big.bin")).sameElements(fileBytes(dst.resolve("big.bin"))))
+    assert(Files.isDirectory(dst.resolve("sub2"))) // empty dir created
+  }
+
+  test("update skips same files, recopies changed ones") {
+    val src = mkTree(tmpDir("src"))
+    val dst = tmpDir("dst").resolve("out")
+    runCopy(Seq("-pt"), src, dst) // preserve mtimes so "same" is detectable
+    // mutate one dest file (same length, different content+mtime)
+    Files.write(dst.resolve("a.txt"), Array.fill[Byte](1024)(1))
+    val stats = runCopy(Seq("-update", "-skipcrccheck", "-pt"), src, dst)
+    assert(stats.copied == 1, s"expected exactly the mutated file recopied, got $stats")
+    assert(fileBytes(src.resolve("a.txt")).sameElements(fileBytes(dst.resolve("a.txt"))))
+  }
+
+  test("update with skiptscheck + skipcrccheck skips on length alone") {
+    val src = mkTree(tmpDir("src"))
+    val dst = tmpDir("dst").resolve("out")
+    runCopy(Nil, src, dst)
+    Files.write(dst.resolve("a.txt"), Array.fill[Byte](1024)(1)) // same length
+    val stats = runCopy(Seq("-update", "-skiptscheck", "-skipcrccheck"), src, dst)
+    assert(stats.copied == 0 && stats.skipped == 0) // pruned at plan time already
+  }
+
+  test("delete-sync removes dest extras with ancestor suppression") {
+    val src = mkTree(tmpDir("src"))
+    val dst = tmpDir("dst").resolve("out")
+    runCopy(Nil, src, dst)
+    Files.write(dst.resolve("stale.txt"), "x".getBytes(StandardCharsets.UTF_8))
+    Files.createDirectories(dst.resolve("staledir"))
+    Files.write(dst.resolve("staledir/nested.txt"), "y".getBytes(StandardCharsets.UTF_8))
+    runCopy(Seq("-update", "-delete"), src, dst)
+    assert(!Files.exists(dst.resolve("stale.txt")))
+    assert(!Files.exists(dst.resolve("staledir")))
+    assert(treeListing(src) == treeListing(dst))
+  }
+
+  test("duplicate destinations raise the -2 analog") {
+    val base = tmpDir("dup")
+    val s1 = base.resolve("s1"); val s2 = base.resolve("s2")
+    Files.createDirectories(s1); Files.createDirectories(s2)
+    Files.write(s1.resolve("same"), "a".getBytes)
+    Files.write(s2.resolve("same"), "b".getBytes)
+    // two roots nesting under basenames can't collide; force collision via
+    // same basename trees
+    val s3 = base.resolve("x/n"); val s4 = base.resolve("y/n")
+    Files.createDirectories(s3); Files.createDirectories(s4)
+    Files.write(s3.resolve("f"), "a".getBytes)
+    Files.write(s4.resolve("f"), "b".getBytes)
+    val dst = base.resolve("out")
+    val cfg = Args.parse(Seq(s3.toString, s4.toString, dst.toString)).toOption.get
+    intercept[DuplicationException] {
+      Planner.plan(spark, cfg)
+    }
+  }
+
+  test("filelimit / sizelimit truncate in traversal order") {
+    val base = tmpDir("lim")
+    val src = base.resolve("src")
+    for (i <- 1 to 6) {
+      Files.createDirectories(src)
+      Files.write(src.resolve(f"f$i%02d"), Array.fill[Byte](1000)(i.toByte))
+    }
+    val dst1 = base.resolve("out1")
+    runCopy(Seq("-filelimit", "3"), src, dst1)
+    assert(treeListing(dst1).keySet == Set("f01", "f02", "f03"))
+    val dst2 = base.resolve("out2")
+    runCopy(Seq("-sizelimit", "2500"), src, dst2)
+    assert(treeListing(dst2).keySet == Set("f01", "f02"))
+  }
+
+  test("flat regex source selects by name") {
+    val src = mkTree(tmpDir("src"))
+    val dst = tmpDir("dst").resolve("out")
+    val cfg = Args.parse(Seq("-rg", s"$src/logs-2024-0[12]", dst.toString)).toOption.get
+    val plan = Planner.plan(spark, cfg)
+    Executor.execute(spark, plan, cfg)
+    val listing = treeListing(dst)
+    assert(listing.keySet == Set(
+      "logs-2024-01", "logs-2024-01/part-000.txt",
+      "logs-2024-02", "logs-2024-02/part-001.txt"))
+  }
+
+  test("depth-wise regexPath selects matching leaves") {
+    val src = mkTree(tmpDir("src"))
+    val dst = tmpDir("dst").resolve("out")
+    val cfg = Args.parse(
+      Seq("-regexPath", src.toString, "logs-2024-.*/part-.*\\.txt", dst.toString)).toOption.get
+    val plan = Planner.plan(spark, cfg)
+    Executor.execute(spark, plan, cfg)
+    val files = treeListing(dst).filter(_._2 >= 0).keySet
+    assert(files == Set("logs-2024-01/part-000.txt", "logs-2024-02/part-001.txt"))
+  }
+
+  test("timestamp preservation with -pt") {
+    val src = mkTree(tmpDir("src"))
+    val dst = tmpDir("dst").resolve("out")
+    val mt = 1600000000000L
+    Files.setLastModifiedTime(src.resolve("a.txt"), java.nio.file.attribute.FileTime.fromMillis(mt))
+    runCopy(Seq("-pt"), src, dst)
+    assert(Files.getLastModifiedTime(dst.resolve("a.txt")).toMillis == mt)
+  }
+
+  test("exportOnly plans without copying") {
+    val src = mkTree(tmpDir("src"))
+    val dst = tmpDir("dst").resolve("out")
+    val cfg = Args.parse(Seq("-exportOnly", src.toString, dst.toString)).toOption.get
+    val plan = Planner.plan(spark, cfg)
+    assert(plan.hasFileCopied)
+    assert(plan.sourceFilesForTransfer.length == 8)
+    assert(!Files.exists(dst))
+  }
+
+  test("file-list source (-f)") {
+    val base = tmpDir("flist")
+    val src = mkTree(base.resolve("src"))
+    val lst = base.resolve("uris.txt")
+    Files.write(lst, s"$src/a.txt\n$src/sub1\n".getBytes(StandardCharsets.UTF_8))
+    val dst = base.resolve("out")
+    val cfg = Args.parse(Seq("-f", lst.toString, dst.toString)).toOption.get
+    val plan = Planner.plan(spark, cfg)
+    Executor.execute(spark, plan, cfg)
+    val files = treeListing(dst).filter(_._2 >= 0).keySet
+    assert(files == Set("a.txt", "sub1/b.log", "sub1/deep/c.dat"))
+  }
+
+  test("enumeration matches filesystem walk") {
+    val src = mkTree(tmpDir("src"))
+    val metas = Enumerate.listTree(spark, src.toString).collect()
+    val expect = treeListing(src)
+    val got = metas.filter(_.path != src.toString)
+      .map(m => src.relativize(Paths.get(m.path)).toString -> (if (m.isDir) -1L else m.length)).toMap
+    assert(got == expect)
+  }
+
+  test("batched status hydrates requested paths only") {
+    import spark.implicits._
+    val src = mkTree(tmpDir("src"))
+    val want = Seq(s"$src/a.txt", s"$src/sub1/b.log")
+    val got = Enumerate.batchedStatus(spark, spark.createDataset(want)).collect()
+    assert(got.map(_.path).toSet == want.toSet)
+    assert(got.forall(!_.isDir))
+  }
+}
