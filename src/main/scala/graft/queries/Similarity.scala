@@ -72,10 +72,13 @@ object Similarity {
     ),
 
     // ----- n-gram Jaccard near-duplicate pairs (exact, the verify stage) -----
+    // Brute-force all-pairs is O(n²): bounded here to doc_id < 500 on both
+    // sides (like q25's vec_id bound). The unbounded scale path is
+    // t31_minhash_lsh, whose candidate generation is LSH-bucketed.
     Q(
       "t30_ngram_jaccard",
       (s, d) => {
-        val sh = shingled(s, d)
+        val sh = shingled(s, d).filter(col("doc_id") < 500)
         val a = sh.select(col("doc_id").as("doc_id1"), col("shingles").as("s1"))
         val b = sh.select(col("doc_id").as("doc_id2"), col("shingles").as("s2"))
         a.join(b, col("doc_id1") < col("doc_id2"))
@@ -88,7 +91,7 @@ object Similarity {
              |  SELECT doc_id,
              |    list_distinct(list_transform(generate_series(1, greatest(length(lower(text)) - 2, 1)),
              |                  i -> substring(lower(text), i, 3))) AS shingles
-             |  FROM documents)
+             |  FROM documents WHERE doc_id < 500)
              |SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
              |  ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
              |        / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jac
@@ -102,20 +105,24 @@ object Similarity {
     Q(
       "t31_minhash_lsh",
       (s, d) => {
-        val sh = shingled(s, d).cache()
-        val hashed = sh
-          .select(col("doc_id"), explode(col("shingles")).as("sg"))
-          .withColumn("h", expr("CAST(conv(substring(md5(sg), 1, 8), 16, 10) AS BIGINT) % 2147483647"))
-        val minhash = hashed
-          .select(col("doc_id"), col("h"),
-            explode(expr("sequence(CAST(0 AS BIGINT), CAST(31 AS BIGINT))")).as("k"))
-          .withColumn("hv", expr("(((2*k + 1) * 1103515245) % 2147483647 * h + (12345*k + 7)) % 2147483647"))
-          .groupBy(col("doc_id"), col("k"))
-          .agg(min(col("hv")).as("mh"))
-        val bands = minhash
-          .withColumn("band", expr("k div 4"))
-          .groupBy(col("doc_id"), col("band"))
-          .agg(expr("array_join(transform(array_sort(collect_list(struct(k, mh))), x -> CAST(x.mh AS STRING)), '-')").as("sig"))
+        // Signatures are computed per-row with higher-order functions (one
+        // md5 per shingle, K=32 permutations folded in codegen) — no
+        // explode/shuffle until the 8-rows-per-doc band explode. The only
+        // shuffles are the band-bucket join and the candidate verify join,
+        // both on keys that scale with candidate count, not corpus².
+        val sh = shingled(s, d)
+        val bands = sh
+          .withColumn("hs", expr(
+            "transform(shingles, sg -> CAST(conv(substring(md5(sg), 1, 8), 16, 10) AS BIGINT) % 2147483647)"))
+          .withColumn("mins", expr(
+            """transform(sequence(0, 31), k ->
+              |  array_min(transform(hs, h ->
+              |    (((2*CAST(k AS BIGINT) + 1) * 1103515245) % 2147483647 * h
+              |     + (12345*CAST(k AS BIGINT) + 7)) % 2147483647)))""".stripMargin))
+          .withColumn("band", explode(expr("sequence(0, 7)")))
+          .withColumn("sig", expr(
+            "array_join(transform(slice(mins, band*4 + 1, 4), v -> CAST(v AS STRING)), '-')"))
+          .select(col("doc_id"), col("band"), col("sig"))
         val b1 = bands.select(col("band"), col("sig"), col("doc_id").as("doc_id1"))
         val b2 = bands.select(col("band"), col("sig"), col("doc_id").as("doc_id2"))
         val cand = b1.join(b2, Seq("band", "sig")).filter(col("doc_id1") < col("doc_id2"))
@@ -161,18 +168,18 @@ object Similarity {
     Q(
       "t32_simhash",
       (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), explode(expr("regexp_extract_all(lower(text), '\\\\S+', 0)")).as("tok"))
-          .withColumn("h", expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
-        val bits = toks
-          .select(col("doc_id"), col("h"),
-            explode(expr("sequence(CAST(0 AS BIGINT), CAST(31 AS BIGINT))")).as("j"))
-          .withColumn("contrib", expr("CASE WHEN (h div shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))) % 2 = 1 THEN 1 ELSE -1 END"))
-          .groupBy(col("doc_id"), col("j"))
-          .agg(sum(col("contrib")).as("v"))
-        val simhash = bits
-          .groupBy(col("doc_id"))
-          .agg(sum(expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END")).as("sh"))
+        // Per-row simhash: one md5 per token, then a 32-bit majority fold —
+        // all inside codegen, no explode/shuffle for signature computation.
+        val simhash = Tables.documents(s, d)
+          .withColumn("hs", expr(
+            "transform(regexp_extract_all(lower(text), '\\\\S+', 0), t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"))
+          .filter(size(col("hs")) > 0)
+          .withColumn("sh", expr(
+            """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) ->
+              |  acc + IF(aggregate(hs, CAST(0 AS BIGINT), (a, h) ->
+              |             a + IF((h div shiftleft(CAST(1 AS BIGINT), j)) % 2 = 1, 1, -1)) > 0,
+              |           shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin))
+          .select(col("doc_id"), col("sh"))
         val a = simhash.select(col("doc_id").as("doc_id1"), col("sh").as("sh1"))
         val b = simhash.select(col("doc_id").as("doc_id2"), col("sh").as("sh2"))
         a.join(b, col("doc_id1") < col("doc_id2"))

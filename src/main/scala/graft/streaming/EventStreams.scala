@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §1.3 stretch goal; the batch
+  * analogs are q18/q19 in the query registry).
+  *
+  * The same event-time semantics run in two modes:
+  *  - [[tumblingStream]]: `readStream` → watermark → windowed agg. At scale
+  *    this is the standard micro-batch pipeline: state store keyed by
+  *    (user_id, window), watermark bounds state size, shuffle only on the
+  *    grouping key.
+  *  - [[sessionCountsStream]]: `flatMapGroupsWithState` with per-user session
+  *    state and a processing-time-free, event-time gap rule identical to the
+  *    batch lag+cumsum query (q19).
+  */
+object EventStreams {
+
+  /** events schema as read with nanosAsLong (ts = raw ns Long). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  final case class Ev(event_id: Long, ts_ns: Long, user_id: Long, value: Double)
+  final case class SessState(lastTs: Long, sessions: Long, events: Long)
+  final case class SessOut(user_id: Long, n_sessions: Long, n_events: Long)
+
+  private val GapNs = 1800000000000L // 30 min
+
+  /** Streaming tumbling 1-hour window counts per user. */
+  def tumblingStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet") // single-file source: stream the parent dir
+      .parquet(dir)
+      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_us", "2 hours")
+      .groupBy(col("user_id"), window(col("ts_us"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(round(col("value") * 100, 0).cast("long")).cast("double") / 100.0, 4).as("sum_value"))
+      .select(col("user_id"), col("window.start").as("win_start"), col("n_events"), col("sum_value"))
+  }
+
+  /** Per-user session counting with explicit keyed state — the streaming twin
+    * of q19's lag + cumulative-sum. In batch mode Spark runs the same
+    * function once per group. Events are buffered and sorted by event time
+    * within the group; at scale the buffer is bounded by per-user event
+    * volume per micro-batch, and the watermark-driven timeout would evict
+    * idle users' state.
+    */
+  def sessionCounts(spark: SparkSession, events: Dataset[Ev]): Dataset[SessOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          val sorted = evs.toArray.sortBy(e => (e.ts_ns, e.event_id))
+          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val newSession = st.lastTs == Long.MinValue || e.ts_ns - st.lastTs > GapNs
+            st = SessState(e.ts_ns, st.sessions + (if (newSession) 1 else 0), st.events + 1)
+          }
+          state.update(st)
+          Iterator(SessOut(user, st.sessions, st.events))
+      }
+  }
+
+  def eventsDataset(spark: SparkSession, dir: String): Dataset[Ev] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("ts").as("ts_ns"), col("user_id"), col("value"))
+      .as[Ev]
+  }
+}
