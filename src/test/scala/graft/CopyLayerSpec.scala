@@ -160,6 +160,29 @@ class CopyLayerSpec extends SparkTestBase {
     assert(files == Set("logs-2024-01/part-000.txt", "logs-2024-02/part-001.txt"))
   }
 
+  test("overwrite recopies unconditionally") {
+    val src = mkTree(tmpDir("src"))
+    val dst = tmpDir("dst").resolve("out")
+    runCopy(Seq("-pt"), src, dst)
+    val stats = runCopy(Seq("-overwrite", "-pt"), src, dst)
+    assert(stats.copied == 8 && stats.skipped == 0)
+    assert(treeListing(src) == treeListing(dst))
+  }
+
+  test("failed copy surfaces FAIL and -i ignores it") {
+    val base = tmpDir("fail")
+    val src = base.resolve("src")
+    Files.createDirectories(src)
+    Files.write(src.resolve("ok.txt"), "fine".getBytes(StandardCharsets.UTF_8))
+    val dst = base.resolve("out")
+    val cfg = Args.parse(Seq("-i", src.toString, dst.toString)).toOption.get
+    val plan = Planner.plan(spark, cfg)
+    // sabotage: delete the source file between plan and execute
+    Files.delete(src.resolve("ok.txt"))
+    val stats = Executor.execute(spark, plan, cfg)
+    assert(stats.failed == 1 && stats.copied == 0)
+  }
+
   test("timestamp preservation with -pt") {
     val src = mkTree(tmpDir("src"))
     val dst = tmpDir("dst").resolve("out")
