@@ -45,6 +45,16 @@ object Args {
             case Left(e) => err = Some(e)
             case Right(n) => c = c.copy(maxTasks = n)
           }
+        case "-mapper" =>
+          next("-mapper") match {
+            case Left(e) => err = Some(e)
+            case Right(v) => c = c.copy(mapperClass = Some(v))
+          }
+        case "-market" =>
+          next("-market").flatMap(v => v.toIntOption.toRight(s"bad -market value '$v'")) match {
+            case Left(e) => err = Some(e)
+            case Right(n) => c = c.copy(marketId = n)
+          }
         case "-f" =>
           next("-f") match {
             case Left(e) => err = Some(e)

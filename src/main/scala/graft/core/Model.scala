@@ -79,6 +79,8 @@ final case class CopyConfig(
     flatRegex: Option[String] = None, // -rg  <src/regex>   (Arguments.java:184-201)
     depthRegexes: Seq[String] = Nil, // -regexPath segments (Arguments.java:363-437)
     fileList: Option[String] = None, // -f <urilist>        (DistCpUtils.java:378-394)
+    mapperClass: Option[String] = None, // -mapper <class>  (DistCPPlus.java:467-480)
+    marketId: Int = 0, // -market <int>, opaque passthrough (Arguments.java:173-182)
 )
 
 /** Two sources map to one destination (DuplicationException.java; exit -2). */

@@ -30,6 +30,28 @@ object Executor {
 
   final case class CopyStats(copied: Long, skipped: Long, failed: Long, dirs: Long, bytesCopied: Long)
 
+  /** The user-extension point (ref op 13, `-mapper <class>`,
+    * DistCPPlus.java:467-480 — "used for filtering purpose"): a replaceable
+    * per-task copy function. Implementations must have a no-arg constructor
+    * (instantiated by reflection on each executor) and are typically filters
+    * that delegate to [[Executor.copyOne]] for tasks they keep.
+    */
+  trait CopyFunction extends Serializable {
+    def apply(conf: Configuration, task: CopyTask, dstRoot: String, cfg: CopyConfig, attempt: String): CopyResult
+  }
+
+  final class DefaultCopyFunction extends CopyFunction {
+    def apply(conf: Configuration, task: CopyTask, dstRoot: String, cfg: CopyConfig, attempt: String): CopyResult =
+      copyOne(conf, task, dstRoot, cfg, attempt)
+  }
+
+  def resolveCopyFunction(cfg: CopyConfig): CopyFunction =
+    cfg.mapperClass match {
+      case None => new DefaultCopyFunction
+      case Some(name) =>
+        Class.forName(name).getDeclaredConstructor().newInstance().asInstanceOf[CopyFunction]
+    }
+
   def copyOne(
       conf: Configuration,
       task: CopyTask,
@@ -149,13 +171,14 @@ object Executor {
       else math.max(derived, spark.sparkContext.defaultParallelism)
     }
 
+    val copyFn = resolveCopyFunction(cfg)
     val bucketed = graft.plan.Planner.assignBuckets(planned.tasks, numBuckets)
     val results: Dataset[CopyResult] = bucketed
       .repartition(numBuckets, org.apache.spark.sql.functions.col("_2"))
       .mapPartitions { iter =>
         val c = Fs.conf()
         val attempt = Option(TaskContext.get()).map(_.taskAttemptId().toString).getOrElse("0")
-        iter.map { case (task, _) => copyOne(c, task, dstRoot, cfg, attempt) }
+        iter.map { case (task, _) => copyFn(c, task, dstRoot, cfg, attempt) }
       }
       .localCheckpoint()
 

@@ -177,6 +177,26 @@ object Planner {
     }
   }
 
+  /** Plan serialization (ref §3.3 `generateConf` / export-only: plan now,
+    * execute later, possibly from another process): the three manifests
+    * persist as parquet — the Spark-native analog of the reference's
+    * SequenceFile staging manifests (DistCPPlus.java:577-595).
+    */
+  def savePlan(plan: CopyPlan, path: String): Unit = {
+    plan.tasks.write.mode("overwrite").parquet(s"$path/tasks")
+    plan.deletes.toDF("relDst").write.mode("overwrite").parquet(s"$path/deletes")
+    plan.dirs.write.mode("overwrite").parquet(s"$path/dirs")
+  }
+
+  def loadPlan(spark: SparkSession, path: String): CopyPlan = {
+    import spark.implicits._
+    CopyPlan(
+      tasks = spark.read.parquet(s"$path/tasks").as[CopyTask],
+      deletes = spark.read.parquet(s"$path/deletes").select(col("relDst")).as[String],
+      dirs = spark.read.parquet(s"$path/dirs").as[CopyTask],
+    )
+  }
+
   /** Full plan: enumerate → limits → diff → dup-check → delete set. */
   def plan(spark: SparkSession, cfg: CopyConfig): CopyPlan = {
     import spark.implicits._

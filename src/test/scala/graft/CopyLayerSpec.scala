@@ -215,6 +215,39 @@ class CopyLayerSpec extends SparkTestBase {
     assert(files == Set("a.txt", "sub1/b.log", "sub1/deep/c.dat"))
   }
 
+  test("pluggable copy function (-mapper) filters tasks") {
+    val src = mkTree(tmpDir("src"))
+    val dst = tmpDir("dst").resolve("out")
+    val cfg = Args.parse(
+      Seq("-mapper", "graft.SkipLogsCopyFunction", src.toString, dst.toString)).toOption.get
+    assert(cfg.mapperClass.contains("graft.SkipLogsCopyFunction"))
+    val plan = Planner.plan(spark, cfg)
+    val stats = Executor.execute(spark, plan, cfg)
+    assert(!Files.exists(dst.resolve("sub1/b.log"))) // filtered by the mapper
+    assert(Files.exists(dst.resolve("a.txt")))
+    assert(stats.skipped == 1 && stats.copied == 7)
+  }
+
+  test("market id passthrough (-market)") {
+    val cfg = Args.parse(Seq("-market", "7", "/s", "/d")).toOption.get
+    assert(cfg.marketId == 7)
+    assert(Args.parse(Seq("-market", "x", "/s", "/d")).isLeft)
+  }
+
+  test("plan save/load roundtrip executes identically") {
+    val src = mkTree(tmpDir("src"))
+    val base = tmpDir("plan")
+    val dst = base.resolve("out")
+    val cfg = Args.parse(Seq(src.toString, dst.toString)).toOption.get
+    val plan = Planner.plan(spark, cfg)
+    Planner.savePlan(plan, base.resolve("manifests").toString)
+    val reloaded = Planner.loadPlan(spark, base.resolve("manifests").toString)
+    assert(reloaded.tasks.count() == plan.tasks.count())
+    val stats = Executor.execute(spark, reloaded, cfg)
+    assert(stats.copied == 8)
+    assert(treeListing(src) == treeListing(dst))
+  }
+
   test("enumeration matches filesystem walk") {
     val src = mkTree(tmpDir("src"))
     val metas = Enumerate.listTree(spark, src.toString).collect()
