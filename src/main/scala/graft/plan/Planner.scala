@@ -90,6 +90,7 @@ object Planner {
       tasks: Dataset[CopyTask],
       dstRoot: String,
       skipTs: Boolean,
+      skipCrc: Boolean = true,
   ): Dataset[CopyTask] = {
     val spark = tasks.sparkSession
     import spark.implicits._
@@ -100,14 +101,39 @@ object Planner {
       val dst = Enumerate.listTree(spark, dstRoot)
         .flatMap(m => PathUtils.makeRelative(dstRoot, m.path).filter(_ != ".").map(r => (r, m.length, m.mtime, m.isDir)))
         .toDF("relDst", "dLen", "dMtime", "dIsDir")
-      tasks
-        .join(dst, Seq("relDst"), "left")
+      val joined = tasks.join(dst, Seq("relDst"), "left").localCheckpoint()
+      val metaDiff = joined
         .filter(
           col("src.isDir") || col("dLen").isNull ||
             col("src.length") =!= col("dLen") ||
             (if (skipTs) lit(false) else col("src.mtime") =!= col("dMtime")))
         .drop("dLen", "dMtime", "dIsDir")
         .as[CopyTask]
+      if (skipCrc) metaDiff
+      else {
+        // CRC pass over the metadata-equal pairs (DistCpUtils.java:252-291:
+        // checksum compared only when TS+length match; null/unsupported
+        // checksum ⇒ same). Distributed — one getFileChecksum RPC pair per
+        // surviving file inside mapPartitions, never on the driver.
+        val metaSame = joined
+          .filter(
+            !col("src.isDir") && col("dLen").isNotNull &&
+              col("src.length") === col("dLen") &&
+              (if (skipTs) lit(true) else col("src.mtime") === col("dMtime")))
+          .drop("dLen", "dMtime", "dIsDir")
+          .as[CopyTask]
+        val crcDiff = metaSame.mapPartitions { it =>
+          val c = Fs.conf()
+          it.filter { t =>
+            val sp = new Path(t.src.path)
+            val dp = if (t.relDst == ".") new Path(dstRoot) else new Path(dstRoot, t.relDst)
+            val sc = sp.getFileSystem(c).getFileChecksum(sp)
+            val dc = dp.getFileSystem(c).getFileChecksum(dp)
+            sc != null && dc != null && sc != dc // null ⇒ same ⇒ keep skipped
+          }
+        }
+        metaDiff.unionByName(crcDiff)
+      }
     }
   }
 
@@ -149,7 +175,7 @@ object Planner {
 
   /** Size-weighted bucket assignment (CopyInputFormat.java:33-79). Driver-side
     * exact greedy first-fit when the manifest is small (the reference itself
-    * plans on the driver); distributed window-cumsum approximation otherwise.
+    * plans on the driver); [[assignBucketsScalable]] otherwise.
     */
   def assignBuckets(tasks: Dataset[CopyTask], numBuckets: Int): Dataset[(CopyTask, Int)] = {
     val spark = tasks.sparkSession
@@ -163,17 +189,42 @@ object Planner {
       val target = math.max(total / n, 1L)
       val buckets = PathUtils.packGreedy(lengths.toIndexedSeq, target)
       spark.createDataset(sorted.zip(buckets).toIndexedSeq)
-    } else {
-      val w = Window.orderBy(col("relDst")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val withCum = tasks
-        .withColumn("len", when(col("src.isDir"), 0L).otherwise(col("src.length")))
-        .withColumn("cum", sum(col("len")).over(w))
-      val total = withCum.agg(max(col("cum"))).as[Long].head()
-      val target = math.max(total / n, 1L)
-      withCum
-        .withColumn("bucket", expr(s"CAST(greatest(cum - 1, 0) div $target AS INT)"))
-        .select(struct(col("src"), col("relDst")).as("_1"), col("bucket").as("_2"))
-        .as[(CopyTask, Int)]
+    } else assignBucketsScalable(tasks, n)
+  }
+
+  /** Distributed bucket assignment with NO single-partition stage — the
+    * 100-TB-manifest path. Two-pass range-partitioned prefix sum:
+    *   1. range-partition by relDst (global order across partitions), compute
+    *      each partition's byte total with one pass;
+    *   2. driver folds the per-partition totals into start offsets (#parts
+    *      values — trivially small), broadcasts them;
+    *   3. each partition computes exact global cumulative sums locally and
+    *      derives bucket = (cum-1) / target.
+    * Equivalent to the global window cumsum, without funneling the manifest
+    * through one task the way `Window.orderBy` (no partitionBy) would.
+    */
+  def assignBucketsScalable(tasks: Dataset[CopyTask], numBuckets: Int): Dataset[(CopyTask, Int)] = {
+    val spark = tasks.sparkSession
+    import spark.implicits._
+    val n = math.max(numBuckets, 1)
+    val parts = math.max(tasks.rdd.getNumPartitions, spark.sparkContext.defaultParallelism)
+    val ranged = tasks.repartitionByRange(parts, col("relDst")).sortWithinPartitions(col("relDst")).as[CopyTask]
+      .localCheckpoint()
+    def weight(t: CopyTask): Long = if (t.src.isDir) 0L else math.max(t.src.length, 0L)
+    val partTotals: Array[Long] = ranged
+      .mapPartitions(it => Iterator.single(it.map(weight).sum))
+      .collect()
+    val offsets = partTotals.scanLeft(0L)(_ + _) // offsets(i) = bytes before partition i
+    val total = offsets.last
+    val target = math.max(total / n, 1L)
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cum = bOffsets.value(pid)
+      it.map { t =>
+        cum += weight(t)
+        (t, (math.max(cum - 1, 0L) / target).toInt)
+      }
     }
   }
 
@@ -211,7 +262,8 @@ object Planner {
     val all = roots.map(tasksForRoot(spark, _, effCfg)).reduceOption(_ union _)
       .getOrElse(spark.emptyDataset[CopyTask])
     val limited = applyLimits(all, cfg.fileLimit, cfg.sizeLimit)
-    val diffed = if (cfg.update) updateDiff(limited, cfg.dst, cfg.skipTs) else limited
+    val diffed =
+      if (cfg.update) updateDiff(limited, cfg.dst, cfg.skipTs, cfg.skipCrc) else limited
     checkDuplication(diffed)
     val deletes =
       if (cfg.delete) deleteTargets(spark, all, cfg.dst) else spark.emptyDataset[String]

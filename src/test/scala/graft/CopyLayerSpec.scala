@@ -248,6 +248,40 @@ class CopyLayerSpec extends SparkTestBase {
     assert(treeListing(src) == treeListing(dst))
   }
 
+  test("scalable bucket assignment balances bytes without a global window") {
+    import spark.implicits._
+    val rnd = new Random(13)
+    val tasks = (1 to 5000).map { i =>
+      val len = rnd.nextLong(1000000)
+      CopyTask(FileMeta(f"/s/f$i%05d", len, isDir = false, 1, 0, 0, 0, "", "", ""), f"f$i%05d")
+    }
+    val ds = spark.createDataset(tasks).repartition(8)
+    val n = 16
+    val assigned = graft.plan.Planner.assignBucketsScalable(ds, n).collect()
+    assert(assigned.length == 5000)
+    val weights = assigned.groupBy(_._2).map { case (b, ts) => b -> ts.map(_._1.src.length).sum }
+    val total = tasks.map(_.src.length).sum
+    val target = total / n
+    val maxFile = tasks.map(_.src.length).max
+    // every bucket except possibly the last stays within target + one file
+    weights.foreach { case (_, w) => assert(w <= target + maxFile) }
+    // assignment is in global relDst order: same task -> same bucket as exact cumsum
+    val sorted = tasks.sortBy(_.relDst)
+    var cum = 0L
+    val expect = sorted.map { t => cum += t.src.length; (t.relDst, ((cum - 1).max(0L) / math.max(target, 1L)).toInt) }.toMap
+    assigned.foreach { case (t, b) => assert(b == expect(t.relDst), s"${t.relDst}") }
+  }
+
+  test("update with CRC pass (null local checksums => same) still skips") {
+    val src = mkTree(tmpDir("src"))
+    val dst = tmpDir("dst").resolve("out")
+    runCopy(Seq("-pt"), src, dst)
+    // no -skipcrccheck: CRC pass runs; RawLocalFileSystem returns null
+    // checksums which the reference contract treats as equal
+    val stats = runCopy(Seq("-update", "-pt"), src, dst)
+    assert(stats.copied == 0)
+  }
+
   test("enumeration matches filesystem walk") {
     val src = mkTree(tmpDir("src"))
     val metas = Enumerate.listTree(spark, src.toString).collect()
