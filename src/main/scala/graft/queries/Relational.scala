@@ -444,5 +444,45 @@ object Relational {
              |FROM old FULL JOIN new ON k_old = k_new
              |GROUP BY 1 ORDER BY status""".stripMargin),
     ),
+
+    // ----- semi-structured JSON extraction from the events.props column -----
+    Q(
+      "t39_json_props",
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+             |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
+
+    // ----- supplier dimension rollup (closes supplier-table coverage) -----
+    Q(
+      "t40_supplier_stats",
+      (s, d) =>
+        Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            count(lit(1)).as("n_suppliers"),
+            money(sum(cents(col("s_acctbal")))).as("total_acctbal"))
+          .orderBy("r_name", "n_name"),
+      Some("""SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+             |  ROUND(SUM(CAST(ROUND(s_acctbal*100) AS BIGINT))/100.0, 4) AS total_acctbal
+             |FROM supplier
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
+    ),
   )
 }

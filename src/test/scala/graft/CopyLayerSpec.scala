@@ -192,6 +192,16 @@ class CopyLayerSpec extends SparkTestBase {
     assert(Files.getLastModifiedTime(dst.resolve("a.txt")).toMillis == mt)
   }
 
+  test("permission preservation with -pp") {
+    import java.nio.file.attribute.PosixFilePermissions
+    val src = mkTree(tmpDir("src"))
+    val dst = tmpDir("dst").resolve("out")
+    Files.setPosixFilePermissions(src.resolve("a.txt"), PosixFilePermissions.fromString("r--r-----"))
+    runCopy(Seq("-pp"), src, dst)
+    assert(Files.getPosixFilePermissions(dst.resolve("a.txt")) ==
+      PosixFilePermissions.fromString("r--r-----"))
+  }
+
   test("exportOnly plans without copying") {
     val src = mkTree(tmpDir("src"))
     val dst = tmpDir("dst").resolve("out")
@@ -289,6 +299,28 @@ class CopyLayerSpec extends SparkTestBase {
     val got = metas.filter(_.path != src.toString)
       .map(m => src.relativize(Paths.get(m.path)).toString -> (if (m.isDir) -1L else m.length)).toMap
     assert(got == expect)
+  }
+
+  test("copy throughput on a wider tree (microbench sanity)") {
+    val base = tmpDir("thru")
+    val src = base.resolve("src")
+    val rnd = new Random(21)
+    for (i <- 1 to 64) {
+      val p = src.resolve(f"d${i % 8}/f$i%03d.bin")
+      Files.createDirectories(p.getParent)
+      val bytes = Array.ofDim[Byte](1024 * 1024)
+      rnd.nextBytes(bytes)
+      Files.write(p, bytes)
+    }
+    val dst = base.resolve("out")
+    val t0 = System.nanoTime()
+    val stats = runCopy(Nil, src, dst)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(stats.copied == 64 && stats.bytesCopied == 64L * 1024 * 1024)
+    assert(treeListing(src) == treeListing(dst))
+    val mbps = 64.0 / secs
+    info(f"copied 64 MiB in $secs%.2f s ($mbps%.0f MiB/s)")
+    assert(mbps > 5, f"throughput $mbps%.1f MiB/s unreasonably low")
   }
 
   test("batched status hydrates requested paths only") {
