@@ -14,6 +14,12 @@ object Fs {
   def conf(): Configuration = {
     val c = new Configuration()
     c.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    // FileSystem.CACHE is keyed by (scheme, authority), NOT by conf — if any
+    // other code in the JVM (e.g. Spark's own parquet reads) instantiates the
+    // default checksummed LocalFileSystem for file:// first, a cached lookup
+    // would hand it back here and the copy layer would silently grow .crc
+    // shadow files. Bypass the cache so fs.file.impl is always honored.
+    c.setBoolean("fs.file.impl.disable.cache", true)
     c
   }
 }

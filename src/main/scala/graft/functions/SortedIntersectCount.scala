@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.GraftColumnBridge
+
+/** Native Catalyst expression: |a ∩ b| for two SORTED, DISTINCT long arrays,
+  * by a single two-pointer merge pass — no per-row hash-set allocation the way
+  * `size(array_intersect(a, b))` incurs. This sits in the hot loop of the
+  * pairwise near-dup verify stages (candidate_pairs × shingle-set size), so
+  * it participates in whole-stage codegen via [[doGenCode]].
+  *
+  * Inputs MUST be sorted ascending and duplicate-free (the shingle builders
+  * produce `array_sort(array_distinct(...))`); behavior on unsorted input is
+  * unspecified by design — sortedness is an upstream invariant, not checked
+  * per row.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType == ArrayType(LongType, containsNull = false)) ||
+      Seq(left, right).forall(_.dataType.isInstanceOf[ArrayType])
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"expects two array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    val an = a.numElements(); val bn = b.numElements()
+    while (i < an && j < bn) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val an = ctx.freshName("an"); val bn = ctx.freshName("bn")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $i = 0, $j = 0;
+         |final int $an = $a.numElements(), $bn = $b.numElements();
+         |${ev.value} = 0;
+         |while ($i < $an && $j < $bn) {
+         |  final long $x = $a.getLong($i);
+         |  final long $y = $b.getLong($j);
+         |  if ($x == $y) { ${ev.value}++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayFns {
+  /** Column wrapper for [[SortedIntersectCount]]. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      SortedIntersectCount(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}
