@@ -484,5 +484,63 @@ object Relational {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
     ),
+
+    // ----- exact percentiles (linear interpolation in both engines) -----
+    Q(
+      "t41_percentiles",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+            round(min(col("l_extendedprice")), 4).as("lo"),
+            round(max(col("l_extendedprice")), 4).as("hi"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(*) AS cnt,
+             |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+             |  ROUND(MIN(l_extendedprice), 4) AS lo,
+             |  ROUND(MAX(l_extendedprice), 4) AS hi
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
+
+    // ----- pivot (wide aggregation by category value) -----
+    Q(
+      "t42_pivot",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_linestatus"))
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .select(col("l_linestatus"), col("A").as("cnt_a"), col("N").as("cnt_n"), col("R").as("cnt_r"))
+          .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+             |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+             |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_n,
+             |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_r
+             |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+    ),
+
+    // ----- full cube with grouping markers -----
+    Q(
+      "t43_cube",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"), money(sum(cents(col("l_quantity")))).as("sum_qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("cnt"), col("sum_qty"))
+          .orderBy("rf", "ls"),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+             |  COUNT(*) AS cnt,
+             |  ROUND(SUM(CAST(ROUND(l_quantity*100) AS BIGINT))/100.0, 4) AS sum_qty
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin),
+    ),
   )
 }
