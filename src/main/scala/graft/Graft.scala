@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{Args, CopyConfig}
+import graft.exec.Executor
+import graft.plan.{CopyPlan, Planner}
+
+/** The library facade — what a user of the reference would call instead of
+  * `hadoop jar distcp.jar` or the programmatic `new DistCPPlus(conf, isReal)`
+  * embed (DistCPPlus.java:151-158).
+  *
+  * Copy layer:
+  * {{{
+  *   val cfg   = Graft.parseArgs(Seq("-update", "-delete", "-pt", src, dst))
+  *   val plan  = Graft.plan(spark, cfg)       // lazy: inspect before running
+  *   if (plan.hasFileCopied) Graft.execute(spark, plan, cfg)
+  * }}}
+  *
+  * Analytics layer:
+  * {{{
+  *   Graft.registerViews(spark, "/data/sf100")  // tables as temp views
+  *   spark.sql("SELECT ... FROM lineitem JOIN orders ON ...")
+  *   Graft.query(spark, "/data/sf100", "t31_minhash_lsh")  // registry entry
+  * }}}
+  */
+object Graft {
+
+  val TableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Parse the distcp-style CLI flag surface (Arguments.java:111-272). */
+  def parseArgs(argv: Seq[String]): Either[String, CopyConfig] = Args.parse(argv)
+
+  /** Plan a copy without executing (ref op 19 dry-run semantics). */
+  def plan(spark: SparkSession, cfg: CopyConfig): CopyPlan = Planner.plan(spark, cfg)
+
+  /** Execute a previously-built plan. */
+  def execute(spark: SparkSession, p: CopyPlan, cfg: CopyConfig): Executor.CopyStats =
+    Executor.execute(spark, p, cfg)
+
+  /** Plan + execute in one call. */
+  def copy(spark: SparkSession, cfg: CopyConfig): Executor.CopyStats =
+    execute(spark, plan(spark, cfg), cfg)
+
+  /** Register every test-corpus table as a temp view so `spark.sql` works
+    * directly (`events` exposed with ts_ns/ts_us, see Tables.events). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    TableNames.foreach {
+      case "events" => Tables.events(spark, dir).createOrReplaceTempView("events")
+      case t => Tables.table(spark, dir, t).createOrReplaceTempView(t)
+    }
+
+  /** Run a registry query by name (see README.md for the catalog). */
+  def query(spark: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.queries.getOrElse(
+      name,
+      throw new IllegalArgumentException(
+        s"unknown query '$name'; available: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"),
+    )(spark, dir)
+}

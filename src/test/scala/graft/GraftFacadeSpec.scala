@@ -1,0 +1,35 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+class GraftFacadeSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("registerViews exposes all tables to spark.sql") {
+    Graft.registerViews(spark, dir)
+    val n = spark.sql(
+      """SELECT c_mktsegment, COUNT(*) AS cnt
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin).count()
+    assert(n == 5)
+    assert(spark.sql("SELECT ts_us FROM events LIMIT 1").count() == 1)
+  }
+
+  test("query() dispatches registry entries and rejects unknown names") {
+    assert(Graft.query(spark, dir, "q02_agg_pricing").count() == 6)
+    val e = intercept[IllegalArgumentException](Graft.query(spark, dir, "nope"))
+    assert(e.getMessage.contains("unknown query"))
+  }
+
+  test("copy() end-to-end through the facade") {
+    val base = Paths.get("target/fixtures", "facade-" + System.nanoTime()).toAbsolutePath
+    val src = base.resolve("src")
+    Files.createDirectories(src)
+    Files.write(src.resolve("x.txt"), "facade".getBytes)
+    val cfg = Graft.parseArgs(Seq(src.toString, base.resolve("out").toString)).toOption.get
+    val stats = Graft.copy(spark, cfg)
+    assert(stats.copied == 1)
+    assert(Files.readAllBytes(base.resolve("out/x.txt")).sameElements("facade".getBytes))
+  }
+}
