@@ -542,5 +542,40 @@ object Relational {
              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
              |ORDER BY rf, ls""".stripMargin),
     ),
+
+    // ----- array/higher-order functions over the embedding column -----
+    Q(
+      "t44_array_funcs",
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .filter(col("vec_id") < 50)
+          .select(
+            col("vec_id"),
+            size(col("embedding")).cast("long").as("dim"),
+            round(expr("aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"), 4).as("vsum"),
+            round(expr("aggregate(slice(embedding, 1, 8), CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"), 4).as("head_sum"),
+            expr("CAST(aggregate(embedding, 0, (a, x) -> a + IF(x > 0, 1, 0)) AS BIGINT)").as("n_pos"))
+          .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+             |  CAST(len(embedding) AS BIGINT) AS dim,
+             |  ROUND(list_sum(CAST(embedding AS DOUBLE[])), 4) AS vsum,
+             |  ROUND(list_sum(CAST(embedding[1:8] AS DOUBLE[])), 4) AS head_sum,
+             |  CAST(list_sum(list_transform(embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)) AS BIGINT) AS n_pos
+             |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin),
+    ),
+
+    // ----- ordered string aggregation -----
+    Q(
+      "t45_string_agg",
+      (s, d) =>
+        Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(expr("array_join(array_sort(collect_list(n_name)), ',')").as("nations"))
+          .orderBy("r_name"),
+      Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin),
+    ),
   )
 }
