@@ -374,6 +374,45 @@ class CopyLayerSpec extends SparkTestBase {
     assert(mbps > 1, f"throughput $mbps%.1f MiB/s unreasonably low")
   }
 
+  test("sameFile truth table: {missing, same, mtime≠, len≠} × {skipts}") {
+    import java.nio.file.attribute.FileTime
+    val base = tmpDir("truth")
+    val mt = 1600000000000L
+    def mkFile(rel: String, n: Int, mtime: Long): java.nio.file.Path = {
+      val p = base.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, Array.fill[Byte](n)(7))
+      Files.setLastModifiedTime(p, FileTime.fromMillis(mtime))
+      p
+    }
+    val src = mkFile("src/f", 100, mt)
+    val fs = new org.apache.hadoop.fs.Path(src.toString).getFileSystem(graft.core.Fs.conf())
+    def taskFor(p: java.nio.file.Path): CopyTask = {
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(p.toString))
+      CopyTask(graft.enumerate.Enumerate.toMeta(st), "f")
+    }
+    def same(dstDir: String, skipTs: Boolean): Boolean = {
+      val cfg = CopyConfig(update = true, skipTs = skipTs, skipCrc = true)
+      Executor.sameAtCopyTime(
+        fs, new org.apache.hadoop.fs.Path(src.toString),
+        fs, new org.apache.hadoop.fs.Path(base.resolve(dstDir).resolve("f").toString),
+        taskFor(src), cfg)
+    }
+    // missing dst -> never same
+    assert(!same("missing", skipTs = false))
+    // identical mtime+len -> same
+    mkFile("same/f", 100, mt)
+    assert(same("same", skipTs = false))
+    // mtime differs -> not same unless skipTs (len equal)
+    mkFile("ts/f", 100, mt + 5000)
+    assert(!same("ts", skipTs = false))
+    assert(same("ts", skipTs = true)) // TS check disabled, length equal
+    // length differs -> never same regardless of skipTs
+    mkFile("len/f", 99, mt)
+    assert(!same("len", skipTs = false))
+    assert(!same("len", skipTs = true))
+  }
+
   test("batched status hydrates requested paths only") {
     import spark.implicits._
     val src = mkTree(tmpDir("src"))
