@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the similarity/dedup hot loops, each a
+  * thin codegen'd call into a [[SimKit]] static kernel (the proven
+  * [[SortedIntersectCount]] pattern). Replacing the interpreted
+  * higher-order-function formulations with these closed the bulk of the
+  * round-1 bench gap (t31 79 s / t32 40 s at sf0.1 were ~all lambda
+  * interpretation overhead).
+  */
+private[graft] trait SimKitCall { self: Expression =>
+  /** Fully-qualified static call target in generated Java. */
+  protected final val kit = "graft.functions.SimKit"
+
+  protected def requireType(
+      e: Expression,
+      ok: DataType => Boolean,
+      what: String): TypeCheckResult =
+    if (ok(e.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"expects $what, got ${e.dataType.simpleString}")
+
+  protected final def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  protected final def isFloatArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  protected final def isVecArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+}
+
+/** Distinct sorted char-3-gram shingle hashes of a (lowercased) string. */
+case class CharShingleHashes(child: Expression)
+    extends UnaryExpression with SimKitCall {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    requireType(child, _ == StringType, "string")
+  override def nullSafeEval(s: Any): Any =
+    SimKit.charShingles(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kit.charShingles($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** md5-head hash of every `\S+` token of a (lowercased) string. */
+case class TokenHashes(child: Expression)
+    extends UnaryExpression with SimKitCall {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    requireType(child, _ == StringType, "string")
+  override def nullSafeEval(s: Any): Any =
+    SimKit.tokenHashes(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kit.tokenHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** K=32 minhash signature over a shingle-hash array. */
+case class MinHashSig(child: Expression)
+    extends UnaryExpression with SimKitCall {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    requireType(child, isLongArray, "array<bigint>")
+  override def nullSafeEval(a: Any): Any =
+    SimKit.minhashSig(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kit.minhashSig($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 32-bit majority-vote simhash over a token-hash array. */
+case class SimHash32(child: Expression)
+    extends UnaryExpression with SimKitCall {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    requireType(child, isLongArray, "array<bigint>")
+  override def nullSafeEval(a: Any): Any =
+    SimKit.simhash32(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kit.simhash32($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Cosine similarity of two equal-element-type vector arrays, in double. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with SimKitCall {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVecArray(left.dataType) && left.dataType == right.dataType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expects two array<float> or two array<double> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  private def fn: String = left.dataType match {
+    case ArrayType(FloatType, _) => "cosineF"
+    case _ => "cosineD"
+  }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (fn == "cosineF") SimKit.cosineF(x, y) else SimKit.cosineD(x, y)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$kit.$fn($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** SRP LSH bucket (low `nBits` bits) of a float-array embedding. */
+case class SrpBucket(child: Expression, nBits: Int)
+    extends UnaryExpression with SimKitCall {
+  require(nBits >= 1 && nBits <= SimKit.SrpBits, s"nBits must be in [1, ${SimKit.SrpBits}]")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    requireType(child, isFloatArray, "array<float>")
+  override def nullSafeEval(a: Any): Any =
+    SimKit.srpBucket(a.asInstanceOf[ArrayData], nBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kit.srpBucket($c, $nBits)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,213 @@
+package graft.functions
+
+import java.security.MessageDigest
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static per-row kernels behind the similarity expressions (SimExprs.scala).
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`/`zip_with`) run
+  * their lambdas on the INTERPRETED expression path — round-1 profiling put
+  * t31/t32 at 12-27× the oracle purely on that overhead. These kernels are
+  * plain static JVM methods invoked from generated code, so the whole
+  * pipeline stays inside whole-stage codegen and the per-row cost is one
+  * JIT-compiled tight loop.
+  *
+  * Numeric contract (graft determinism rules): every accumulation is a
+  * SEQUENTIAL double/long fold in ascending element order, bit-identical to
+  * both the previous higher-order-function formulation and the DuckDB
+  * oracle's `list_sum(list_transform(...))`.
+  */
+object SimKit {
+
+  private val ws: Pattern = Pattern.compile("\\S+")
+
+  private val md5tl: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** First 4 md5 bytes of `s`'s UTF-8 encoding as an unsigned 32-bit value —
+    * exactly `CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)`. */
+  private def md5Head(bytes: Array[Byte]): Long = {
+    val d = md5tl.get()
+    d.reset()
+    val h = d.digest(bytes)
+    ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+  }
+
+  /** Distinct sorted char-3-gram shingle hashes of an (already lowercased)
+    * string: one hash per code-point position i ∈ [0, max(cpLen-2, 1)), each
+    * `md5Head(substring(s, i, 3)) % 2147483647` — the same value set as the
+    * r1 HOF formulation `transform(sequence(1, greatest(len-2, 1)), i ->
+    * conv(substring(md5(substring(t, i, 3)), 1, 8), 16, 10) % 2147483647)`
+    * followed by array_distinct + array_sort. Code-point stepping matches
+    * Spark/DuckDB `substring` semantics on non-BMP text.
+    */
+  def charShingles(text: UTF8String): ArrayData = {
+    val s = text.toString
+    // code-point start offsets (in chars) — ASCII fast path is just i
+    val n = s.length
+    val starts = new Array[Int](n + 1)
+    var cp = 0
+    var ci = 0
+    while (ci < n) {
+      starts(cp) = ci
+      ci += Character.charCount(s.codePointAt(ci))
+      cp += 1
+    }
+    starts(cp) = n
+    val cpLen = cp
+    val count = math.max(cpLen - 2, 1)
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      val from = starts(i)
+      val to = starts(math.min(i + 3, cpLen))
+      out(i) = md5Head(s.substring(from, to).getBytes("UTF-8")) % 2147483647L
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // dedupe in place over the sorted array
+    var w = 0
+    var r = 0
+    while (r < count) {
+      if (w == 0 || out(w - 1) != out(r)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  /** md5Head of every `\S+` token of an (already lowercased) string, in
+    * match order — the r1 `transform(regexp_extract_all(t, '\S+', 0), tok ->
+    * conv(substring(md5(tok), 1, 8), 16, 10))`. */
+  def tokenHashes(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val m = ws.matcher(s)
+    val buf = new java.util.ArrayList[Long]()
+    while (m.find()) buf.add(md5Head(s.substring(m.start(), m.end()).getBytes("UTF-8")))
+    val out = new Array[Long](buf.size())
+    var i = 0
+    while (i < out.length) { out(i) = buf.get(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash permutation constants: a_k = ((2k+1)·1103515245) mod p,
+    * b_k = 12345k+7, p = 2^31-1 (SURVEY §2 minhash spec; mirrored verbatim
+    * in the t31 oracle SQL). */
+  final val MinHashK = 32
+  final val P31 = 2147483647L
+  private val mhA: Array[Long] =
+    Array.tabulate(MinHashK)(k => ((2L * k + 1L) * 1103515245L) % P31)
+  private val mhB: Array[Long] =
+    Array.tabulate(MinHashK)(k => 12345L * k + 7L)
+
+  /** K=32 minhash signature over a shingle-hash array: for each k,
+    * min over h of (a_k·h + b_k) mod p. All intermediates < 2^62. */
+  def minhashSig(shingles: ArrayData): ArrayData = {
+    val n = shingles.numElements()
+    val mins = new Array[Long](MinHashK)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = shingles.getLong(i)
+      var k = 0
+      while (k < MinHashK) {
+        val v = (mhA(k) * h + mhB(k)) % P31
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 32-bit majority-vote simhash over token hashes: bit j set iff
+    * Σ_tokens (bit j of hash ? +1 : -1) > 0 — the r1 aggregate-fold
+    * formulation and the oracle's per-bit SUM/CASE, exactly. */
+  def simhash32(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < 32) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sh = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) > 0) sh |= 1L << j
+      j += 1
+    }
+    sh
+  }
+
+  /** Cosine similarity of two float arrays in double: three sequential folds
+    * (dot over min length, each norm over its own full length) then
+    * dot / (√na·√nb) — element order and operation sequence identical to the
+    * r1 zip_with/aggregate version and DuckDB's list_sum folds. */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val an = a.numElements()
+    val bn = b.numElements()
+    val dn = math.min(an, bn)
+    var dot = 0.0
+    var i = 0
+    while (i < dn) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < an) { val x = a.getFloat(i).toDouble; na += x * x; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < bn) { val x = b.getFloat(i).toDouble; nb += x * x; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Same kernel for double arrays. */
+  def cosineD(a: ArrayData, b: ArrayData): Double = {
+    val an = a.numElements()
+    val bn = b.numElements()
+    val dn = math.min(an, bn)
+    var dot = 0.0
+    var i = 0
+    while (i < dn) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < an) { val x = a.getDouble(i); na += x * x; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < bn) { val x = b.getDouble(i); nb += x * x; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Deterministic ±1 sign-random-projection planes (16 × 64), by the fixed
+    * LCG-style formula embedded as a literal in the oracle SQL — bucket
+    * assignment is bit-identical across engines. */
+  final val SrpBits = 16
+  final val SrpDims = 64
+  val srpPlanes: Array[Array[Double]] =
+    Array.tabulate(SrpBits, SrpDims) { (j, i) =>
+      if ((((j * 2654435761L + i * 40503L + 12345L) % 97L) % 2L) == 0L) 1.0 else -1.0
+    }
+
+  /** SRP bucket of a float-array embedding: bit j of the result is set iff
+    * the sequential dot product with plane j is ≥ 0. `nBits` ≤ 16. */
+  def srpBucket(emb: ArrayData, nBits: Int): Long = {
+    val n = math.min(emb.numElements(), SrpDims)
+    var bucket = 0L
+    var j = 0
+    while (j < nBits) {
+      val plane = srpPlanes(j)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += emb.getFloat(i).toDouble * plane(i); i += 1 }
+      if (acc >= 0) bucket |= 1L << j
+      j += 1
+    }
+    bucket
+  }
+}

@@ -24,8 +24,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType == ArrayType(LongType, containsNull = false)) ||
-      Seq(left, right).forall(_.dataType.isInstanceOf[ArrayType])
+    // element type must be LongType — nullSafeEval/codegen read via getLong,
+    // so accepting other array types would yield garbage, not an error.
+    // containsNull is tolerated only because inputs are array_distinct/
+    // array_sort products that never carry null elements.
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"expects two array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
@@ -72,4 +78,19 @@ object ArrayFns {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       SortedIntersectCount(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Column wrappers for the [[SimKit]]-backed similarity expressions. */
+  def charShingleHashes(text: Column): Column =
+    GraftColumnBridge.column(CharShingleHashes(GraftColumnBridge.expression(text)))
+  def tokenHashes(text: Column): Column =
+    GraftColumnBridge.column(TokenHashes(GraftColumnBridge.expression(text)))
+  def minhashSig(shingles: Column): Column =
+    GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(shingles)))
+  def simhash32(hashes: Column): Column =
+    GraftColumnBridge.column(SimHash32(GraftColumnBridge.expression(hashes)))
+  def cosineSim(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      CosineSim(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def srpBucket(emb: Column, nBits: Int): Column =
+    GraftColumnBridge.column(SrpBucket(GraftColumnBridge.expression(emb), nBits))
 }

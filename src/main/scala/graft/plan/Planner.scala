@@ -148,7 +148,16 @@ object Planner {
   /** Delete-sync (DistCpUtils.java:136-223): destination paths absent from
     * the source manifest, with ancestor suppression — a left-anti join plus a
     * parent-membership anti-join (the delete set is closed under descendants,
-    * so suppressing direct children of deleted dirs is sufficient). */
+    * so suppressing direct children of deleted dirs is sufficient).
+    *
+    * The keep-set is the PATH CLOSURE of the manifest (every relDst plus all
+    * its ancestor prefixes), not the raw relDst column: selection modes that
+    * emit file-only manifests (-regexPath, -f with file URIs) would otherwise
+    * leave the parent directories of just-copied files in the doomed set, and
+    * the recursive delete pass would destroy them — and their contents — on
+    * the next sync run. Closure explosion is bounded by path depth and stays
+    * metadata-scale.
+    */
   def deleteTargets(
       spark: SparkSession,
       tasks: Dataset[CopyTask],
@@ -162,7 +171,14 @@ object Planner {
       val dst = Enumerate.listTree(spark, dstRoot)
         .flatMap(m => PathUtils.makeRelative(dstRoot, m.path).filter(_ != "."))
         .toDF("relDst")
-      val doomed = dst.join(tasks.select(col("relDst")), Seq("relDst"), "left_anti")
+      val keep = tasks
+        .flatMap { t =>
+          val segs = t.relDst.split('/')
+          (1 to segs.length).map(i => segs.take(i).mkString("/"))
+        }
+        .distinct()
+        .toDF("relDst")
+      val doomed = dst.join(keep, Seq("relDst"), "left_anti")
       val withParent = doomed.withColumn(
         "parent",
         when(col("relDst").contains("/"), regexp_replace(col("relDst"), "/[^/]*$", ""))

@@ -103,6 +103,33 @@ class CopyLayerSpec extends SparkTestBase {
     assert(treeListing(src) == treeListing(dst))
   }
 
+  test("repeated regexPath+update+delete sync keeps copied files (ancestor closure)") {
+    // -regexPath emits a file-only manifest; delete-sync must not doom the
+    // parent dirs of the selected leaves (recursive delete would take the
+    // copied files with them on the second run)
+    val src = mkTree(tmpDir("src"))
+    val dst = tmpDir("dst").resolve("out")
+    def sync(): Executor.CopyStats = {
+      val cfg = Args.parse(Seq(
+        "-update", "-delete", "-skipcrccheck",
+        "-regexPath", src.toString, "logs-2024-.*/part-.*\\.txt",
+        dst.toString)).toOption.get
+      val plan = Planner.plan(spark, cfg)
+      Executor.execute(spark, plan, cfg)
+    }
+    sync()
+    val after1 = treeListing(dst)
+    assert(after1.filter(_._2 >= 0).keySet ==
+      Set("logs-2024-01/part-000.txt", "logs-2024-02/part-001.txt"))
+    sync() // second run: nothing to copy, and nothing may be deleted
+    assert(treeListing(dst) == after1)
+    // a genuinely stale dest entry still gets deleted
+    Files.write(dst.resolve("stale.txt"), "x".getBytes(StandardCharsets.UTF_8))
+    sync()
+    assert(!Files.exists(dst.resolve("stale.txt")))
+    assert(treeListing(dst) == after1)
+  }
+
   test("duplicate destinations raise the -2 analog") {
     val base = tmpDir("dup")
     val s1 = base.resolve("s1"); val s2 = base.resolve("s2")
