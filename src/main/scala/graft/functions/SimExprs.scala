@@ -71,6 +71,21 @@ case class TokenHashes(child: Expression)
     copy(child = newChild)
 }
 
+/** 64-bit md5-head hash of every `\S+` token of a (lowercased) string. */
+case class TokenHashes64(child: Expression)
+    extends UnaryExpression with SimKitCall {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    requireType(child, _ == StringType, "string")
+  override def nullSafeEval(s: Any): Any =
+    SimKit.tokenHashes64(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kit.tokenHashes64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** K=32 minhash signature over a shingle-hash array. */
 case class MinHashSig(child: Expression)
     extends UnaryExpression with SimKitCall {
@@ -97,6 +112,21 @@ case class SimHash32(child: Expression)
     SimKit.simhash32(a.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"$kit.simhash32($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit majority-vote simhash over a token-hash array. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with SimKitCall {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    requireType(child, isLongArray, "array<bigint>")
+  override def nullSafeEval(a: Any): Any =
+    SimKit.simhash64(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kit.simhash64($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -92,6 +92,32 @@ object SimKit {
     new GenericArrayData(out)
   }
 
+  /** First 8 md5 bytes as a big-endian 64-bit value (the signed Long carries
+    * the same bit pattern the oracle reads as
+    * `CAST('0x' || substring(md5(s), 1, 16) AS UBIGINT)`). */
+  private def md5Head64(bytes: Array[Byte]): Long = {
+    val d = md5tl.get()
+    d.reset()
+    val h = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** 64-bit md5Head of every `\S+` token, in match order — the wide-hash twin
+    * of [[tokenHashes]] feeding the 64-bit simhash. */
+  def tokenHashes64(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val m = ws.matcher(s)
+    val buf = new java.util.ArrayList[Long]()
+    while (m.find()) buf.add(md5Head64(s.substring(m.start(), m.end()).getBytes("UTF-8")))
+    val out = new Array[Long](buf.size())
+    var i = 0
+    while (i < out.length) { out(i) = buf.get(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** MinHash permutation constants: a_k = ((2k+1)·1103515245) mod p,
     * b_k = 12345k+7, p = 2^31-1 (SURVEY §2 minhash spec; mirrored verbatim
     * in the t31 oracle SQL). */
@@ -141,6 +167,34 @@ object SimKit {
     var sh = 0L
     var j = 0
     while (j < 32) {
+      if (counts(j) > 0) sh |= 1L << j
+      j += 1
+    }
+    sh
+  }
+
+  /** 64-bit majority-vote simhash over 64-bit token hashes — same fold as
+    * [[simhash32]] over the full hash width. Wider fingerprints keep the
+    * pigeonhole band key domain corpus-scaled (7 bands of 8–10 bits = 256–1024
+    * values/band vs the 32-bit version's 16–32): band-bucket occupancy is
+    * corpus/2^bandBits, so the in-bucket pair join stays near-linear far
+    * longer (Manku et al., WWW'07 §3). */
+  def simhash64(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sh = 0L
+    var j = 0
+    while (j < 64) {
       if (counts(j) > 0) sh |= 1L << j
       j += 1
     }

@@ -379,14 +379,40 @@ object Relational {
     Q(
       "q20_binpack",
       (s, d) => {
+        // Global cumulative sum WITHOUT a single-partition window (the r1/r2
+        // formulation used Window.orderBy with no partitionBy — every row
+        // through one task). Two-pass range-partitioned prefix sum, the same
+        // scheme as graft.plan.Planner.assignBucketsScalable:
+        //   1. range-partition by the traversal key, sort within partitions;
+        //   2. one pass for per-partition totals → driver folds #partitions
+        //      longs into start offsets (trivially small), broadcasts them;
+        //   3. each partition derives exact global cumsums locally.
+        // Weights are exact integer cents, so the distributed sum is
+        // bit-identical to the oracle's sequential window.
+        import s.implicits._
         val li = Tables.lineitem(s, d)
-          .select(cents(col("l_extendedprice")).as("c"), col("l_orderkey"), col("l_linenumber"))
-        val cumW = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val total = li.agg(sum(col("c")).as("total"))
-        li.withColumn("cum", sum(col("c")).over(cumW))
-          .crossJoin(broadcast(total))
-          .withColumn("bucket", expr("CAST(greatest(cum - 1, 0) div (total div 32 + 1) AS BIGINT)"))
+          .select(
+            cents(col("l_extendedprice")).as("c"),
+            col("l_orderkey").cast("long").as("k1"),
+            col("l_linenumber").cast("long").as("k2"))
+          .as[(Long, Long, Long)]
+        val parts = s.sparkContext.defaultParallelism
+        val ranged = li.repartitionByRange(parts, col("k1"), col("k2"))
+          .sortWithinPartitions("k1", "k2")
+          .localCheckpoint()
+        val partTotals = ranged
+          .mapPartitions(it => Iterator.single(it.foldLeft(0L)(_ + _._1)))
+          .collect()
+        val offsets = partTotals.scanLeft(0L)(_ + _)
+        val target = offsets.last / 32 + 1
+        val bOff = s.sparkContext.broadcast(offsets)
+        ranged
+          .mapPartitions { it =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            var cum = bOff.value(pid)
+            it.map { case (c, _, _) => cum += c; (math.max(cum - 1, 0L) / target, c) }
+          }
+          .toDF("bucket", "c")
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("n_rows"), money(sum(col("c"))).as("bucket_weight"))
           .orderBy("bucket")
@@ -488,16 +514,87 @@ object Relational {
     // ----- exact percentiles (linear interpolation in both engines) -----
     Q(
       "t41_percentiles",
-      (s, d) =>
-        Tables.lineitem(s, d)
-          .groupBy(col("l_returnflag"))
-          .agg(
-            count(lit(1)).as("cnt"),
-            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-            round(min(col("l_extendedprice")), 4).as("lo"),
-            round(max(col("l_extendedprice")), 4).as("hi"))
-          .orderBy("l_returnflag"),
+      (s, d) => {
+        // Exact quantiles WITHOUT buffering every value per group: Spark's
+        // `percentile` is an ObjectHashAggregate holding a per-group value
+        // buffer (wrong at 100 TB, and 59× the oracle at sf0.1). Instead, a
+        // sort-based two-pass ordered selection over the q20 prefix-sum
+        // machinery:
+        //   1. range-partition by (group, value), sort within partitions —
+        //      a distributed sort, never one task per group;
+        //   2. per-(partition, group) counts → driver folds them into global
+        //      rank offsets and per-group totals (O(parts × groups) longs —
+        //      group cardinality must be driver-small, which a percentile
+        //      REPORT implies anyway: one output row per group);
+        //   3. one more pass emits only the rows whose global in-group rank
+        //      is a needed order statistic (⌊p⌋/⌈p⌉ per quantile, 0, n-1).
+        // Interpolation is v_lo·(⌈p⌉−p) + v_hi·(p−⌊p⌋) — bit-identical to
+        // both DuckDB quantile_cont and Spark percentile (verified on the
+        // test data).
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+          .as[(String, Double)]
+        val parts = s.sparkContext.defaultParallelism
+        val ranged = li.repartitionByRange(parts, col("g"), col("v"))
+          .sortWithinPartitions("g", "v")
+          .localCheckpoint()
+        val partCounts: Array[Array[(String, Long)]] = ranged
+          .mapPartitions { it =>
+            val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+            it.foreach { case (g, _) => m.update(g, m.getOrElse(g, 0L) + 1L) }
+            Iterator.single(m.toArray)
+          }
+          .collect()
+        val totals = scala.collection.mutable.Map.empty[String, Long]
+        val offsets: Array[Map[String, Long]] = partCounts.map { pc =>
+          val off = pc.map { case (g, _) => g -> totals.getOrElse(g, 0L) }.toMap
+          pc.foreach { case (g, c) => totals.update(g, totals.getOrElse(g, 0L) + c) }
+          off
+        }
+        val quantiles = Seq(0.5, 0.9)
+        val needed: Map[String, Set[Long]] = totals.iterator.map { case (g, n) =>
+          val qRanks = quantiles.flatMap { q =>
+            val pos = q * (n - 1)
+            Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+          }
+          g -> (qRanks ++ Seq(0L, n - 1)).toSet
+        }.toMap
+        val bOff = s.sparkContext.broadcast(offsets)
+        val bNeed = s.sparkContext.broadcast(needed)
+        val picked: Map[String, Map[Long, Double]] = ranged
+          .mapPartitions { it =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val rk = scala.collection.mutable.Map.empty[String, Long] ++ bOff.value(pid)
+            val need = bNeed.value
+            it.flatMap { case (g, v) =>
+              val r = rk(g)
+              rk.update(g, r + 1L)
+              if (need(g).contains(r)) Iterator.single((g, r, v)) else Iterator.empty
+            }
+          }
+          .collect()
+          .groupBy(_._1)
+          .map { case (g, arr) => g -> arr.map(t => t._2 -> t._3).toMap }
+        def interp(g: String, q: Double): Double = {
+          val n = totals(g)
+          val pos = q * (n - 1)
+          val lo = math.floor(pos).toLong
+          val hi = math.ceil(pos).toLong
+          if (lo == hi) picked(g)(lo)
+          else picked(g)(lo) * (hi - pos) + picked(g)(hi) * (pos - lo)
+        }
+        val rows = totals.keys.toSeq.sorted.map { g =>
+          (g, totals(g), interp(g, 0.5), interp(g, 0.9), picked(g)(0L), picked(g)(totals(g) - 1))
+        }
+        s.createDataset(rows)
+          .toDF("l_returnflag", "cnt", "p50r", "p90r", "lor", "hir")
+          .select(
+            col("l_returnflag"), col("cnt"),
+            round(col("p50r"), 4).as("p50"), round(col("p90r"), 4).as("p90"),
+            round(col("lor"), 4).as("lo"), round(col("hir"), 4).as("hi"))
+          .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag, COUNT(*) AS cnt,
              |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
              |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
