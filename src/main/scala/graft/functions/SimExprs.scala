@@ -56,21 +56,6 @@ case class CharShingleHashes(child: Expression)
     copy(child = newChild)
 }
 
-/** md5-head hash of every `\S+` token of a (lowercased) string. */
-case class TokenHashes(child: Expression)
-    extends UnaryExpression with SimKitCall {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullIntolerant: Boolean = true
-  override def checkInputDataTypes(): TypeCheckResult =
-    requireType(child, _ == StringType, "string")
-  override def nullSafeEval(s: Any): Any =
-    SimKit.tokenHashes(s.asInstanceOf[UTF8String])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"$kit.tokenHashes($c)")
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
 /** 64-bit md5-head hash of every `\S+` token of a (lowercased) string. */
 case class TokenHashes64(child: Expression)
     extends UnaryExpression with SimKitCall {
@@ -97,21 +82,6 @@ case class MinHashSig(child: Expression)
     SimKit.minhashSig(a.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"$kit.minhashSig($c)")
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** 32-bit majority-vote simhash over a token-hash array. */
-case class SimHash32(child: Expression)
-    extends UnaryExpression with SimKitCall {
-  override def dataType: DataType = LongType
-  override def nullIntolerant: Boolean = true
-  override def checkInputDataTypes(): TypeCheckResult =
-    requireType(child, isLongArray, "array<bigint>")
-  override def nullSafeEval(a: Any): Any =
-    SimKit.simhash32(a.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"$kit.simhash32($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -78,20 +78,6 @@ object SimKit {
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
 
-  /** md5Head of every `\S+` token of an (already lowercased) string, in
-    * match order — the r1 `transform(regexp_extract_all(t, '\S+', 0), tok ->
-    * conv(substring(md5(tok), 1, 8), 16, 10))`. */
-  def tokenHashes(text: UTF8String): ArrayData = {
-    val s = text.toString
-    val m = ws.matcher(s)
-    val buf = new java.util.ArrayList[Long]()
-    while (m.find()) buf.add(md5Head(s.substring(m.start(), m.end()).getBytes("UTF-8")))
-    val out = new Array[Long](buf.size())
-    var i = 0
-    while (i < out.length) { out(i) = buf.get(i); i += 1 }
-    new GenericArrayData(out)
-  }
-
   /** First 8 md5 bytes as a big-endian 64-bit value (the signed Long carries
     * the same bit pattern the oracle reads as
     * `CAST('0x' || substring(md5(s), 1, 16) AS UBIGINT)`). */
@@ -105,8 +91,9 @@ object SimKit {
     v
   }
 
-  /** 64-bit md5Head of every `\S+` token, in match order — the wide-hash twin
-    * of [[tokenHashes]] feeding the 64-bit simhash. */
+  /** 64-bit md5Head of every `\S+` token, in match order, feeding the 64-bit
+    * simhash — the oracle's `CAST('0x' || substring(md5(tok), 1, 16) AS
+    * UBIGINT)` bit pattern carried in a signed Long. */
   def tokenHashes64(text: UTF8String): ArrayData = {
     val s = text.toString
     val m = ws.matcher(s)
@@ -148,37 +135,13 @@ object SimKit {
     new GenericArrayData(mins)
   }
 
-  /** 32-bit majority-vote simhash over token hashes: bit j set iff
-    * Σ_tokens (bit j of hash ? +1 : -1) > 0 — the r1 aggregate-fold
-    * formulation and the oracle's per-bit SUM/CASE, exactly. */
-  def simhash32(hashes: ArrayData): Long = {
-    val n = hashes.numElements()
-    val counts = new Array[Int](32)
-    var i = 0
-    while (i < n) {
-      val h = hashes.getLong(i)
-      var j = 0
-      while (j < 32) {
-        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-        j += 1
-      }
-      i += 1
-    }
-    var sh = 0L
-    var j = 0
-    while (j < 32) {
-      if (counts(j) > 0) sh |= 1L << j
-      j += 1
-    }
-    sh
-  }
-
-  /** 64-bit majority-vote simhash over 64-bit token hashes — same fold as
-    * [[simhash32]] over the full hash width. Wider fingerprints keep the
-    * pigeonhole band key domain corpus-scaled (7 bands of 8–10 bits = 256–1024
-    * values/band vs the 32-bit version's 16–32): band-bucket occupancy is
-    * corpus/2^bandBits, so the in-bucket pair join stays near-linear far
-    * longer (Manku et al., WWW'07 §3). */
+  /** 64-bit majority-vote simhash over 64-bit token hashes: bit j set iff
+    * Σ_tokens (bit j of hash ? +1 : -1) > 0 — the oracle's per-bit SUM/CASE,
+    * exactly. Wide fingerprints keep the pigeonhole band key domain
+    * corpus-scaled (7 bands of 9–10 bits = 512–1024 values/band vs a 32-bit
+    * version's 16–32): band-bucket occupancy is corpus/2^bandBits, so the
+    * in-bucket pair join stays near-linear far longer (Manku et al.,
+    * WWW'07 §3). */
   def simhash64(hashes: ArrayData): Long = {
     val n = hashes.numElements()
     val counts = new Array[Int](64)
@@ -238,10 +201,14 @@ object SimKit {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Deterministic ±1 sign-random-projection planes (16 × 64), by the fixed
+  /** Deterministic ±1 sign-random-projection planes (32 × 64), by the fixed
     * LCG-style formula embedded as a literal in the oracle SQL — bucket
-    * assignment is bit-identical across engines. */
-  final val SrpBits = 16
+    * assignment is bit-identical across engines. 32 planes give headroom to
+    * scale `nBits` with corpus size (nBits ≈ log2(corpus / targetOccupancy),
+    * so ~2^32·8 vectors before the plane pool itself needs to grow); each
+    * query requests only the low `nBits` planes, so widening the pool never
+    * changes existing bucket assignments. */
+  final val SrpBits = 32
   final val SrpDims = 64
   val srpPlanes: Array[Array[Double]] =
     Array.tabulate(SrpBits, SrpDims) { (j, i) =>

@@ -82,14 +82,10 @@ object ArrayFns {
   /** Column wrappers for the [[SimKit]]-backed similarity expressions. */
   def charShingleHashes(text: Column): Column =
     GraftColumnBridge.column(CharShingleHashes(GraftColumnBridge.expression(text)))
-  def tokenHashes(text: Column): Column =
-    GraftColumnBridge.column(TokenHashes(GraftColumnBridge.expression(text)))
   def tokenHashes64(text: Column): Column =
     GraftColumnBridge.column(TokenHashes64(GraftColumnBridge.expression(text)))
   def minhashSig(shingles: Column): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(shingles)))
-  def simhash32(hashes: Column): Column =
-    GraftColumnBridge.column(SimHash32(GraftColumnBridge.expression(hashes)))
   def simhash64(hashes: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(hashes)))
   def cosineSim(a: Column, b: Column): Column =
