@@ -165,16 +165,28 @@ object SimKit {
   }
 
   /** Cosine similarity of two float arrays in double: three sequential folds
-    * (dot over min length, each norm over its own full length) then
-    * dot / (√na·√nb) — element order and operation sequence identical to the
-    * r1 zip_with/aggregate version and DuckDB's list_sum folds. */
+    * (dot, then each norm) then dot / (√na·√nb) — element order and operation
+    * sequence identical to the r1 zip_with/aggregate version and DuckDB's
+    * list_sum folds.
+    *
+    * Edge contract: RAGGED inputs (length mismatch) and NULL elements RAISE
+    * rather than degrade — the earlier min-length/null-as-0.0 behavior
+    * silently masked malformed embeddings with a plausible-looking score,
+    * and the oracle formulation diverges on such rows anyway. A zero-norm
+    * vector yields NaN (0/0), matching both engines' arithmetic. */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
     val an = a.numElements()
     val bn = b.numElements()
-    val dn = math.min(an, bn)
+    if (an != bn)
+      throw new IllegalArgumentException(s"cosine: ragged vectors ($an vs $bn elements)")
     var dot = 0.0
     var i = 0
-    while (i < dn) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    while (i < an) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(s"cosine: null element at index $i")
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
     var na = 0.0
     i = 0
     while (i < an) { val x = a.getFloat(i).toDouble; na += x * x; i += 1 }
@@ -184,14 +196,20 @@ object SimKit {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Same kernel for double arrays. */
+  /** Same kernel (and same edge contract) for double arrays. */
   def cosineD(a: ArrayData, b: ArrayData): Double = {
     val an = a.numElements()
     val bn = b.numElements()
-    val dn = math.min(an, bn)
+    if (an != bn)
+      throw new IllegalArgumentException(s"cosine: ragged vectors ($an vs $bn elements)")
     var dot = 0.0
     var i = 0
-    while (i < dn) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < an) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(s"cosine: null element at index $i")
+      dot += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     var na = 0.0
     i = 0
     while (i < an) { val x = a.getDouble(i); na += x * x; i += 1 }
@@ -216,7 +234,7 @@ object SimKit {
     }
 
   /** SRP bucket of a float-array embedding: bit j of the result is set iff
-    * the sequential dot product with plane j is ≥ 0. `nBits` ≤ 16. */
+    * the sequential dot product with plane j is ≥ 0. `nBits` ≤ [[SrpBits]]. */
   def srpBucket(emb: ArrayData, nBits: Int): Long = {
     val n = math.min(emb.numElements(), SrpDims)
     var bucket = 0L

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ArrayFns
+
+/** Pins the CosineSim edge contract (VERDICT r3 item 8): well-formed vectors
+  * score normally, NULL arrays yield NULL (nullIntolerant), but RAGGED inputs
+  * and NULL elements RAISE — the earlier min-length/null-as-0.0 behavior
+  * silently produced a plausible score for malformed embeddings where the
+  * oracle formulation would diverge.
+  */
+class SimKitSpec extends SparkTestBase {
+
+  private def cosF(a: Seq[Option[Float]], b: Seq[Option[Float]]): Double = {
+    import spark.implicits._
+    Seq((a, b)).toDF("a", "b")
+      .select(ArrayFns.cosineSim(col("a"), col("b")).as("c"))
+      .head().getDouble(0)
+  }
+
+  private def rootMessage(t: Throwable): String = {
+    var cur = t
+    while (cur.getCause != null) cur = cur.getCause
+    Option(cur.getMessage).getOrElse("")
+  }
+
+  test("cosine of well-formed float vectors (codegen path)") {
+    val v = cosF(Seq(Some(1f), Some(2f), Some(3f)), Seq(Some(1f), Some(2f), Some(3f)))
+    assert(math.abs(v - 1.0) < 1e-12)
+    val o = cosF(Seq(Some(1f), Some(0f)), Seq(Some(0f), Some(1f)))
+    assert(o == 0.0)
+  }
+
+  test("cosine of double vectors matches the sequential-fold formulation") {
+    import spark.implicits._
+    val a = Seq(0.5, -1.25, 2.0)
+    val b = Seq(1.5, 0.25, -0.75)
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(ArrayFns.cosineSim(col("a"), col("b")).as("c"))
+      .head().getDouble(0)
+    val dot = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    val na = a.foldLeft(0.0)((s, x) => s + x * x)
+    val nb = b.foldLeft(0.0)((s, x) => s + x * x)
+    assert(got == dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  test("zero-norm vector yields NaN (0/0), matching both engines") {
+    assert(cosF(Seq(Some(0f), Some(0f)), Seq(Some(1f), Some(2f))).isNaN)
+  }
+
+  test("NULL array input yields NULL (nullIntolerant)") {
+    import spark.implicits._
+    val df = Seq((Some(Seq(1.0f, 2.0f)), Option.empty[Seq[Float]])).toDF("a", "b")
+    val r = df.select(ArrayFns.cosineSim(col("a"), col("b")).as("c")).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("ragged vectors raise instead of scoring over min length") {
+    val e = intercept[Throwable] {
+      cosF(Seq(Some(1f), Some(2f), Some(3f)), Seq(Some(1f), Some(2f)))
+    }
+    assert(rootMessage(e).contains("ragged"))
+  }
+
+  test("null element raises instead of reading 0.0") {
+    val e = intercept[Throwable] {
+      cosF(Seq(Some(1f), None, Some(3f)), Seq(Some(1f), Some(2f), Some(3f)))
+    }
+    assert(rootMessage(e).contains("null element"))
+  }
+}
