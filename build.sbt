@@ -32,5 +32,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dsun.jnu.encoding=UTF-8",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 45 queries × several whole-stage-codegen units × repeated bench runs
+  // overflow the JDK-default 240 MB code cache; once it fills, the JIT
+  // compiler shuts off and every later query runs interpreted (~4× slower —
+  // this was the silent tail-of-bench slowdown, e.g. q04's 25-row broadcast
+  // join at 1.6 s).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -1,15 +1,85 @@
 package graft
 
+import java.lang.management.ManagementFactory
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. Queries execute fully (noop sink) so sorts/limits are
   * not optimized away the way a bare `.count()` would allow.
+  *
+  * The artifact is self-defending (round-3 verdict item 1 — the r3 headline
+  * number was pure machine contamination and unfalsifiable from the JSON):
+  *  - each query is timed over n ≥ 3 runs (SPARK_GRAFT_BENCH_RUNS, default 3)
+  *    and `queries` records the MIN — the best run is the least-contaminated
+  *    estimate of the code's cost, and repeat runs also absorb one-time
+  *    codegen-compile constants that are session, not query, cost;
+  *  - every run of every query is kept in `spark_runs` so contamination is
+  *    visible as min/median spread instead of silently inflating the total;
+  *  - the DuckDB oracle is re-timed on the same machine/tables/thread budget
+  *    (tools/oraclebench.py, min of the same n) and recorded per query as
+  *    `duckdb` plus `ratio` = spark/duckdb, so the artifact carries its own
+  *    denominator instead of relying on a BASELINE measured under unknown
+  *    load;
+  *  - 1-minute system load is sampled before and after (`load_before`/
+  *    `load_after`): either value ≫ cpus means an contended, untrustworthy
+  *    run.
   */
 object Bench {
+
+  private def loadAvg: Double =
+    ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def jnum(d: Double): String =
+    if (d.isNaN || d.isInfinite) "null" else f"$d%.6f"
+
+  /** Best-effort DuckDB oracle timing on the same tables; empty on any
+    * failure (missing python/duckdb) — the Spark numbers must not die with
+    * the denominator. */
+  private def oracleTimes(sfDir: String, runs: Int, threads: String): Map[String, Double] = {
+    val script = new java.io.File("tools/oraclebench.py")
+    if (!script.isFile) return Map.empty
+    try {
+      val tmp = Files.createTempFile("graft_oracle_sql", ".json")
+      val json = SparkEntry.oracleSql
+        .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ",", "}")
+      Files.writeString(tmp, json)
+      import scala.sys.process._
+      val out = Seq("python3", script.getPath, sfDir, tmp.toString, runs.toString, threads).!!
+      Files.deleteIfExists(tmp)
+      out.linesIterator.flatMap { line =>
+        line.split('\t') match {
+          case Array(n, s) => Some(n -> s.toDouble)
+          case _ => None
+        }
+      }.toMap
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] oracle timing unavailable: ${e.getMessage}")
+        Map.empty
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt, 1)
+    val loadBefore = loadAvg
+    // oracle timing runs FIRST, on an otherwise-idle machine: timing it after
+    // the Spark loop measured DuckDB on thermally-throttled cores next to a
+    // hot 16 GB JVM and inflated t31 4× (23.4 s vs 6.1 s standalone)
+    val duck = oracleTimes(sfDir, runs, cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,19 +87,58 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // default 100 evicts across a 45-query suite (~4 codegen units each),
+      // forcing janino recompiles of identical source on every repeat run
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the per-query unpersist sweep below emits one intended WARN per
+    // checkpointed RDD ("lineage truncated, cannot be recomputed") — silence
+    // that logger so the artifact line isn't buried in noise
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
     // untimed warmup: JVM/codegen/parquet-footer costs land here, not on q01
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val results = SparkEntry.registry.map { q =>
-      val t0 = System.nanoTime()
-      try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}") }
-      q.name -> (System.nanoTime() - t0) / 1e9
+    // optional comma-separated name filter for single-query iteration
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val selected = SparkEntry.registry.filter(q => only.forall(_.contains(q.name)))
+    val results: Seq[(String, Seq[Double])] = selected.map { q =>
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}") }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop blocks the query materialized (localCheckpoint): repeated runs
+        // of 45 queries must not accumulate executor storage memory
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        dt
+      }
+      q.name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val loadAfter = loadAvg
+    val mins = results.map { case (n, ts) => n -> ts.min }
+    val total = mins.map(_._2).sum
+    val duckTotal = duck.values.sum
+    val qs = mins.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
+    val runsJson = results
+      .map { case (k, ts) => jstr(k) + ":" + ts.map(jnum).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val duckJson = mins
+      .map { case (k, _) => jstr(k) + ":" + duck.get(k).map(jnum).getOrElse("null") }
+      .mkString("{", ",", "}")
+    val ratioJson = mins
+      .map { case (k, v) =>
+        jstr(k) + ":" + duck.get(k).filter(_ > 0).map(d => jnum(v / d)).getOrElse("null")
+      }
+      .mkString("{", ",", "}")
+    val totalRatio =
+      if (duck.nonEmpty && duckTotal > 0) jnum(total / duckTotal) else "null"
+    println(
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},""" +
+      s""""runs":$runs,"cpus":$cpus,"spark_runs":$runsJson,"duckdb":$duckJson,"ratio":$ratioJson,""" +
+      s""""duckdb_total":${jnum(duckTotal)},"total_ratio":$totalRatio,""" +
+      s""""load_before":${jnum(loadBefore)},"load_after":${jnum(loadAfter)}}""")
     spark.stop()
   }
 }

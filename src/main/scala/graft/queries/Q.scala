@@ -6,6 +6,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * semantics are SQL-expressible) an equivalent DuckDB oracle query over the
   * same parquet tables. Column names/types and total ordering must match
   * between the two — the driver hash-compares canonicalized output.
+  *
+  * NOTE: `build` is not guaranteed to be lazy plan construction. Queries
+  * built on the two-pass prefix-sum machinery (q20, t41) run eager Spark
+  * jobs (repartition sampling, localCheckpoint materialization, collect of
+  * per-partition offsets) inside `build` — timers must wrap the whole call
+  * (Bench does), and explain-style tooling should expect jobs to fire.
   */
 final case class Q(
     name: String,

@@ -397,6 +397,11 @@ object Relational {
             col("l_linenumber").cast("long").as("k2"))
           .as[(Long, Long, Long)]
         val parts = s.sparkContext.defaultParallelism
+        // The checkpointed blocks must survive into the RETURNED plan (the
+        // second mapPartitions pass reads them), so this build can't
+        // unpersist them itself; Bench/Verify sweep getPersistentRDDs after
+        // each query's action. localCheckpoint also trades lineage for
+        // speed: block loss fails the query instead of recomputing.
         val ranged = li.repartitionByRange(parts, col("k1"), col("k2"))
           .sortWithinPartitions("k1", "k2")
           .localCheckpoint()
@@ -528,9 +533,10 @@ object Relational {
         //      REPORT implies anyway: one output row per group);
         //   3. one more pass emits only the rows whose global in-group rank
         //      is a needed order statistic (⌊p⌋/⌈p⌉ per quantile, 0, n-1).
-        // Interpolation is v_lo·(⌈p⌉−p) + v_hi·(p−⌊p⌋) — bit-identical to
-        // both DuckDB quantile_cont and Spark percentile (verified on the
-        // test data).
+        // Interpolation is v_lo·(⌈p⌉−p) + v_hi·(p−⌊p⌋) — DuckDB
+        // quantile_cont's own form; Spark's percentile uses lo+(hi−lo)·frac,
+        // which can differ in the last ulp, so agreement with it holds only
+        // after the ROUND(…,4) canonicalization (verified on the test data).
         import s.implicits._
         val li = Tables.lineitem(s, d)
           .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
@@ -576,6 +582,9 @@ object Relational {
           .collect()
           .groupBy(_._1)
           .map { case (g, arr) => g -> arr.map(t => t._2 -> t._3).toMap }
+        // that collect was the checkpoint's last use — the returned frame is
+        // built from driver-side rows, so release the cached blocks now
+        ranged.unpersist(blocking = false)
         def interp(g: String, q: Double): Double = {
           val n = totals(g)
           val pos = q * (n - 1)
