@@ -71,16 +71,48 @@ object Enumerate {
   def fileList(spark: SparkSession, uri: String): Dataset[String] =
     spark.read.textFile(uri).filter(_.trim.nonEmpty)
 
-  /** `-rg` flat regex source (Arguments.java:184-201,306-346): list `dir`,
-    * keep children whose NAME matches the anchored pattern. */
-  def flatRegex(spark: SparkSession, dirAndPattern: String): Dataset[FileMeta] = {
+  /** `-rg` flat source selection — all three reference branches
+    * (Arguments.java:184-201 parse; 306-346 getFilePaths). The combined path
+    * `dir/pattern` is resolved in order:
+    *   1. it IS a directory → its immediate FILES only (subdirectories are
+    *      skipped), names filtered by `startsWith(prefix)` (`-rg` passes "");
+    *   2. it IS a file → that file alone;
+    *   3. otherwise, if the parent exists → the parent's children — files
+    *      AND directories, the reference's regex branch has no isDir skip —
+    *      whose NAME fully matches the trailing segment as a regex;
+    *   4. a missing parent yields the empty set (reference returns an empty
+    *      collection rather than failing).
+    */
+  def flatRegex(
+      spark: SparkSession,
+      dirAndPattern: String,
+      prefix: String = "",
+  ): Dataset[FileMeta] = {
     import spark.implicits._
-    val idx = dirAndPattern.lastIndexOf('/')
-    val (dir, pattern) = (dirAndPattern.take(idx), dirAndPattern.drop(idx + 1))
-    val level = listLevel(spark, spark.createDataset(Seq(dir)))
-    level.filter { m =>
-      val name = m.path.substring(m.path.lastIndexOf('/') + 1)
-      Pattern.matches(pattern, name)
+    val conf = Fs.conf()
+    val full = new Path(dirAndPattern)
+    val f = full.getFileSystem(conf)
+    val st =
+      try Some(f.getFileStatus(full))
+      catch { case _: java.io.FileNotFoundException => None }
+    st match {
+      case Some(s) if s.isDirectory =>
+        listLevel(spark, spark.createDataset(Seq(s.getPath.toUri.getPath)))
+          .filter { m =>
+            val name = m.path.substring(m.path.lastIndexOf('/') + 1)
+            !m.isDir && name.startsWith(prefix)
+          }
+      case Some(s) =>
+        spark.createDataset(Seq(toMeta(s)))
+      case None =>
+        val idx = dirAndPattern.lastIndexOf('/')
+        val (dir, pattern) = (dirAndPattern.take(idx), dirAndPattern.drop(idx + 1))
+        if (!f.exists(new Path(dir))) spark.emptyDataset[FileMeta]
+        else
+          listLevel(spark, spark.createDataset(Seq(dir))).filter { m =>
+            val name = m.path.substring(m.path.lastIndexOf('/') + 1)
+            Pattern.matches(pattern, name)
+          }
     }
   }
 

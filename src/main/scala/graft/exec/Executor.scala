@@ -28,7 +28,21 @@ object Executor {
 
   val BufferSize = 128 * 1024 // copy.buf.size, DefaultCopyFilesMapper.java:33
 
-  final case class CopyStats(copied: Long, skipped: Long, failed: Long, dirs: Long, bytesCopied: Long)
+  /** Job counters plus per-phase wall-clock — the reference records
+    * SETUP/RUN/CLEANUP durations into the job conf (DistCPPlus.java:128-131,
+    * 203-229); here they ride on the stats object. setup = dest mkdirs +
+    * bucket planning; run = the distributed copy + failure policy; cleanup =
+    * delete-sync + dir-attribute finalize. */
+  final case class CopyStats(
+      copied: Long,
+      skipped: Long,
+      failed: Long,
+      dirs: Long,
+      bytesCopied: Long,
+      setupMs: Long = 0L,
+      runMs: Long = 0L,
+      cleanupMs: Long = 0L,
+  )
 
   /** The user-extension point (ref op 13, `-mapper <class>`,
     * DistCPPlus.java:467-480 — "used for filtering purpose"): a replaceable
@@ -158,6 +172,7 @@ object Executor {
     * finalize (DistCPPlus.java:264-297). */
   def execute(spark: SparkSession, planned: CopyPlan, cfg: CopyConfig): CopyStats = {
     import spark.implicits._
+    val tSetup0 = System.nanoTime()
     val dstRoot = cfg.dst
     val conf = Fs.conf()
     val dfs = new Path(dstRoot).getFileSystem(conf)
@@ -173,6 +188,7 @@ object Executor {
 
     val copyFn = resolveCopyFunction(cfg)
     val bucketed = graft.plan.Planner.assignBuckets(planned.tasks, numBuckets)
+    val tRun0 = System.nanoTime()
     val results: Dataset[CopyResult] = bucketed
       .repartition(numBuckets, org.apache.spark.sql.functions.col("_2"))
       .mapPartitions { iter =>
@@ -190,19 +206,30 @@ object Executor {
         throw new IOException(s"$nFailed copy failures (use -i to ignore)")
     }
 
-    // delete-sync: depth-first (children before parents is unnecessary with
-    // recursive delete + ancestor suppression, mirroring FsShell -rmr)
-    planned.deletes.collect().foreach { rel =>
-      dfs.delete(new Path(dstRoot, rel), true)
+    val tCleanup0 = System.nanoTime()
+    // delete-sync, executor-side: one recursive delete RPC per doomed path
+    // inside foreachPartition (children before parents is unnecessary with
+    // recursive delete + ancestor suppression, mirroring FsShell -rmr). The
+    // previous collect().foreach serialized a potentially 10^8-path delete
+    // set through the driver.
+    planned.deletes.foreachPartition { (it: Iterator[String]) =>
+      val c = Fs.conf()
+      val pfs = new Path(dstRoot).getFileSystem(c)
+      it.foreach(rel => pfs.delete(new Path(dstRoot, rel), true))
     }
 
     // dir-attribute finalize pass (DistCPPlus.java:264-297)
     if (cfg.preserve.nonEmpty) {
-      planned.dirs.collect().foreach { t =>
-        val p = if (t.relDst == ".") new Path(dstRoot) else new Path(dstRoot, t.relDst)
-        if (dfs.exists(p)) preserveAttrs(dfs, p, t.src, cfg.preserve)
+      planned.dirs.foreachPartition { (it: Iterator[CopyTask]) =>
+        val c = Fs.conf()
+        val pfs = new Path(dstRoot).getFileSystem(c)
+        it.foreach { t =>
+          val p = if (t.relDst == ".") new Path(dstRoot) else new Path(dstRoot, t.relDst)
+          if (pfs.exists(p)) preserveAttrs(pfs, p, t.src, cfg.preserve)
+        }
       }
     }
+    val tEnd = System.nanoTime()
 
     CopyStats(
       copied = results.filter(_.status == "COPY").count(),
@@ -211,6 +238,9 @@ object Executor {
       dirs = results.filter(_.status == "DIR").count(),
       bytesCopied = results.filter(_.status == "COPY").agg(org.apache.spark.sql.functions.sum("bytes"))
         .head().let(r => if (r.isNullAt(0)) 0L else r.getLong(0)),
+      setupMs = (tRun0 - tSetup0) / 1000000L,
+      runMs = (tCleanup0 - tRun0) / 1000000L,
+      cleanupMs = (tEnd - tCleanup0) / 1000000L,
     )
   }
 

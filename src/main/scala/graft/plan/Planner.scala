@@ -3,7 +3,6 @@ package graft.plan
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core._
@@ -14,7 +13,7 @@ import graft.enumerate.Enumerate
   * What the reference does with hand-rolled external sorts and merge loops
   * (DistCpUtils.java:84-223) becomes groupBy/anti-join/window plans that
   * Catalyst executes distributed:
-  *   - limits        → ordered window cumulative sum + filter  (op 5)
+  *   - limits        → chained per-partition skip-and-continue  (op 5)
   *   - update diff   → left join src⟕dst on relDst + predicate (op 6)
   *   - dup check     → groupBy(relDst).count > 1               (op 8)
   *   - delete sync   → dst left-anti src + ancestor suppression (op 9)
@@ -64,22 +63,71 @@ object Planner {
     }
   }
 
-  /** File/size limits in traversal (path) order via window cumulative sums
-    * (DistCPPlus.java:677-678). */
+  /** File/size limits with the reference's skip-and-continue admission
+    * (DistCPPlus.java:675-705): walking files in traversal (relDst) order, a
+    * file is SKIPPED when the admitted-file count has reached `-filelimit` OR
+    * admitted bytes + its length would exceed `-sizelimit`; otherwise it is
+    * admitted and the counters advance. Unlike a cumulative prefix cutoff, a
+    * later smaller file is still admitted after a big one was skipped for
+    * size. Directories always pass (the reference pushes them on the stack
+    * unconditionally).
+    *
+    * Scale shape: the admission state (fileCount, byteCount) is sequential,
+    * but only ACROSS partition boundaries — so the manifest is
+    * range-partitioned by relDst, each partition's exit state is derived
+    * from its entry state with one single-partition job (#parts tiny jobs
+    * chained on the driver, which holds #parts pairs of longs), and one
+    * final distributed pass replays the admission decisions locally. No
+    * driver-side data loop and no single-partition window (the previous
+    * `Window.orderBy` formulation funneled the whole manifest through one
+    * task).
+    */
   def applyLimits(tasks: Dataset[CopyTask], fileLimit: Long, sizeLimit: Long): Dataset[CopyTask] = {
     if (fileLimit == Long.MaxValue && sizeLimit == Long.MaxValue) tasks
     else {
-      import tasks.sparkSession.implicits._
-      val w = Window.orderBy(col("relDst")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val spark = tasks.sparkSession
+      import spark.implicits._
       val files = tasks.filter(!_.src.isDir)
       val dirs = tasks.filter(_.src.isDir)
-      val kept = files
-        .withColumn("cumFiles", count(lit(1)).over(w))
-        .withColumn("cumBytes", sum(col("src.length")).over(w))
-        .filter(col("cumFiles") <= fileLimit && col("cumBytes") <= sizeLimit)
-        .drop("cumFiles", "cumBytes")
-        .as[CopyTask]
-      dirs.union(kept)
+      val parts = math.max(files.rdd.getNumPartitions, 1)
+      val ranged = files.repartitionByRange(parts, col("relDst"))
+        .sortWithinPartitions(col("relDst")).as[CopyTask]
+        .localCheckpoint()
+      val rdd = ranged.rdd
+      val nParts = rdd.getNumPartitions
+      val entry = new Array[(Long, Long)](nParts + 1)
+      entry(0) = (0L, 0L)
+      for (p <- 0 until nParts) {
+        val (fc0, bc0) = entry(p)
+        val out = spark.sparkContext.runJob(
+          rdd,
+          (it: Iterator[CopyTask]) => {
+            var fc = fc0
+            var bc = bc0
+            it.foreach { t =>
+              val len = math.max(t.src.length, 0L)
+              if (!(fc == fileLimit || bc + len > sizeLimit)) { fc += 1; bc += len }
+            }
+            (fc, bc)
+          },
+          Seq(p))
+        entry(p + 1) = out.head
+      }
+      val bEntry = spark.sparkContext.broadcast(entry)
+      // mapPartitionsWithIndex on the RDD, NOT Dataset.mapPartitions +
+      // TaskContext.getPartitionId: the union below merges this into a wider
+      // stage whose task partition ids are OFFSET by the other side's
+      // partitions, while the RDD index stays the checkpointed partition's.
+      val keptRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var (fc, bc) = bEntry.value(pid)
+        it.filter { t =>
+          val len = math.max(t.src.length, 0L)
+          val skip = fc == fileLimit || bc + len > sizeLimit
+          if (!skip) { fc += 1; bc += len }
+          !skip
+        }
+      }
+      dirs.union(spark.createDataset(keptRdd))
     }
   }
 
@@ -277,7 +325,12 @@ object Planner {
     val effCfg = cfg.copy(srcs = roots)
     val all = roots.map(tasksForRoot(spark, _, effCfg)).reduceOption(_ union _)
       .getOrElse(spark.emptyDataset[CopyTask])
-    val limited = applyLimits(all, cfg.fileLimit, cfg.sizeLimit)
+    // Under -update the reference OVERWRITES the limit-skip decision with the
+    // same-file check (DistCPPlus.java:681-700: `skipfile = isSame`), so
+    // -filelimit/-sizelimit are effectively ignored — reproduced here by
+    // bypassing applyLimits when updating.
+    val limited =
+      if (cfg.update) all else applyLimits(all, cfg.fileLimit, cfg.sizeLimit)
     val diffed =
       if (cfg.update) updateDiff(limited, cfg.dst, cfg.skipTs, cfg.skipCrc) else limited
     checkDuplication(diffed)

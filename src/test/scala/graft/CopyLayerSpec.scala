@@ -164,6 +164,94 @@ class CopyLayerSpec extends SparkTestBase {
     assert(treeListing(dst2).keySet == Set("f01", "f02"))
   }
 
+  test("sizelimit skip-and-continue admits later smaller files") {
+    // Reference DistCPPlus.java:677-678: a file is skipped when admitted
+    // bytes + its length would exceed the limit, and the walk CONTINUES —
+    // so after the 10000-byte file is skipped, the later 3000-byte file
+    // still fits (5000+3000 <= 8000). A cumulative prefix cutoff would stop
+    // at f01. This test encodes the reference's file set.
+    val base = tmpDir("skipcont")
+    val src = base.resolve("src")
+    Files.createDirectories(src)
+    Files.write(src.resolve("f01"), Array.fill[Byte](5000)(1))
+    Files.write(src.resolve("f02"), Array.fill[Byte](10000)(2))
+    Files.write(src.resolve("f03"), Array.fill[Byte](3000)(3))
+    val dst = base.resolve("out")
+    runCopy(Seq("-sizelimit", "8000"), src, dst)
+    assert(treeListing(dst).keySet == Set("f01", "f03"))
+  }
+
+  test("-update overrides limits (same-file check overwrites the limit skip)") {
+    // Reference DistCPPlus.java:681-700: under -update, `skipfile = isSame`
+    // OVERWRITES the limit decision, so -filelimit/-sizelimit are no-ops.
+    val base = tmpDir("updlim")
+    val src = base.resolve("src")
+    Files.createDirectories(src)
+    for (i <- 1 to 3) Files.write(src.resolve(s"f0$i"), Array.fill[Byte](1000)(i.toByte))
+    val dst = base.resolve("out")
+    val stats = runCopy(Seq("-update", "-skipcrccheck", "-filelimit", "1"), src, dst)
+    assert(stats.copied == 3)
+    assert(treeListing(dst).keySet == Set("f01", "f02", "f03"))
+  }
+
+  test("applyLimits matches the reference's sequential skip-and-continue walk") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    for (round <- 1 to 4) {
+      val lens = Vector.fill(200)(rnd.nextInt(1000).toLong)
+      val tasks = lens.zipWithIndex.map { case (len, i) =>
+        CopyTask(FileMeta(f"/s/f$i%04d", len, isDir = false, 1, 0, 0, 0, "", "", ""), f"f$i%04d")
+      }
+      val fileLimit = if (round % 2 == 0) 50L + rnd.nextInt(100) else Long.MaxValue
+      val sizeLimit = if (round >= 2) 20000L + rnd.nextInt(40000) else Long.MaxValue
+      // driver-side reference walk (DistCPPlus.java:675-705)
+      var fc = 0L; var bc = 0L
+      val expect = tasks.filter { t =>
+        val skip = fc == fileLimit || bc + t.src.length > sizeLimit
+        if (!skip) { fc += 1; bc += t.src.length }
+        !skip
+      }.map(_.relDst).toSet
+      val ds = spark.createDataset(tasks).repartition(7) // scramble partitioning
+      val got = Planner.applyLimits(ds, fileLimit, sizeLimit).collect().map(_.relDst).toSet
+      assert(got == expect, s"round=$round fileLimit=$fileLimit sizeLimit=$sizeLimit")
+    }
+  }
+
+  test("-rg at a concrete directory selects immediate files only") {
+    // Reference Arguments.java:312-326 dir branch: listStatus of the dir,
+    // subdirectories skipped — sub1/deep/c.dat must NOT be selected.
+    val src = mkTree(tmpDir("src"))
+    val dst = tmpDir("dst").resolve("out")
+    val cfg = Args.parse(Seq("-rg", s"$src/sub1", dst.toString)).toOption.get
+    val plan = Planner.plan(spark, cfg)
+    Executor.execute(spark, plan, cfg)
+    assert(treeListing(dst).keySet == Set("b.log"))
+  }
+
+  test("-rg at a concrete file selects it directly") {
+    val src = mkTree(tmpDir("src"))
+    val dst = tmpDir("dst").resolve("out")
+    val cfg = Args.parse(Seq("-rg", s"$src/a.txt", dst.toString)).toOption.get
+    val plan = Planner.plan(spark, cfg)
+    Executor.execute(spark, plan, cfg)
+    assert(treeListing(dst) == Map("a.txt" -> 1024L))
+  }
+
+  test("-rg with a missing parent yields an empty plan") {
+    val src = mkTree(tmpDir("src"))
+    val dst = tmpDir("dst").resolve("out")
+    val cfg = Args.parse(Seq("-rg", s"$src/nosuchdir/part-.*", dst.toString)).toOption.get
+    val plan = Planner.plan(spark, cfg)
+    assert(plan.sourceFilesForTransfer.isEmpty && !plan.hasFileCopied)
+  }
+
+  test("per-phase wall-clock lands in CopyStats") {
+    val src = mkTree(tmpDir("src"))
+    val dst = tmpDir("dst").resolve("out")
+    val stats = runCopy(Nil, src, dst)
+    assert(stats.setupMs >= 0 && stats.runMs > 0 && stats.cleanupMs >= 0)
+  }
+
   test("flat regex source selects by name") {
     val src = mkTree(tmpDir("src"))
     val dst = tmpDir("dst").resolve("out")
