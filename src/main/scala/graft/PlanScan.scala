@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit diagnostic: builds every registered query and tallies physical
+  * operators from the executed plan, flagging scale anti-patterns
+  * (CartesianProduct, single-partition Window.orderBy shows up as a Window
+  * whose required distribution is all-tuples — approximated here by an
+  * `Exchange SinglePartition` feeding a Window). Source of the operator
+  * counts quoted in SCALE.md.
+  *
+  * Usage: runMain graft.PlanScan [sfDir]  (default sf0.001 — q20/t41 run
+  * eager jobs at build time, so small data keeps the scan fast)
+  */
+object PlanScan {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val keys = Seq(
+      "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct",
+      "HashAggregate", "ObjectHashAggregate", "SortAggregate",
+      "Window", "Exchange SinglePartition")
+    val totals = scala.collection.mutable.LinkedHashMap(keys.map(_ -> 0): _*)
+    SparkEntry.registry.foreach { q =>
+      try {
+        val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
+        val hits = keys.map(k => k -> plan.sliding(k.length).count(_ == k))
+        hits.foreach { case (k, n) => totals(k) += n }
+        val bad = hits.filter { case (k, n) =>
+          n > 0 && (k == "CartesianProduct" || k == "Exchange SinglePartition")
+        }
+        if (bad.nonEmpty)
+          println(s"WARN ${q.name}: ${bad.map { case (k, n) => s"$k x$n" }.mkString(", ")}")
+      } catch {
+        case e: Throwable => println(s"FAIL ${q.name}: ${e.getMessage}")
+      }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    println(totals.map { case (k, n) => s"$k=$n" }.mkString("TOTALS ", " ", ""))
+    spark.stop()
+  }
+}
