@@ -39,4 +39,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // this was the silent tail-of-bench slowdown, e.g. q04's 25-row broadcast
   // join at 1.6 s).
   "-XX:ReservedCodeCacheSize=1g",
-)
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(' ').filter(_.nonEmpty))
