@@ -71,6 +71,23 @@ case class TokenHashes64(child: Expression)
     copy(child = newChild)
 }
 
+/** Distinct sorted 64-bit hashes of every word `n`-gram of a (lowercased)
+  * string — contamination-check join keys (t48). */
+case class WordNgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with SimKitCall {
+  require(n >= 1, "n-gram size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    requireType(child, _ == StringType, "string")
+  override def nullSafeEval(s: Any): Any =
+    SimKit.wordNgramHashes64(s.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kit.wordNgramHashes64($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** K=32 minhash signature over a shingle-hash array. */
 case class MinHashSig(child: Expression)
     extends UnaryExpression with SimKitCall {

@@ -105,6 +105,37 @@ object SimKit {
     new GenericArrayData(out)
   }
 
+  /** Distinct sorted 64-bit md5Head hashes of every word n-gram (`\S+`
+    * tokens joined by single spaces) — the oracle's
+    * `CAST('0x' || substring(md5(t[i] || ' ' || …), 1, 16) AS UBIGINT)` bit
+    * pattern carried in a signed Long. Used as contamination-check join keys
+    * (t48) where only equality matters, so the sign never surfaces. */
+  def wordNgramHashes64(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val m = ws.matcher(s)
+    val toks = new java.util.ArrayList[String]()
+    while (m.find()) toks.add(s.substring(m.start(), m.end()))
+    val count = toks.size() - n + 1
+    if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      val sb = new java.lang.StringBuilder(toks.get(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(toks.get(i + k)); k += 1 }
+      out(i) = md5Head64(sb.toString.getBytes("UTF-8"))
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 0
+    while (r < count) {
+      if (w == 0 || out(w - 1) != out(r)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
   /** MinHash permutation constants: a_k = ((2k+1)·1103515245) mod p,
     * b_k = 12345k+7, p = 2^31-1 (SURVEY §2 minhash spec; mirrored verbatim
     * in the t31 oracle SQL). */

@@ -84,6 +84,8 @@ object ArrayFns {
     GraftColumnBridge.column(CharShingleHashes(GraftColumnBridge.expression(text)))
   def tokenHashes64(text: Column): Column =
     GraftColumnBridge.column(TokenHashes64(GraftColumnBridge.expression(text)))
+  def wordNgramHashes(text: Column, n: Int): Column =
+    GraftColumnBridge.column(WordNgramHashes(GraftColumnBridge.expression(text), n))
   def minhashSig(shingles: Column): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(shingles)))
   def simhash64(hashes: Column): Column =

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.ArrayFns
 
 /** Text-analysis operators over the `documents` table (SURVEY.md §2.3 Q23–Q24
   * plus the LLM-pipeline text ops: language-ID, quality scoring, token
@@ -146,6 +147,97 @@ object Text {
              |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
              |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
              |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ----- corpus-wide n-gram statistics: top-50 word bigrams -----
+    // One construction pass per row (explode → hash-agg with map-side
+    // combine, shuffle keyed on bigram) — the canonical distributed
+    // wordcount shape, scales linearly with corpus tokens. The (cnt DESC,
+    // bigram) order is total, so the LIMIT cut is deterministic.
+    Q(
+      "t46_bigram_topk",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))")).as("bigram"))
+          .groupBy(col("bigram"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("bigram"))
+          .limit(50),
+      Some("""WITH toks AS (
+             |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+             |bg AS (
+             |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+             |                i -> t[i] || ' ' || t[i+1])) AS bigram
+             |  FROM toks WHERE len(t) >= 2)
+             |SELECT bigram, COUNT(*) AS cnt
+             |FROM bg GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin),
+    ),
+
+    // ----- deterministic stratified sampling (training-data mixing) -----
+    // Hash-based admission: md5(doc_id) mod 100 under a per-language rate
+    // (downsample the dominant language, upsample the rare one) — the
+    // standard reproducible alternative to rand() sampling: membership is a
+    // pure function of the row key, so re-runs, retries, and the oracle all
+    // agree. Pure codegen'd built-ins, no shuffle before the output sort.
+    Q(
+      "t47_stratified_sample",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("bucket", expr(
+            "CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 100"))
+          .withColumn("rate",
+            when(col("lang") === "en", lit(20L))
+              .when(col("lang") === "zh", lit(80L))
+              .otherwise(lit(60L)))
+          .filter(col("bucket") < col("rate"))
+          .select(col("doc_id"), col("lang"), col("bucket"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang,
+             |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+             |FROM documents
+             |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+             |      < CASE lang WHEN 'en' THEN 20 WHEN 'zh' THEN 80 ELSE 60 END
+             |ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ----- benchmark-contamination check: shared word-3-grams vs a probe set -----
+    // Every 50th doc plays the held-out benchmark; a corpus doc is flagged
+    // when it shares >= 3 distinct word-3-grams with ANY probe doc. Grams are
+    // 64-bit hashes from one native-kernel call per row (WordNgramHashes —
+    // only equality is used, so the signed/unsigned difference vs the
+    // oracle's UBIGINT never surfaces); the probe side is tiny by nature
+    // (benchmarks are small), hence broadcast — corpus-side grams never
+    // shuffle at all.
+    Q(
+      "t48_contamination",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(ArrayFns.wordNgramHashes(lower(col("text")), 3)).as("g"))
+        val probe = grams.filter(col("doc_id") % 50 === 0).select("g").distinct()
+        grams.filter(col("doc_id") % 50 =!= 0)
+          .join(broadcast(probe), "g")
+          .groupBy(col("doc_id"))
+          .agg(count_distinct(col("g")).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+             |      i -> CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 16)) AS UBIGINT)))) AS g
+             |  FROM toks WHERE len(t) >= 3),
+             |probe AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0)
+             |SELECT c.doc_id, CAST(COUNT(DISTINCT c.g) AS BIGINT) AS n_shared
+             |FROM g c JOIN probe p ON c.g = p.g
+             |WHERE c.doc_id % 50 <> 0
+             |GROUP BY c.doc_id HAVING COUNT(DISTINCT c.g) >= 3
+             |ORDER BY doc_id""".stripMargin),
     ),
 
     // ----- document fingerprint over normalized content -----

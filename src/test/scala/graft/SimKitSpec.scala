@@ -69,4 +69,20 @@ class SimKitSpec extends SparkTestBase {
     }
     assert(rootMessage(e).contains("null element"))
   }
+
+  test("word n-gram hashes: distinct sorted, empty under n tokens") {
+    import spark.implicits._
+    def grams(s: String, n: Int): Seq[Long] =
+      Seq(s).toDF("t")
+        .select(ArrayFns.wordNgramHashes(col("t"), n).as("g"))
+        .head().getSeq[Long](0)
+    assert(grams("one two", 3).isEmpty)
+    assert(grams("", 3).isEmpty)
+    val g = grams("a b c d", 3) // "a b c", "b c d"
+    assert(g.length == 2 && g == g.sorted && g.distinct == g)
+    // repeated n-grams collapse
+    assert(grams("x y x y x y", 2).length == 2) // "x y" and "y x"
+    // whitespace runs and leading/trailing space don't change tokenization
+    assert(grams("  a   b  c ", 3) == grams("a b c", 3))
+  }
 }
