@@ -41,18 +41,24 @@ object Bench {
     case c => c.toString
   } + "\""
 
+  // Locale.ROOT: the f-interpolator uses the default locale, which renders
+  // comma decimals (invalid JSON) under e.g. de_DE
   private def jnum(d: Double): String =
-    if (d.isNaN || d.isInfinite) "null" else f"$d%.6f"
+    if (d.isNaN || d.isInfinite) "null"
+    else String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
 
-  /** Best-effort DuckDB oracle timing on the same tables; empty on any
-    * failure (missing python/duckdb) — the Spark numbers must not die with
-    * the denominator. */
-  private def oracleTimes(sfDir: String, runs: Int, threads: String): Map[String, Double] = {
+  /** Best-effort DuckDB oracle timing on the same tables (restricted to
+    * `names`, so a SPARK_GRAFT_BENCH_ONLY run times the same subset on both
+    * engines); empty on any failure (missing python/duckdb) — the Spark
+    * numbers must not die with the denominator. */
+  private def oracleTimes(
+      sfDir: String, runs: Int, threads: String, names: Set[String]): Map[String, Double] = {
     val script = new java.io.File("tools/oraclebench.py")
     if (!script.isFile) return Map.empty
     try {
       val tmp = Files.createTempFile("graft_oracle_sql", ".json")
       val json = SparkEntry.oracleSql
+        .filter { case (k, _) => names.contains(k) }
         .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ",", "}")
       Files.writeString(tmp, json)
       import scala.sys.process._
@@ -75,11 +81,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt, 1)
+    // optional comma-separated name filter for single-query iteration —
+    // applied to BOTH engines so ratios always compare the same subset
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val selected = SparkEntry.registry.filter(q => only.forall(_.contains(q.name)))
     val loadBefore = loadAvg
     // oracle timing runs FIRST, on an otherwise-idle machine: timing it after
     // the Spark loop measured DuckDB on thermally-throttled cores next to a
     // hot 16 GB JVM and inflated t31 4× (23.4 s vs 6.1 s standalone)
-    val duck = oracleTimes(sfDir, runs, cpus)
+    val duck = oracleTimes(sfDir, runs, cpus, selected.map(_.name).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -99,10 +110,6 @@ object Bench {
       "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
     // untimed warmup: JVM/codegen/parquet-footer costs land here, not on q01
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    // optional comma-separated name filter for single-query iteration
-    val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
-    val selected = SparkEntry.registry.filter(q => only.forall(_.contains(q.name)))
     val results: Seq[(String, Seq[Double])] = selected.map { q =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

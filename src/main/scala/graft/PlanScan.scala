@@ -34,7 +34,11 @@ object PlanScan {
     SparkEntry.registry.foreach { q =>
       try {
         val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
-        val hits = keys.map(k => k -> plan.sliding(k.length).count(_ == k))
+        // word-boundary match so "HashAggregate" doesn't also count every
+        // ObjectHashAggregate, nor "Window" every WindowGroupLimit
+        val hits = keys.map(k =>
+          k -> ("\\b" + java.util.regex.Pattern.quote(k) + "\\b").r
+            .findAllMatchIn(plan).size)
         hits.foreach { case (k, n) => totals(k) += n }
         val bad = hits.filter { case (k, n) =>
           n > 0 && (k == "CartesianProduct" || k == "Exchange SinglePartition")

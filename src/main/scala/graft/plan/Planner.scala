@@ -127,7 +127,15 @@ object Planner {
           !skip
         }
       }
-      dirs.union(spark.createDataset(keptRdd))
+      // materialize the admitted manifest so the intermediate ranged blocks
+      // and the entry-state broadcast can be released NOW — a long-lived
+      // session issuing repeated limited copies must not accumulate a pinned
+      // full manifest per call (only Bench/Verify sweep persistent RDDs; the
+      // copy tool has no such harness)
+      val out = dirs.union(spark.createDataset(keptRdd)).localCheckpoint()
+      ranged.unpersist(blocking = false)
+      bEntry.destroy()
+      out
     }
   }
 

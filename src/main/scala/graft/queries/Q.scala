@@ -8,10 +8,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * between the two — the driver hash-compares canonicalized output.
   *
   * NOTE: `build` is not guaranteed to be lazy plan construction. Queries
-  * built on the two-pass prefix-sum machinery (q20, t41) run eager Spark
-  * jobs (repartition sampling, localCheckpoint materialization, collect of
-  * per-partition offsets) inside `build` — timers must wrap the whole call
-  * (Bench does), and explain-style tooling should expect jobs to fire.
+  * built on eager machinery — the two-pass prefix sums (q20, t41), the
+  * fixpoint label-propagation loop (t49), and anything calling
+  * localCheckpoint() (t30-t32, t37/t38) — run Spark jobs inside `build`:
+  * repartition sampling, checkpoint materialization, collects, per-round
+  * convergence counts. Timers must wrap the whole call (Bench does), and
+  * explain-style tooling should expect jobs to fire.
   */
 final case class Q(
     name: String,
