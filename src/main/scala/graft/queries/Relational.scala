@@ -476,6 +476,55 @@ object Relational {
              |GROUP BY 1 ORDER BY status""".stripMargin),
     ),
 
+    // ----- column profiling: row/distinct/null counts in ONE scan -----
+    // The data-quality / optimizer-stats primitive: all 11 aggregates
+    // compute in a single pass over lineitem (one HashAggregate, map-side
+    // partials), then stack() unpivots the row driver-side-free. The naive
+    // formulation — one agg per column unioned — would scan the table five
+    // times.
+    Q(
+      "t51_profile",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .agg(
+            count(lit(1)).as("nr"),
+            count_distinct(col("l_orderkey")).as("d1"),
+            sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("u1"),
+            count_distinct(col("l_partkey")).as("d2"),
+            sum(when(col("l_partkey").isNull, 1L).otherwise(0L)).as("u2"),
+            count_distinct(col("l_suppkey")).as("d3"),
+            sum(when(col("l_suppkey").isNull, 1L).otherwise(0L)).as("u3"),
+            count_distinct(col("l_returnflag")).as("d4"),
+            sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("u4"),
+            count_distinct(col("l_shipdate")).as("d5"),
+            sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("u5"))
+          .selectExpr(
+            """stack(5,
+              |  'l_orderkey',  nr, d1, u1,
+              |  'l_partkey',   nr, d2, u2,
+              |  'l_returnflag',nr, d4, u4,
+              |  'l_shipdate',  nr, d5, u5,
+              |  'l_suppkey',   nr, d3, u3
+              |) AS (col_name, n_rows, n_distinct, n_null)""".stripMargin)
+          .orderBy("col_name"),
+      Some("""SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
+             |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+             |  CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_null FROM lineitem
+             |UNION ALL
+             |SELECT 'l_partkey', COUNT(*), CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+             |  CAST(COUNT(*) - COUNT(l_partkey) AS BIGINT) FROM lineitem
+             |UNION ALL
+             |SELECT 'l_returnflag', COUNT(*), CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+             |  CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT) FROM lineitem
+             |UNION ALL
+             |SELECT 'l_shipdate', COUNT(*), CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+             |  CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT) FROM lineitem
+             |UNION ALL
+             |SELECT 'l_suppkey', COUNT(*), CAST(COUNT(DISTINCT l_suppkey) AS BIGINT),
+             |  CAST(COUNT(*) - COUNT(l_suppkey) AS BIGINT) FROM lineitem
+             |ORDER BY col_name""".stripMargin),
+    ),
+
     // ----- semi-structured JSON extraction from the events.props column -----
     Q(
       "t39_json_props",

@@ -240,6 +240,38 @@ object Text {
              |ORDER BY doc_id""".stripMargin),
     ),
 
+    // ----- repetition filter: type-token ratio (Gopher/C4-style quality rule) -----
+    // Low TTR = the doc repeats a small vocabulary (templates, keyword spam).
+    // One construction pass per row, pure built-ins, partial-agg-free —
+    // trivially 100-TB-parallel. The `repetitive` decision uses the
+    // UNROUNDED ratio on both engines so the flag can't flip at the 4dp
+    // boundary.
+    Q(
+      "t50_type_token_ratio",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
+          .withColumn("n_tokens", size(col("toks")).cast("long"))
+          .filter(col("n_tokens") >= 10)
+          .withColumn("n_types", size(array_distinct(col("toks"))).cast("long"))
+          .withColumn("ttr_raw", col("n_types") * 1.0 / col("n_tokens"))
+          .select(
+            col("doc_id"), col("n_tokens"), col("n_types"),
+            round(col("ttr_raw"), 4).as("ttr"),
+            (col("ttr_raw") < 0.3).as("repetitive"))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+             |x AS (
+             |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_types
+             |  FROM t WHERE len(toks) >= 10)
+             |SELECT doc_id, n_tokens, n_types,
+             |  ROUND(n_types*1.0/n_tokens, 4) AS ttr,
+             |  n_types*1.0/n_tokens < 0.3 AS repetitive
+             |FROM x ORDER BY doc_id""".stripMargin),
+    ),
+
     // ----- document fingerprint over normalized content -----
     Q(
       "t29_fingerprint",
