@@ -272,6 +272,88 @@ object Text {
              |FROM x ORDER BY doc_id""".stripMargin),
     ),
 
+    // ----- training-data mixture report: token share per (source, lang) -----
+    // The standard "data mixing" table a pretraining pipeline publishes:
+    // how many docs/tokens each source×language cell contributes and its
+    // share of the corpus. Token counts are integer sums (order-independent);
+    // the corpus total is one broadcast scalar joined to ~|sources|×|langs|
+    // aggregated cells, so nothing here grows with corpus rows at 100 TB —
+    // the only full-data pass is the partial-agg'd groupBy.
+    Q(
+      "t52_source_mix",
+      (s, d) => {
+        val cells = Tables.documents(s, d)
+          .select(col("source"), col("lang"),
+            regexp_count(col("text"), lit("\\S+")).cast("long").as("toks"))
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+        val total = cells.agg(sum(col("tokens")).as("total_toks"))
+        cells.crossJoin(broadcast(total))
+          .select(
+            col("source"), col("lang"), col("n_docs"), col("tokens"),
+            round(col("tokens") * 1.0 / col("total_toks"), 4).as("token_share"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH t AS (
+             |  SELECT source, lang,
+             |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS toks
+             |  FROM documents),
+             |c AS (
+             |  SELECT source, lang, COUNT(*) AS n_docs,
+             |         CAST(SUM(toks) AS BIGINT) AS tokens
+             |  FROM t GROUP BY 1, 2)
+             |SELECT source, lang, n_docs, tokens,
+             |  ROUND(tokens * 1.0 / (SELECT CAST(SUM(tokens) AS BIGINT) FROM c), 4) AS token_share
+             |FROM c ORDER BY source, lang""".stripMargin),
+    ),
+
+    // ----- composite quality filter (Gopher/C4-style rule stack) -----
+    // Four signals per doc — word count, mean word length, alphabetic
+    // fraction, stopword presence — and one keep/drop verdict. The verdict
+    // compares UNROUNDED doubles on both engines (identical IEEE ops on
+    // identical integers), so the boolean can't flip at a rounding boundary;
+    // only the reported signal columns are rounded. Pure codegen'd built-ins,
+    // no shuffle before the output sort.
+    Q(
+      "t53_quality_filter",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("n_words", regexp_count(col("text"), lit("[A-Za-z]+")).cast("long"))
+          .withColumn("n_alpha",
+            length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long"))
+          .withColumn("mean_wlen_raw",
+            col("n_alpha") * 1.0 / greatest(col("n_words"), lit(1L)))
+          .withColumn("alpha_frac_raw",
+            col("n_alpha") * 1.0 / greatest(length(col("text")).cast("long"), lit(1L)))
+          .withColumn("has_stop",
+            regexp_count(col("text"), lit("\\b(the|and|of|to|in|a)\\b")) > 0)
+          .select(
+            col("doc_id"), col("n_words"),
+            round(col("mean_wlen_raw"), 4).as("mean_wlen"),
+            round(col("alpha_frac_raw"), 4).as("alpha_frac"),
+            col("has_stop"),
+            (col("n_words") >= 20 && col("mean_wlen_raw") >= 3.0
+              && col("mean_wlen_raw") <= 10.0 && col("alpha_frac_raw") >= 0.6
+              && col("has_stop")).as("keep"))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+             |    CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+             |    CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             |    len(regexp_extract_all(text, '\b(the|and|of|to|in|a)\b')) > 0 AS has_stop
+             |  FROM documents)
+             |SELECT doc_id, n_words,
+             |  ROUND(n_alpha * 1.0 / GREATEST(n_words, 1), 4) AS mean_wlen,
+             |  ROUND(n_alpha * 1.0 / GREATEST(n_chars, 1), 4) AS alpha_frac,
+             |  has_stop,
+             |  (n_words >= 20 AND n_alpha * 1.0 / GREATEST(n_words, 1) >= 3.0
+             |   AND n_alpha * 1.0 / GREATEST(n_words, 1) <= 10.0
+             |   AND n_alpha * 1.0 / GREATEST(n_chars, 1) >= 0.6
+             |   AND has_stop) AS keep
+             |FROM t ORDER BY doc_id""".stripMargin),
+    ),
+
     // ----- document fingerprint over normalized content -----
     Q(
       "t29_fingerprint",
