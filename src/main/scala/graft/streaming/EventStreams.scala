@@ -74,6 +74,24 @@ object EventStreams {
       }
   }
 
+  /** Streaming ingest dedup — the streaming twin of exact dedup (q24/t34)
+    * for at-least-once sources that replay events on recovery. State is
+    * bounded by the watermark: an event_id is remembered only until the
+    * watermark passes its event time (dropDuplicatesWithinWatermark), which
+    * is exactly the replay horizon a resumed source can produce — unbounded
+    * dropDuplicates state would OOM a year-long stream. Output rows keep
+    * the Ev shape so downstream operators are dedup-transparent.
+    */
+  def dedupEventsStream(spark: SparkSession, events: Dataset[Ev]): Dataset[Ev] = {
+    import spark.implicits._
+    events
+      .withColumn("ts_us", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts_us", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("ts_ns"), col("user_id"), col("value"))
+      .as[Ev]
+  }
+
   def eventsDataset(spark: SparkSession, dir: String): Dataset[Ev] = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

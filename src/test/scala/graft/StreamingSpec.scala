@@ -38,6 +38,25 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming ingest dedup drops replayed event_ids across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Ev]
+    val deduped = EventStreams.dedupEventsStream(spark, input.toDS())
+    val q = deduped.writeStream.format("memory").queryName("dedup_inc")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val h = 3600L * 1000000000L
+      input.addData(EventStreams.Ev(1, 1 * h, 7, 1.0), EventStreams.Ev(2, 1 * h + 1000, 7, 2.0))
+      q.processAllAvailable()
+      // batch 2 replays event 2 (source recovery) and delivers new event 3
+      input.addData(EventStreams.Ev(2, 1 * h + 1000, 7, 2.0), EventStreams.Ev(3, 2 * h, 7, 3.0))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_inc").collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("incremental streaming via MemoryStream sees late-batch arrivals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
