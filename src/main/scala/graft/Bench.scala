@@ -127,7 +127,21 @@ object Bench {
     val mins = results.map { case (n, ts) => n -> ts.min }
     val total = mins.map(_._2).sum
     val duckTotal = duck.values.sum
-    val qs = mins.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
+    // stdout line precision: the driver captures only the TAIL of sbt output
+    // (~1.9 KB). Round 4's line carried full-precision per-run arrays + three
+    // per-query maps, overflowed that window, and the driver recorded
+    // `parsed: null` — a whole round of perf signal lost to line length. The
+    // printed line now holds only the summary + a millisecond-precision
+    // `queries` map; everything else goes to BENCH_DETAIL.json.
+    def jms(d: Double): String =
+      if (d.isNaN || d.isInfinite) "null"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val total3 = mins.map { case (_, v) => BigDecimal(jms(v)) }.sum  // so sum(queries) == value exactly
+    // stdout uses the short unambiguous prefix (q01, t49, m35 — the spec's own
+    // "queries":{"q1":sec} shape); BENCH_DETAIL.json carries full names
+    val qsShort =
+      mins.map { case (k, v) => jstr(k.takeWhile(_ != '_')) + ":" + jms(v) }.mkString("{", ",", "}")
+    val qs = mins.map { case (k, v) => jstr(k) + ":" + jms(v) }.mkString("{", ",", "}")
     val runsJson = results
       .map { case (k, ts) => jstr(k) + ":" + ts.map(jnum).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
@@ -141,11 +155,19 @@ object Bench {
       .mkString("{", ",", "}")
     val totalRatio =
       if (duck.nonEmpty && duckTotal > 0) jnum(total / duckTotal) else "null"
+    val detail =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":${jstr(sfDir)},""" +
+      s""""runs":$runs,"cpus":$cpus,"queries":$qs,"spark_runs":$runsJson,"duckdb":$duckJson,""" +
+      s""""ratio":$ratioJson,"duckdb_total":${jnum(duckTotal)},"total_ratio":$totalRatio,""" +
+      s""""load_before":${jnum(loadBefore)},"load_after":${jnum(loadAfter)}}"""
+    Files.writeString(Paths.get("BENCH_DETAIL.json"), detail + "\n")
+    val totalRatio3 =
+      if (duck.nonEmpty && duckTotal > 0) jms(total / duckTotal) else "null"
     println(
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},""" +
-      s""""runs":$runs,"cpus":$cpus,"spark_runs":$runsJson,"duckdb":$duckJson,"ratio":$ratioJson,""" +
-      s""""duckdb_total":${jnum(duckTotal)},"total_ratio":$totalRatio,""" +
-      s""""load_before":${jnum(loadBefore)},"load_after":${jnum(loadAfter)}}""")
+      s"""{"metric":"total","value":$total3,"unit":"sec","queries":$qsShort,"sf":${jstr(sfDir)},""" +
+      s""""runs":$runs,"cpus":$cpus,"duckdb_total":${jms(duckTotal)},"total_ratio":$totalRatio3,""" +
+      s""""load_before":${jms(loadBefore)},"load_after":${jms(loadAfter)},""" +
+      s""""detail":"BENCH_DETAIL.json"}""")
     spark.stop()
   }
 }
