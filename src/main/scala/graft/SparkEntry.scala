@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Multimodal, Q, Relational, Similarity, Text}
+import graft.queries.{Extended, Multimodal, Q, Relational, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ import graft.queries.{Multimodal, Q, Relational, Similarity, Text}
 object SparkEntry {
 
   /** The full query registry (relational surface + text + similarity + multimodal). */
-  val registry: Seq[Q] = Relational.all ++ Text.all ++ Similarity.all ++ Multimodal.all
+  val registry: Seq[Q] = Relational.all ++ Extended.all ++ Text.all ++ Similarity.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Multi-way broadcast join + aggregation (SURVEY.md §2.3 Q5). */

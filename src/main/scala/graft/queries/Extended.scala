@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-5 surface extensions: temporal joins (as-of, range), sketch
+  * accuracy contracts, the skew-safe two-stage distinct, grouping sets, and
+  * the ranking-window suite.
+  *
+  * Scale notes (100 TB mindset):
+  *   - t55 as-of join is the union+ordered-window formulation: one shuffle on
+  *     the join key, one sort per partition, O(n) running `last(ignoreNulls)`
+  *     — never a per-row probe or a broadcast of the build side. This is the
+  *     standard distributed point-in-time join (DuckDB expresses the same
+  *     semantics natively as ASOF JOIN, which is the oracle).
+  *   - t56 range join keeps its equi-key (user/custkey) in the join condition
+  *     so Catalyst plans a shuffled equi-join with the time-range predicate as
+  *     a post-join filter — co-partitioned by key, no nested-loop.
+  *   - t57 pins the sketch-vs-exact accuracy contract: the sketches
+  *     (HyperLogLog++, approx_percentile/KLL-ish) are the 100 TB path; the
+  *     exact arms exist only to certify the error bound on test data.
+  *   - t58 is the explicit two-shuffle distinct: shuffle 1 dedups on the
+  *     full (group, value) pair — high cardinality, skew-free — and shuffle 2
+  *     counts per group with map-side partials. This is the shape that
+  *     survives a skewed group where a naive per-group distinct would hot-spot
+  *     one reducer.
+  */
+object Extended {
+
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+  private def money(sumCents: Column): Column = round(sumCents.cast("double") / 100.0, 4)
+
+  /** Synthetic in-range "as-of" timestamp derived from the event's raw nanos
+    * with pure integer arithmetic, so both engines compute the identical day:
+    * day = (ts_ns div 86400e9) mod 2400 → 1995-01-01 + day. (The raw event
+    * times all postdate every order — each event would trivially match its
+    * user's last order; this remap spreads the probe times across the orders'
+    * 1995–2001 range so the ≤-predicate actually discriminates.) DuckDB reads
+    * the TIMESTAMP(NANOS) column µs-truncated; floor(floor(ns/1000)/86400e6)
+    * = floor(ns/86400e9), so the derived day is engine-identical. */
+  private def withAsofTs(events: DataFrame): DataFrame =
+    events.withColumn(
+      "ats",
+      date_add(
+        to_date(lit("1995-01-01")),
+        ((col("ts_ns") / lit(86400000000000L)).cast("long") % 2400).cast("int")
+      ).cast("timestamp"))
+
+  private val asofTsSql =
+    "CAST(DATE '1995-01-01' + CAST((epoch_us(ts) // 86400000000) % 2400 AS INT) AS TIMESTAMP)"
+
+  val all: Seq[Q] = Seq(
+
+    // ----- t55: as-of (point-in-time) join -----
+    // For each event probe time, the user's most recent order at-or-before
+    // that time. Build side deduped to one row per (custkey, orderdate) with
+    // MAX(o_orderkey) as the deterministic tie-break — ASOF on duplicate
+    // timestamps is otherwise nondeterministic in both engines.
+    Q(
+      "t55_asof_join",
+      (s, d) => {
+        val ev = withAsofTs(Tables.events(s, d))
+          .select(col("event_id"), col("user_id"), col("ats").as("asof_ts"))
+        val od = Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("ref_orderkey"))
+        graft.operators.AsofJoin
+          .asof(ev, od, keys = Seq("user_id"), probeTime = "asof_ts", buildTime = "o_orderdate")
+          .where(col("ref_orderkey").isNotNull)
+          .select(col("event_id"), col("user_id"), col("asof_ts"), col("ref_orderkey"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH ev AS (SELECT event_id, user_id, $asofTsSql AS ats FROM events),
+              |     od AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS ref_orderkey
+              |            FROM orders GROUP BY 1, 2)
+              |SELECT ev.event_id, ev.user_id, ev.ats AS asof_ts, od.ref_orderkey
+              |FROM ev ASOF JOIN od
+              |  ON ev.user_id = od.o_custkey AND ev.ats >= od.o_orderdate
+              |ORDER BY event_id""".stripMargin),
+    ),
+
+    // ----- t56: temporal range join (equi-key + time interval) -----
+    // Events of each customer landing within 7 days after each of their
+    // orders. The equi-key keeps the plan a co-partitioned shuffled join; the
+    // interval is a post-join filter, not a nested loop.
+    Q(
+      "t56_range_join",
+      (s, d) => {
+        val ev = withAsofTs(Tables.events(s, d)).select(col("user_id"), col("ats"))
+        val od = Tables.orders(s, d)
+          .where(col("o_custkey") < 150)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        od.join(
+            ev,
+            od("o_custkey") === ev("user_id") &&
+              ev("ats") >= od("o_orderdate") &&
+              ev("ats") < od("o_orderdate") + expr("INTERVAL 7 DAYS"),
+            "left")
+          .groupBy(col("o_orderkey"))
+          .agg(count(col("user_id")).as("n_events"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""WITH ev AS (SELECT user_id, $asofTsSql AS ats FROM events)
+              |SELECT o_orderkey, CAST(COUNT(ev.user_id) AS BIGINT) AS n_events
+              |FROM orders LEFT JOIN ev
+              |  ON o_custkey = ev.user_id
+              | AND ev.ats >= o_orderdate
+              | AND ev.ats < o_orderdate + INTERVAL 7 DAY
+              |WHERE o_custkey < 150
+              |GROUP BY o_orderkey
+              |ORDER BY o_orderkey""".stripMargin),
+    ),
+
+    // ----- t57: sketch accuracy contract (HLL++ / approx percentile) -----
+    // The sketches are the 100 TB path (constant memory, partial-agg
+    // friendly); the exact arms certify the error bound. NOTE the exact
+    // `percentile` arm buffers values per group — acceptable here only
+    // because it is the reference arm of a 1-row accuracy report on test
+    // data; t41 is the scalable exact-percentile formulation.
+    Q(
+      "t57_sketch_accuracy",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .agg(
+            count_distinct(col("l_orderkey")).as("exact_n"),
+            approx_count_distinct(col("l_orderkey"), 0.01).as("est_n"),
+            expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+            expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_est"))
+          .select(
+            col("exact_n"),
+            (abs(col("est_n") - col("exact_n")) / col("exact_n") <= 0.05).as("hll_ok"),
+            (abs(col("p50_est") - col("p50_exact")) / col("p50_exact") <= 0.01).as("pct_ok")),
+      Some("""SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_n,
+             |       TRUE AS hll_ok, TRUE AS pct_ok
+             |FROM lineitem""".stripMargin),
+    ),
+
+    // ----- t58: skew-safe two-stage distinct count -----
+    Q(
+      "t58_skew_distinct",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_suppkey"))
+          .distinct()
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_supp"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
+
+    // ----- t59: explicit GROUPING SETS (completes rollup/cube family) -----
+    // Spark ASC default is NULLS FIRST, DuckDB's is NULLS LAST — the ORDER BY
+    // pins NULLS FIRST on both sides.
+    Q(
+      "t59_grouping_sets",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_t59")
+        s.sql(
+          """SELECT o_orderpriority, o_orderstatus,
+            |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+            |  CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+            |  COUNT(*) AS cnt,
+            |  ROUND(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0, 4) AS total
+            |FROM orders_t59
+            |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+            |ORDER BY g_pri, g_st, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+            |""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus,
+             |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+             |  CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+             |  COUNT(*) AS cnt,
+             |  ROUND(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))/100.0, 4) AS total
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+             |ORDER BY g_pri, g_st, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin),
+    ),
+
+    // ----- t60: ranking-window suite (ntile / percent_rank / lead / first) -----
+    Q(
+      "t60_window_suite",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+        Tables.orders(s, d)
+          .where(col("o_orderkey") % 97 === 0)
+          .select(
+            col("o_orderpriority"), col("o_orderkey"),
+            ntile(4).over(w).as("q4"),
+            round(percent_rank().over(w), 4).as("pr"),
+            lead(col("o_orderkey"), 1).over(w).as("next_k"),
+            first(col("o_orderkey")).over(w).as("first_k"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+             |  CAST(NTILE(4) OVER w AS INT) AS q4,
+             |  ROUND(PERCENT_RANK() OVER w, 4) AS pr,
+             |  LEAD(o_orderkey, 1) OVER w AS next_k,
+             |  FIRST_VALUE(o_orderkey) OVER w AS first_k
+             |FROM orders WHERE o_orderkey % 97 = 0
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+             |ORDER BY o_orderpriority, o_orderkey""".stripMargin),
+    ),
+  )
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.operators.AsofJoin
+
+/** Crafted-data semantics for the distributed as-of join: inclusive vs
+  * strict tie handling, latest-at-or-before selection, no-match null, and
+  * key isolation. (The oracle gate t55_asof_join covers scale + DuckDB ASOF
+  * equivalence; this pins the corner cases a degenerate dataset could miss.)
+  */
+class AsofJoinSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val quotes = Seq(
+    // k, t, px
+    (1, 3L, 30.0),
+    (1, 7L, 70.0),
+    (2, 5L, 500.0)
+  ).toDF("k", "t", "px")
+
+  private lazy val trades = Seq(
+    // k, t, id
+    (1, 2L, "a"), // before any quote  -> null
+    (1, 3L, "b"), // tie               -> 30 inclusive, null strict
+    (1, 5L, "c"), // between           -> 30
+    (1, 7L, "d"), // tie               -> 70 inclusive, 30 strict
+    (1, 9L, "e"), // after last        -> 70
+    (3, 9L, "f")  // key with no quotes -> null
+  ).toDF("k", "t", "id")
+
+  private def run(strict: Boolean): Map[String, Option[Double]] =
+    AsofJoin.asof(trades, quotes, keys = Seq("k"), probeTime = "t", buildTime = "t", strict = strict)
+      .collect()
+      .map(r => r.getAs[String]("id") -> Option(r.getAs[Any]("px")).map(_.asInstanceOf[Double]))
+      .toMap
+
+  test("inclusive: latest quote at-or-before each trade") {
+    assert(run(strict = false) === Map(
+      "a" -> None, "b" -> Some(30.0), "c" -> Some(30.0),
+      "d" -> Some(70.0), "e" -> Some(70.0), "f" -> None))
+  }
+
+  test("strict: equal timestamps do not match") {
+    assert(run(strict = true) === Map(
+      "a" -> None, "b" -> None, "c" -> Some(30.0),
+      "d" -> Some(30.0), "e" -> Some(70.0), "f" -> None))
+  }
+
+  test("all probe columns survive and multi-column payload attaches") {
+    val build = Seq((1, 3L, 30.0, "mm")).toDF("k", "t", "px", "venue")
+    val out = AsofJoin.asof(trades.where($"k" === 1), build, Seq("k"), "t", "t")
+    assert(out.columns.toSeq === Seq("k", "t", "id", "px", "venue"))
+    val byId = out.collect().map(r => r.getAs[String]("id") -> r).toMap
+    assert(byId("e").getAs[String]("venue") === "mm")
+    assert(byId("a").isNullAt(byId("a").fieldIndex("venue")))
+  }
+}
