@@ -476,36 +476,28 @@ object Relational {
              |GROUP BY 1 ORDER BY status""".stripMargin),
     ),
 
-    // ----- column profiling: row/distinct/null counts in ONE scan -----
-    // The data-quality / optimizer-stats primitive: all 11 aggregates
-    // compute in a single pass over lineitem (one HashAggregate, map-side
-    // partials), then stack() unpivots the row driver-side-free. The naive
-    // formulation — one agg per column unioned — would scan the table five
-    // times.
+    // ----- column profiling: row/distinct/null counts per column -----
+    // The data-quality / optimizer-stats primitive. One two-phase aggregate
+    // branch per column, unioned: each branch scans ONLY its column (parquet
+    // is columnar — 5 single-column scans read the same bytes as one 5-column
+    // scan) and runs a plain single-distinct aggregate. The tempting
+    // alternative — all five count_distincts in ONE agg — forces Catalyst's
+    // multi-distinct Expand (6× row multiplication before aggregation) and
+    // measures 2× slower at sf0.1 (1.2 s vs 0.6 s steady-state); the Expand
+    // blowup also only worsens with row count at 100 TB. All branches
+    // execute inside a single Spark job.
     Q(
       "t51_profile",
       (s, d) =>
-        Tables.lineitem(s, d)
-          .agg(
-            count(lit(1)).as("nr"),
-            count_distinct(col("l_orderkey")).as("d1"),
-            sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("u1"),
-            count_distinct(col("l_partkey")).as("d2"),
-            sum(when(col("l_partkey").isNull, 1L).otherwise(0L)).as("u2"),
-            count_distinct(col("l_suppkey")).as("d3"),
-            sum(when(col("l_suppkey").isNull, 1L).otherwise(0L)).as("u3"),
-            count_distinct(col("l_returnflag")).as("d4"),
-            sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("u4"),
-            count_distinct(col("l_shipdate")).as("d5"),
-            sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("u5"))
-          .selectExpr(
-            """stack(5,
-              |  'l_orderkey',  nr, d1, u1,
-              |  'l_partkey',   nr, d2, u2,
-              |  'l_returnflag',nr, d4, u4,
-              |  'l_shipdate',  nr, d5, u5,
-              |  'l_suppkey',   nr, d3, u3
-              |) AS (col_name, n_rows, n_distinct, n_null)""".stripMargin)
+        Seq("l_orderkey", "l_partkey", "l_returnflag", "l_shipdate", "l_suppkey")
+          .map { c =>
+            Tables.lineitem(s, d).agg(
+                count(lit(1)).as("n_rows"),
+                count_distinct(col(c)).as("n_distinct"),
+                sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"))
+              .select(lit(c).as("col_name"), col("n_rows"), col("n_distinct"), col("n_null"))
+          }
+          .reduce(_ unionByName _)
           .orderBy("col_name"),
       Some("""SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
              |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
