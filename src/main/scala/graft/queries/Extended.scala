@@ -116,23 +116,35 @@ object Extended {
 
     // ----- t57: sketch accuracy contract (HLL++ / approx percentile) -----
     // The sketches are the 100 TB path (constant memory, partial-agg
-    // friendly); the exact arms certify the error bound. NOTE the exact
-    // `percentile` arm buffers values per group — acceptable here only
-    // because it is the reference arm of a 1-row accuracy report on test
-    // data; t41 is the scalable exact-percentile formulation.
+    // friendly); the exact arms certify the error bound. The exact and
+    // sketch arms are DELIBERATELY separate aggregations cross-joined at
+    // one row each: mixing a distinct aggregate with object-buffer sketches
+    // in a single agg forces Catalyst's Expand plan, which re-keys the
+    // pre-aggregation by (gid, l_orderkey) and allocates one 10k-entry
+    // QuantileSummaries + one 16 KiB HLL register bank PER DISTINCT KEY
+    // (~300k buffers; measured 55 s vs 5 s split at sf0.1 — pure
+    // allocation/GC). Split, every arm keeps its single global buffer.
+    // The exact median runs over (value, frequency) pairs from a codegen
+    // hash-agg — identical result, ~#distinct-values boxed rows instead of
+    // #rows.
     Q(
       "t57_sketch_accuracy",
-      (s, d) =>
-        Tables.lineitem(s, d)
-          .agg(
-            count_distinct(col("l_orderkey")).as("exact_n"),
-            approx_count_distinct(col("l_orderkey"), 0.01).as("est_n"),
-            expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
-            expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_est"))
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val exactN = li.select(col("l_orderkey")).distinct()
+          .agg(count(lit(1)).as("exact_n"))
+        val exactP = li.groupBy(col("l_extendedprice"))
+          .agg(count(lit(1)).as("freq"))
+          .agg(expr("percentile(l_extendedprice, 0.5D, freq)").as("p50_exact"))
+        val sketches = li.agg(
+          approx_count_distinct(col("l_orderkey"), 0.01).as("est_n"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_est"))
+        exactN.crossJoin(exactP).crossJoin(sketches)
           .select(
             col("exact_n"),
             (abs(col("est_n") - col("exact_n")) / col("exact_n") <= 0.05).as("hll_ok"),
-            (abs(col("p50_est") - col("p50_exact")) / col("p50_exact") <= 0.01).as("pct_ok")),
+            (abs(col("p50_est") - col("p50_exact")) / col("p50_exact") <= 0.01).as("pct_ok"))
+      },
       Some("""SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_n,
              |       TRUE AS hll_ok, TRUE AS pct_ok
              |FROM lineitem""".stripMargin),
