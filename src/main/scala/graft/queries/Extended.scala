@@ -216,5 +216,100 @@ object Extended {
              |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
              |ORDER BY o_orderpriority, o_orderkey""".stripMargin),
     ),
+
+    // ----- t62: skew-mitigated salted join -----
+    // graft.operators.SaltedJoin: the hot-key antidote when AQE's size-based
+    // skew split can't help (e.g. the join feeds a same-key window/groupBy).
+    // lineitem⋈supplier on l_suppkey is the natural skew shape — few
+    // thousand supplier keys fanning out to millions of lineitems. Salts=8
+    // spreads each key over 8 reducers; the result is provably identical to
+    // the plain join (SaltedJoinSpec pins it row-for-row; the oracle here is
+    // the plain SQL join).
+    Q(
+      "t62_salted_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_suppkey"), col("l_extendedprice"))
+        val sup = Tables.supplier(s, d)
+          .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+        graft.operators.SaltedJoin.join(li, sup, Seq("l_suppkey"), salts = 8)
+          .groupBy(col("s_nationkey"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            money(sum(cents(col("l_extendedprice")))).as("revenue"))
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT s_nationkey, COUNT(*) AS n_items,
+             |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0, 4) AS revenue
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin),
+    ),
+
+    // ----- t63: CSV sink→source round-trip -----
+    // Source/sink format breadth: write a typed projection to CSV (header,
+    // default quoting), read it back under an EXPLICIT schema (schema-on-read
+    // — never inference in a pipeline), and aggregate. The oracle computes
+    // the same aggregate straight from parquet, so any loss in the
+    // double/timestamp/string round-trip (Java shortest-repr doubles, ISO
+    // timestamps) breaks the hash. The fixed output dir keeps repeated runs
+    // bounded; `overwrite` makes each run self-consistent.
+    Q(
+      "t63_csv_roundtrip",
+      (s, d) => {
+        val tmp = sys.props("java.io.tmpdir") + "/graft_t63_csv"
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+          .write.mode("overwrite").option("header", "true").csv(tmp)
+        s.read.option("header", "true")
+          .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP")
+          .csv(tmp)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            money(sum(cents(col("o_totalprice")))).as("total"),
+            min(col("o_orderdate")).as("first_ts"),
+            max(col("o_orderdate")).as("last_ts"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+             |  ROUND(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0, 4) AS total,
+             |  MIN(o_orderdate) AS first_ts, MAX(o_orderdate) AS last_ts
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+    ),
+
+    // ----- t64: JSON-lines sink→source round-trip (nested struct + array) -----
+    // JSON earns its place over CSV via nested types: the projection carries
+    // a struct and an array column through the sink and back under an
+    // explicit nested schema, then flattens for the aggregate. Oracle
+    // recomputes from parquet with string_split, so array length and nested
+    // field extraction must survive serialization exactly.
+    Q(
+      "t64_json_roundtrip",
+      (s, d) => {
+        val tmp = sys.props("java.io.tmpdir") + "/graft_t64_json"
+        Tables.part(s, d)
+          .select(
+            col("p_partkey"),
+            struct(col("p_brand"), col("p_retailprice")).as("info"),
+            split(col("p_type"), " ").as("type_words"))
+          .write.mode("overwrite").json(tmp)
+        s.read
+          .schema("p_partkey BIGINT, info STRUCT<p_brand: STRING, p_retailprice: DOUBLE>, type_words ARRAY<STRING>")
+          .json(tmp)
+          .select(
+            col("info.p_brand").as("brand"),
+            size(col("type_words")).as("n_words"),
+            col("info.p_retailprice").as("price"))
+          .groupBy(col("brand"))
+          .agg(
+            count(lit(1)).as("n_parts"),
+            sum(col("n_words")).as("total_words"),
+            money(sum(cents(col("price")))).as("total_retail"))
+          .orderBy("brand")
+      },
+      Some("""SELECT p_brand AS brand, COUNT(*) AS n_parts,
+             |  CAST(SUM(len(string_split(p_type, ' '))) AS BIGINT) AS total_words,
+             |  ROUND(CAST(SUM(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS DOUBLE)/100.0, 4) AS total_retail
+             |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+    ),
   )
 }
