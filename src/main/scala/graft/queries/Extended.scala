@@ -311,5 +311,81 @@ object Extended {
              |  ROUND(CAST(SUM(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS DOUBLE)/100.0, 4) AS total_retail
              |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin),
     ),
+
+    // ----- t65: bucketed co-located join (shuffle elimination) -----
+    // Both sides are written as 8-bucket tables hashed on the join key, so
+    // the join needs NO Exchange on either side — the single biggest shuffle
+    // a fact⋈dim pipeline pays repeatedly is paid once at write time. This
+    // is the batch analog of co-partitioned storage at 100 TB: land fact and
+    // dimension bucketed by the join key and every downstream join on that
+    // key is shuffle-free (bucket counts must match or divide). External
+    // table paths keep the repo's cwd clean; `overwrite` keeps reruns
+    // self-consistent.
+    Q(
+      "t65_bucketed_join",
+      (s, d) => {
+        val base = sys.props("java.io.tmpdir") + "/graft_t65_wh"
+        Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice"))
+          .write.mode("overwrite").option("path", s"$base/orders")
+          .bucketBy(8, "o_custkey").saveAsTable("t65_orders_b")
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+          .write.mode("overwrite").option("path", s"$base/customer")
+          .bucketBy(8, "c_custkey").saveAsTable("t65_customer_b")
+        // merge hint: at this toy scale Catalyst would broadcast the dim and
+        // hide the point; pinned to sort-merge, the plan shows both bucketed
+        // scans feeding the join with ZERO Exchange (sort only) — the
+        // co-located read a real fact⋈fact join would take on its own
+        s.table("t65_orders_b")
+          .join(s.table("t65_customer_b").hint("merge"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            money(sum(cents(col("o_totalprice")))).as("revenue"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+             |  ROUND(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0, 4) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    ),
+
+    // ----- t67: ordered funnel (view → click-after → purchase-after) -----
+    // Classic product/event analytics: per user, the first 'view', the first
+    // 'click' strictly after it, the first 'purchase' strictly after that —
+    // then one summary row of stage survivors. Each stage is a filtered
+    // equi-join on user_id + a min-aggregate: shuffle on user_id only,
+    // partial-agg friendly, no window over the full event stream and no
+    // per-user event buffering, so stage cost stays linear in events at any
+    // scale. The four 1-row counts cross-join at the end (same pattern as
+    // t57).
+    Q(
+      "t67_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts_us"))
+        val s1 = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, "user_id").filter(col("ts_us") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, "user_id").filter(col("ts_us") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+        ev.agg(count_distinct(col("user_id")).as("n_users"))
+          .crossJoin(s1.agg(count(lit(1)).as("n_viewed")))
+          .crossJoin(s2.agg(count(lit(1)).as("n_clicked_after")))
+          .crossJoin(s3.agg(count(lit(1)).as("n_purchased_after")))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts_us FROM events),
+             |s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t2 FROM ev e JOIN s1 USING (user_id)
+             |       WHERE e.event_type = 'click' AND e.ts_us > s1.t1 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, MIN(e.ts_us) AS t3 FROM ev e JOIN s2 USING (user_id)
+             |       WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2 GROUP BY 1)
+             |SELECT (SELECT COUNT(DISTINCT user_id) FROM ev) AS n_users,
+             |       (SELECT COUNT(*) FROM s1) AS n_viewed,
+             |       (SELECT COUNT(*) FROM s2) AS n_clicked_after,
+             |       (SELECT COUNT(*) FROM s3) AS n_purchased_after""".stripMargin),
+    ),
   )
 }

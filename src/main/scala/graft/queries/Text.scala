@@ -367,5 +367,86 @@ object Text {
              |  MD5(TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin),
     ),
+
+    // ----- t66: TF-IDF top terms per source (corpus characterization) -----
+    // Term scoring uses FIXED-POINT idf (1e6 // document-frequency, integer
+    // division) instead of ln(N/df): the ranking is then exact integer
+    // arithmetic, immune to last-ulp libm log() divergence between engines
+    // flipping a near-tie in the top-k cut. Plan shape: tokenize+explode is
+    // map-side; tf is a (doc,term) hash agg; df reuses the tf rows (one
+    // row per (doc,term) already) with a second agg on term; the tf⋈df join
+    // shuffles on term — all partial-agg friendly, no driver collection, so
+    // the same plan runs at corpus scale where the vocabulary is the small
+    // side (broadcastable if needed).
+    Q(
+      "t66_tfidf_terms",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("source"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("score").desc, col("term"))
+        tf.join(df, "term")
+          .withColumn("idf_fp", expr("1000000L div df"))
+          .groupBy(col("source"), col("term"))
+          .agg(sum(col("tf") * col("idf_fp")).as("score"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("source"), col("rank"), col("term"), col("score"))
+          .orderBy("source", "rank")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, source, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |sc AS (
+             |  SELECT source, tf.term, CAST(SUM(tf.tf * (1000000 // df.df)) AS BIGINT) AS score
+             |  FROM tf JOIN df ON tf.term = df.term GROUP BY 1, 2),
+             |r AS (
+             |  SELECT source, term, score,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, term) AS rank
+             |  FROM sc)
+             |SELECT source, rank, term, score FROM r WHERE rank <= 3
+             |ORDER BY source, rank""".stripMargin),
+    ),
+
+    // ----- t68: regex redaction scan (PII-masking machinery) -----
+    // The production shape masks emails/phones/ids before training; the
+    // synthetic corpus plants no PII, so the demo pattern targets tokens the
+    // corpus does contain — the machinery (global regexp_replace + match
+    // counting + per-source report) is what's exercised and oracled.
+    // Everything is codegen'd regexp built-ins; one partial-agg'd groupBy on
+    // |sources| keys.
+    Q(
+      "t68_redaction_scan",
+      (s, d) => {
+        val pat = "\\b(key|hash|value)\\b"
+        Tables.documents(s, d)
+          .withColumn("n_hits", regexp_count(col("text"), lit(pat)).cast("long"))
+          .withColumn("len_after",
+            length(regexp_replace(col("text"), pat, "[X]")).cast("long"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("docs_hit"),
+            sum(col("n_hits")).as("total_hits"),
+            sum(col("len_after")).as("chars_after"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+             |  SELECT source,
+             |    CAST(len(regexp_extract_all(text, '\b(key|hash|value)\b')) AS BIGINT) AS n_hits,
+             |    CAST(LENGTH(regexp_replace(text, '\b(key|hash|value)\b', '[X]', 'g')) AS BIGINT) AS len_after
+             |  FROM documents)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+             |  CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+             |  CAST(SUM(len_after) AS BIGINT) AS chars_after
+             |FROM t GROUP BY source ORDER BY source""".stripMargin),
+    ),
   )
 }
