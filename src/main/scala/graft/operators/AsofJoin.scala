@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 
 /** Distributed point-in-time ("as-of") join.
   *
-  * For each probe row, attaches the payload of the build row with the
-  * greatest build-time ≤ probe-time (or strictly <) within the same key.
-  * Probe rows with no admissible build row keep a null payload (left
-  * semantics) — filter on a payload column for inner semantics.
+  * For each probe row, attaches the payload of the nearest admissible build
+  * row within the same key: backward mode takes the greatest build-time ≤
+  * probe-time (or strictly <), forward mode the smallest build-time ≥
+  * probe-time (or strictly >), optionally discarding matches farther than a
+  * `tolerance` (pandas merge_asof's parameter surface). Probe rows with no
+  * admissible build row keep a null payload (left semantics) — filter on a
+  * payload column for inner semantics.
   *
   * Formulation: tag both sides, union, then one running
   * `last(payload, ignoreNulls)` over a (key)-partitioned (time, side)-ordered
@@ -34,6 +37,14 @@ object AsofJoin {
     * @param buildTime  ordering column on `build` (same type as probeTime)
     * @param strict     false → match at buildTime ≤ probeTime (ASOF ≥ in
     *                   DuckDB terms); true → strictly earlier only
+    * @param forward    false (default) → most recent build row at-or-before
+    *                   the probe time; true → earliest build row at-or-after
+    *                   (strict flips both bounds to strictly-before/-after)
+    * @param tolerance  optional max |probeTime − buildTime| as a Column
+    *                   expression in the time column's native arithmetic
+    *                   (e.g. `expr("INTERVAL 1 HOUR")` for timestamps,
+    *                   `lit(50L)` for longs); a match farther away than this
+    *                   is discarded (payload null, left semantics preserved)
     */
   def asof(
       probe: DataFrame,
@@ -41,15 +52,19 @@ object AsofJoin {
       keys: Seq[String],
       probeTime: String,
       buildTime: String,
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false,
+      forward: Boolean = false,
+      tolerance: Option[Column] = None): DataFrame = {
     val payloadCols = build.columns.filterNot(c => keys.contains(c) || c == buildTime)
     require(payloadCols.nonEmpty, "build side carries no payload columns")
     val keyCols: Seq[Column] = keys.map(col)
 
+    // the matched build time rides inside the payload struct so tolerance
+    // can compare it against the probe time after the window pass
     val b = build.select(
       keyCols ++ Seq(
         col(buildTime).as("__t"),
-        struct(payloadCols.map(col): _*).as("__pay"),
+        struct(col(buildTime).as("__bt") +: payloadCols.map(col): _*).as("__pay"),
         lit(0).as("__side")): _*)
     val payType = b.schema("__pay").dataType
 
@@ -64,18 +79,28 @@ object AsofJoin {
 
     val bb = b.withColumn("__probe", lit(null).cast(probeType))
 
-    // inclusive: build (side 0) sorts before probe (side 1) at equal time, so
-    // the running last() already contains it; strict: probe first, so it
-    // doesn't.
+    // backward: ascending time, running last() of seen payloads. forward:
+    // DESCENDING time — the running last() then yields the earliest
+    // at-or-after row, by symmetry. At equal times the side order decides
+    // whether the same-timestamp build row is admissible: inclusive sorts
+    // build before probe in window order (so last() already contains it),
+    // strict sorts probe first.
+    val timeOrder = if (forward) col("__t").desc else col("__t").asc
     val sideOrder = if (strict) col("__side").desc else col("__side").asc
     val w = Window
       .partitionBy(keyCols: _*)
-      .orderBy(col("__t").asc +: sideOrder +: Nil: _*)
+      .orderBy(timeOrder, sideOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    bb.unionByName(p)
+    val matched = bb.unionByName(p)
       .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(col("__probe.*") +: payloadCols.map(c => col(s"__m.$c").as(c)): _*)
+    val gated = tolerance match {
+      case Some(tol) =>
+        val dist = if (forward) col("__m.__bt") - col("__t") else col("__t") - col("__m.__bt")
+        matched.withColumn("__m", when(dist <= tol, col("__m")))
+      case None => matched
+    }
+    gated.select(col("__probe.*") +: payloadCols.map(c => col(s"__m.$c").as(c)): _*)
   }
 }

@@ -448,5 +448,91 @@ object Text {
              |  CAST(SUM(len_after) AS BIGINT) AS chars_after
              |FROM t GROUP BY source ORDER BY source""".stripMargin),
     ),
+
+    // ----- t69: sequence packing into token-budget bins (training prep) -----
+    // The "concat-and-split" batch prep of LLM training: documents are laid
+    // end-to-end in a deterministic order and cut into fixed token-budget
+    // bins — bin id = floor(cumulative_tokens_before_doc / budget). Packing
+    // is PER SOURCE, so the running sum is a key-partitioned window (each
+    // source's stream packs independently) — never a global single-partition
+    // scan; at 100 TB the packing key is (source, shard) and the window
+    // stays bounded by shard size. Token counts reuse t28's whitespace-token
+    // definition.
+    Q(
+      "t69_seq_pack",
+      (s, d) => {
+        val budget = 2048L
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tok"))
+          .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+          .withColumn("bin", (col("cum_before") / budget).cast("long"))
+          .groupBy(col("source"), col("bin"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("bin_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("source", "bin")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source, n_tok,
+             |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+             |  FROM t)
+             |SELECT source, cum_before // 2048 AS bin, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+             |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+             |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin),
+    ),
+
+    // ----- t70: fixed-window document chunking with overlap -----
+    // Context-window prep: each document splits into 512-char windows with
+    // 64-char stride overlap; chunk starts are pure per-row integer
+    // arithmetic (sequence + explode — map-side, no shuffle until the
+    // per-source rollup), so chunk fan-out parallelizes with the corpus.
+    // The report aggregates chunk counts and coverage rather than emitting
+    // every chunk body (the chunk text itself is a substring expression
+    // downstream operators apply lazily).
+    Q(
+      "t70_chunk_split",
+      (s, d) => {
+        val win = 512L
+        val stride = 448L // 64-char overlap
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n_chars"))
+          .withColumn("n_chunks",
+            when(col("n_chars") <= win, lit(1L))
+              .otherwise(lit(1L) + ceil((col("n_chars") - win).cast("double") / stride).cast("long")))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chunks")).as("total_chunks"),
+            max(col("n_chunks")).as("max_chunks"),
+            sum(col("n_chunks") * win - (col("n_chunks") - 1) * (win - stride))
+              .as("chunked_chars_ub"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, CAST(LENGTH(text) AS BIGINT) AS n_chars
+             |  FROM documents),
+             |k AS (
+             |  SELECT source,
+             |    CASE WHEN n_chars <= 512 THEN 1
+             |         ELSE 1 + CAST(CEIL((n_chars - 512) / 448.0) AS BIGINT) END AS n_chunks
+             |  FROM t)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+             |  CAST(MAX(n_chunks) AS BIGINT) AS max_chunks,
+             |  CAST(SUM(n_chunks * 512 - (n_chunks - 1) * 64) AS BIGINT) AS chunked_chars_ub
+             |FROM k GROUP BY source ORDER BY source""".stripMargin),
+    ),
   )
 }

@@ -56,4 +56,37 @@ class AsofJoinSpec extends SparkTestBase {
     assert(byId("e").getAs[String]("venue") === "mm")
     assert(byId("a").isNullAt(byId("a").fieldIndex("venue")))
   }
+
+  private def runFwd(strict: Boolean): Map[String, Option[Double]] =
+    AsofJoin.asof(trades, quotes, keys = Seq("k"), probeTime = "t", buildTime = "t",
+        strict = strict, forward = true)
+      .collect()
+      .map(r => r.getAs[String]("id") -> Option(r.getAs[Any]("px")).map(_.asInstanceOf[Double]))
+      .toMap
+
+  test("forward inclusive: earliest quote at-or-after each trade") {
+    assert(runFwd(strict = false) === Map(
+      "a" -> Some(30.0), "b" -> Some(30.0), "c" -> Some(70.0),
+      "d" -> Some(70.0), "e" -> None, "f" -> None))
+  }
+
+  test("forward strict: equal timestamps do not match") {
+    assert(runFwd(strict = true) === Map(
+      "a" -> Some(30.0), "b" -> Some(70.0), "c" -> Some(70.0),
+      "d" -> None, "e" -> None, "f" -> None))
+  }
+
+  test("tolerance discards matches farther than the bound") {
+    // backward, tolerance 2: trade e at t=9 matched quote at t=7 (dist 2,
+    // kept); trade c at t=5 matched quote at t=3 (dist 2, kept); with
+    // tolerance 1 both drop but b (dist 0) survives.
+    val tol2 = AsofJoin.asof(trades, quotes, Seq("k"), "t", "t",
+      tolerance = Some(org.apache.spark.sql.functions.lit(2L)))
+      .collect().map(r => r.getAs[String]("id") -> Option(r.getAs[Any]("px"))).toMap
+    assert(tol2("e") === Some(70.0) && tol2("c") === Some(30.0))
+    val tol1 = AsofJoin.asof(trades, quotes, Seq("k"), "t", "t",
+      tolerance = Some(org.apache.spark.sql.functions.lit(1L)))
+      .collect().map(r => r.getAs[String]("id") -> Option(r.getAs[Any]("px"))).toMap
+    assert(tol1("e") === None && tol1("c") === None && tol1("b") === Some(30.0))
+  }
 }
