@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions._
+
+/** SparkSessionExtensions entry point: registers the engine's codegen'd
+  * similarity/dedup expressions as SQL functions, so `spark.sql` users get
+  * the same native kernels the DataFrame API exposes through
+  * [[graft.functions.ArrayFns]]:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)            // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   ...
+  * spark.sql("SELECT graft_simhash64(graft_token_hashes64(text)) FROM docs")
+  * }}}
+  *
+  * For a session that already exists (notebooks, shells), the companion's
+  * [[GraftExtensions.register]] injects the same functions at runtime.
+  *
+  * Arity and literal-argument validation happens at analysis time — a wrong
+  * call fails the query plan, not a task at runtime.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(
+        s"$fn expects a literal INT argument, got: $other")
+  }
+
+  private def fixed(name: String, arity: Int)(build: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, FunctionBuilder) = {
+    val builder: FunctionBuilder = { args =>
+      require(args.length == arity, s"$name expects $arity argument(s), got ${args.length}")
+      build(args)
+    }
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      builder)
+  }
+
+  /** The SQL function surface (name → codegen'd expression). */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
+    fixed("graft_char_shingle_hashes", 1)(a => CharShingleHashes(a.head)),
+    fixed("graft_token_hashes64", 1)(a => TokenHashes64(a.head)),
+    fixed("graft_word_ngram_hashes", 2)(a =>
+      WordNgramHashes(a.head, intLit(a(1), "graft_word_ngram_hashes"))),
+    fixed("graft_minhash_sig", 1)(a => MinHashSig(a.head)),
+    fixed("graft_simhash64", 1)(a => SimHash64(a.head)),
+    fixed("graft_cosine_sim", 2)(a => CosineSim(a.head, a(1))),
+    fixed("graft_srp_bucket", 2)(a =>
+      SrpBucket(a.head, intLit(a(1), "graft_srp_bucket"))),
+    fixed("graft_sorted_intersect_count", 2)(a =>
+      SortedIntersectCount(a.head, a(1))),
+  )
+
+  /** Runtime injection into an existing session (same surface as the
+    * extensions path). Idempotent: re-registering overwrites in place. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

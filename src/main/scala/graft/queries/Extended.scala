@@ -387,5 +387,90 @@ object Extended {
              |       (SELECT COUNT(*) FROM s2) AS n_clicked_after,
              |       (SELECT COUNT(*) FROM s3) AS n_purchased_after""".stripMargin),
     ),
+
+    // ----- t71: incremental aggregate maintenance (merge, don't recompute) -----
+    // The lambda/incremental-view pattern: a maintained base aggregate plus a
+    // delta-partition aggregate merge into the new total WITHOUT rescanning
+    // the base data — possible exactly because every aggregate here is
+    // decomposable (counts and integer-cent sums add). The oracle is the
+    // full recompute, so the merge is proven lossless. At 100 TB this is the
+    // difference between re-aggregating the corpus nightly and folding in a
+    // day's partition.
+    Q(
+      "t71_incremental_agg",
+      (s, d) => {
+        val or = Tables.orders(s, d)
+          .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderdate"))
+        val cut = lit("1998-01-01").cast("timestamp")
+        def aggOf(df: DataFrame, n: String, sc: String): DataFrame =
+          df.groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as(n), sum(cents(col("o_totalprice"))).as(sc))
+        val base = aggOf(or.filter(col("o_orderdate") < cut), "nb", "sb")
+        val delta = aggOf(or.filter(col("o_orderdate") >= cut), "nd", "sd")
+        base.join(delta, Seq("o_orderpriority"), "full_outer")
+          .select(
+            col("o_orderpriority"),
+            (coalesce(col("nb"), lit(0L)) + coalesce(col("nd"), lit(0L))).as("n_orders"),
+            money(coalesce(col("sb"), lit(0L)) + coalesce(col("sd"), lit(0L))).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_orders,
+             |  ROUND(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0, 4) AS revenue
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    ),
+
+    // ----- t72: CDC upsert compaction (latest-wins per key) -----
+    // Change-log compaction: from an append-only event log, the current
+    // state is the latest row per (user_id, event_type) with (ts, event_id)
+    // as the total version order. One key-partitioned window — shuffle on
+    // the key only; at scale this is the standard merge-on-read compaction
+    // pass run per storage partition.
+    Q(
+      "t72_upsert_compact",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("event_id"), col("ts_us"), col("value"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("ts_us").as("latest_ts"), round(col("value"), 4).as("latest_value"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, event_id,
+             |  ts_us AS latest_ts, ROUND(value, 4) AS latest_value
+             |FROM (
+             |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts_us, value,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+             |                       ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+             |  FROM events)
+             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin),
+    ),
+
+    // ----- t73: fixed-bin numeric histogram (profiling) -----
+    // Equi-width histogram over integer cents so the bin edge can never
+    // split on a float rounding disagreement: bin = cents // 5_500_00
+    // (20 × $5500 bins over l_extendedprice). Pure map-side arithmetic +
+    // one partial-agg'd groupBy on ≤20 keys.
+    Q(
+      "t73_histogram",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(cents(col("l_extendedprice")).as("c"))
+          .withColumn("bin", expr("c div 550000L"))
+          .groupBy(col("bin"))
+          .agg(
+            count(lit(1)).as("n"),
+            money(min(col("c"))).as("lo"),
+            money(max(col("c"))).as("hi"))
+          .orderBy("bin"),
+      Some("""WITH t AS (
+             |  SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c FROM lineitem)
+             |SELECT c // 550000 AS bin, COUNT(*) AS n,
+             |  ROUND(CAST(MIN(c) AS DOUBLE)/100.0, 4) AS lo,
+             |  ROUND(CAST(MAX(c) AS DOUBLE)/100.0, 4) AS hi
+             |FROM t GROUP BY bin ORDER BY bin""".stripMargin),
+    ),
   )
 }

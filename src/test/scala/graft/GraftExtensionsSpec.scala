@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ArrayFns
+
+/** The SQL function surface must evaluate identically to the DataFrame-API
+  * wrappers over the same codegen'd expressions, and misuse must fail at
+  * analysis time.
+  */
+class GraftExtensionsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftExtensions.register(spark)
+  }
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumped over a lazy dog"),
+    (3L, "pack my box with five dozen liquor jugs")
+  ).toDF("id", "text")
+
+  test("simhash64 over token hashes matches the DataFrame API") {
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      "SELECT id, graft_simhash64(graft_token_hashes64(text)) AS sh FROM ext_docs ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val viaApi = docs
+      .select(col("id"), ArrayFns.simhash64(ArrayFns.tokenHashes64(col("text"))).as("sh"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaSql.toSeq === viaApi.toSeq)
+  }
+
+  test("cosine_sim and srp_bucket match the DataFrame API") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f), Array(0.5f, 1.0f, 1.0f)),
+      (2L, Array(0.0f, 3.0f, 4.0f), Array(0.0f, 3.0f, 4.0f))
+    ).toDF("id", "a", "b")
+    vecs.createOrReplaceTempView("ext_vecs")
+    val viaSql = spark.sql(
+      "SELECT id, graft_cosine_sim(a, b) AS cs FROM ext_vecs ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val viaApi = vecs.select(col("id"), ArrayFns.cosineSim(col("a"), col("b")).as("cs"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaSql.toSeq === viaApi.toSeq)
+  }
+
+  test("minhash/shingles/ngram/intersect round-trip through SQL") {
+    docs.createOrReplaceTempView("ext_docs")
+    val n = spark.sql(
+      """SELECT graft_sorted_intersect_count(
+        |  graft_minhash_sig(graft_char_shingle_hashes(d1.text)),
+        |  graft_minhash_sig(graft_char_shingle_hashes(d2.text))) AS c
+        |FROM ext_docs d1 JOIN ext_docs d2 ON d1.id = 1 AND d2.id = 2""".stripMargin)
+      .collect().head.getInt(0)
+    assert(n > 0) // near-dup docs share minhash components
+    val ng = spark.sql(
+      "SELECT size(graft_word_ngram_hashes(text, 3)) AS n FROM ext_docs WHERE id = 3")
+      .collect().head.getInt(0)
+    assert(ng === 6) // 8 words -> 6 distinct 3-grams
+  }
+
+  test("wrong arity and non-literal plane count fail at analysis time") {
+    docs.createOrReplaceTempView("ext_docs")
+    intercept[Exception] {
+      spark.sql("SELECT graft_simhash64(text, 2) FROM ext_docs").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT graft_srp_bucket(CAST(array(1.0) AS ARRAY<FLOAT>), id) FROM ext_docs")
+        .collect()
+    }
+  }
+}
