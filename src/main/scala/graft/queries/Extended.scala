@@ -472,5 +472,66 @@ object Extended {
              |  ROUND(CAST(MAX(c) AS DOUBLE)/100.0, 4) AS hi
              |FROM t GROUP BY bin ORDER BY bin""".stripMargin),
     ),
+
+    // ----- t74: corrupt-record quarantine on schema-on-read ingest -----
+    // Real feeds carry malformed lines; the ingest contract is PERMISSIVE
+    // parse with a _corrupt_record quarantine column — bad rows are counted
+    // and kept for triage, never silently dropped and never failing the job.
+    // The query writes a JSON-lines file of known-good rows plus five
+    // deliberately malformed lines, re-reads it under the quarantine schema,
+    // and reports the split; the oracle recomputes the good-row stats from
+    // parquet and pins the corrupt count.
+    Q(
+      "t74_corrupt_records",
+      (s, d) => {
+        val tmp = sys.props("java.io.tmpdir") + "/graft_t74_json"
+        val valid = Tables.documents(s, d).filter(col("doc_id") < 100)
+          .select(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("value"))
+        import s.implicits._
+        val garbage = Seq("{not json", "}{", "[1,2", "{\"doc_id\":}", "nope").toDF("value")
+        valid.unionAll(garbage).coalesce(1).write.mode("overwrite").text(tmp)
+        s.read
+          .schema("doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt_record STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(tmp)
+          .agg(
+            sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_valid"),
+            sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+            sum(when(col("_corrupt_record").isNull, col("n_chars"))).as("chars_valid"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_valid,
+             |  CAST(5 AS BIGINT) AS n_corrupt,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_valid
+             |FROM documents WHERE doc_id < 100""".stripMargin),
+    ),
+
+    // ----- t75: partition-pruned layout (write partitionBy → pruned scan) -----
+    // The 100 TB table layout: data lands hive-partitioned by a coarse key
+    // (year here; date/source in production) and every query carrying that
+    // predicate reads ONLY the matching directories — the scan's
+    // PartitionFilters prune at planning time, before any file I/O. The
+    // oracle filters the unpartitioned parquet, proving the pruned read
+    // loses nothing.
+    Q(
+      "t75_partition_pruning",
+      (s, d) => {
+        val tmp = sys.props("java.io.tmpdir") + "/graft_t75_part"
+        Tables.orders(s, d)
+          .withColumn("o_year", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("o_year") === 1997)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n"),
+            money(sum(cents(col("o_totalprice")))).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |  ROUND(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0, 4) AS revenue
+             |FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    ),
   )
 }

@@ -91,5 +91,61 @@ object Multimodal {
              |  CAST(bytesum % 65521 AS BIGINT) AS checksum
              |FROM ck ORDER BY doc_id""".stripMargin),
     ),
+
+    // ----- partition-wise frame sampling over binary payloads -----
+    // The video-style access pattern: each payload notionally holds
+    // `n_bytes % 16 + 1` frames (m35's metadata convention); every 4th frame
+    // is sampled and a 1-byte "feature" read at the frame's offset — a
+    // deterministic stand-in for decode-and-sample (see FakeDecode note).
+    // The sampler is a flatMap inside mapPartitions (one output row per
+    // sampled frame, payloads never leave the executor) followed by a
+    // per-doc rollup — the exact shape a real frame-dedup/filter pass has.
+    Q(
+      "m37_frame_sample",
+      (s, d) => {
+        val src = withPayload(s, d)
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("frame_idx", LongType),
+          StructField("frame_byte", LongType)))
+        val frames = src.mapPartitions { rows =>
+          rows.flatMap { r =>
+            val id = r.getLong(0)
+            val p = r.getAs[Array[Byte]](1)
+            val n = p.length
+            if (n == 0) Iterator.empty
+            else {
+              val nFrames = n % 16 + 1
+              (0 until nFrames by 4).iterator.map { fi =>
+                val off = (fi * 1024) % n
+                Row(id, fi.toLong, (p(off) & 0xffL))
+              }
+            }
+          }
+        }(RowEncoder.encoderFor(outSchema))
+        frames.groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_sampled"),
+            max(col("frame_idx")).as("last_frame"),
+            sum(col("frame_byte")).as("byte_sum"))
+          .orderBy("doc_id")
+      },
+      // ASCII corpus: the byte at offset i equals the codepoint of the
+      // character at i+1 (1-based substring), so the oracle mirrors the
+      // sampler in plain SQL.
+      Some("""WITH f AS (
+             |  SELECT doc_id, octet_length(encode(text)) AS n,
+             |         unnest(generate_series(0, octet_length(encode(text)) % 16, 4)) AS fi,
+             |         text
+             |  FROM documents WHERE octet_length(encode(text)) > 0),
+             |b AS (
+             |  SELECT doc_id, fi,
+             |         unicode(substring(text, CAST((fi * 1024) % n AS INT) + 1, 1)) AS fb
+             |  FROM f)
+             |SELECT doc_id, COUNT(*) AS n_sampled,
+             |  CAST(MAX(fi) AS BIGINT) AS last_frame,
+             |  CAST(SUM(fb) AS BIGINT) AS byte_sum
+             |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
   )
 }
