@@ -43,9 +43,11 @@ object Bench {
 
   // Locale.ROOT: the f-interpolator uses the default locale, which renders
   // comma decimals (invalid JSON) under e.g. de_DE
-  private def jnum(d: Double): String =
+  private def jfmt(d: Double, fmt: String): String =
     if (d.isNaN || d.isInfinite) "null"
-    else String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
+    else String.format(java.util.Locale.ROOT, fmt, Double.box(d))
+
+  private def jnum(d: Double): String = jfmt(d, "%.6f")
 
   /** Best-effort DuckDB oracle timing on the same tables (restricted to
     * `names`, so a SPARK_GRAFT_BENCH_ONLY run times the same subset on both
@@ -142,9 +144,7 @@ object Bench {
     // `parsed: null` — a whole round of perf signal lost to line length. The
     // printed line now holds only the summary + a millisecond-precision
     // `queries` map; everything else goes to BENCH_DETAIL.json.
-    def jms(d: Double): String =
-      if (d.isNaN || d.isInfinite) "null"
-      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    def jms(d: Double): String = jfmt(d, "%.3f")
     val total3 = mins.map { case (_, v) => BigDecimal(jms(v)) }.sum  // so sum(queries) == value exactly
     // stdout uses the short unambiguous prefix (q01, t49, m35 — the spec's own
     // "queries":{"q1":sec} shape); BENCH_DETAIL.json carries full names
@@ -164,19 +164,22 @@ object Bench {
       .mkString("{", ",", "}")
     val totalRatio =
       if (duck.nonEmpty && duckTotal > 0) jnum(total / duckTotal) else "null"
-    val detail =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":${jstr(sfDir)},""" +
-      s""""runs":$runs,"cpus":$cpus,"queries":$qs,"spark_runs":$runsJson,"duckdb":$duckJson,""" +
-      s""""ratio":$ratioJson,"duckdb_total":${jnum(duckTotal)},"total_ratio":$totalRatio,""" +
-      s""""load_before":${jnum(loadBefore)},"load_after":${jnum(loadAfter)}}"""
-    Files.writeString(Paths.get("BENCH_DETAIL.json"), detail + "\n")
     val totalRatio3 =
       if (duck.nonEmpty && duckTotal > 0) jms(total / duckTotal) else "null"
+    // stdout FIRST: the compact line is the primary artifact and must not
+    // die with a detail-file I/O failure (read-only cwd, disk full)
     println(
       s"""{"metric":"total","value":$total3,"unit":"sec","queries":$qsShort,"sf":${jstr(sfDir)},""" +
       s""""runs":$runs,"cpus":$cpus,"duckdb_total":${jms(duckTotal)},"total_ratio":$totalRatio3,""" +
       s""""load_before":${jms(loadBefore)},"load_after":${jms(loadAfter)},""" +
       s""""detail":"BENCH_DETAIL.json"}""")
+    val detail =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":${jstr(sfDir)},""" +
+      s""""runs":$runs,"cpus":$cpus,"queries":$qs,"spark_runs":$runsJson,"duckdb":$duckJson,""" +
+      s""""ratio":$ratioJson,"duckdb_total":${jnum(duckTotal)},"total_ratio":$totalRatio,""" +
+      s""""load_before":${jnum(loadBefore)},"load_after":${jnum(loadAfter)}}"""
+    try Files.writeString(Paths.get("BENCH_DETAIL.json"), detail + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -57,11 +57,18 @@ object AsofJoin {
       tolerance: Option[Column] = None): DataFrame = {
     val payloadCols = build.columns.filterNot(c => keys.contains(c) || c == buildTime)
     require(payloadCols.nonEmpty, "build side carries no payload columns")
+    val collisions = payloadCols.toSet.intersect(probe.columns.toSet)
+    require(collisions.isEmpty,
+      s"build payload columns collide with probe columns: ${collisions.mkString(", ")} — " +
+        "rename one side before joining (the output would carry ambiguous duplicates)")
     val keyCols: Seq[Column] = keys.map(col)
 
     // the matched build time rides inside the payload struct so tolerance
-    // can compare it against the probe time after the window pass
-    val b = build.select(
+    // can compare it against the probe time after the window pass.
+    // NULL build times are dropped up front: a row with no time can never be
+    // an as-of match, but NULLS FIRST/LAST ordering would otherwise let its
+    // payload seed (or terminate) the running last() and fabricate matches.
+    val b = build.where(col(buildTime).isNotNull).select(
       keyCols ++ Seq(
         col(buildTime).as("__t"),
         struct(col(buildTime).as("__bt") +: payloadCols.map(col): _*).as("__pay"),
@@ -95,6 +102,9 @@ object AsofJoin {
     val matched = bb.unionByName(p)
       .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
+      // a NULL probe time matches nothing (as-of semantics); without this
+      // gate its window position (NULLS FIRST/LAST) would decide its match
+      .withColumn("__m", when(col("__t").isNotNull, col("__m")))
     val gated = tolerance match {
       case Some(tol) =>
         val dist = if (forward) col("__m.__bt") - col("__t") else col("__t") - col("__m.__bt")

@@ -46,7 +46,10 @@ object Extended {
       "ats",
       date_add(
         to_date(lit("1995-01-01")),
-        ((col("ts_ns") / lit(86400000000000L)).cast("long") % 2400).cast("int")
+        // `div` = exact integer division; Column `/` would widen to double,
+        // whose 53-bit mantissa can round a near-boundary ns count onto the
+        // next day and diverge from the oracle's integer `//`
+        (expr("ts_ns div 86400000000000") % 2400).cast("int")
       ).cast("timestamp"))
 
   private val asofTsSql =

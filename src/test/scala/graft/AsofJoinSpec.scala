@@ -76,6 +76,34 @@ class AsofJoinSpec extends SparkTestBase {
       "d" -> None, "e" -> None, "f" -> None))
   }
 
+  test("null build times never match; null probe times match nothing") {
+    val quotesWithNull = Seq(
+      (1, Option(3L), 30.0),
+      (1, Option.empty[Long], 999.0) // must not seed any probe's match
+    ).toDF("k", "t", "px")
+    val tradesWithNull = Seq(
+      (1, Option(2L), "early"), // before the only timed quote -> null
+      (1, Option(5L), "after"), // -> 30
+      (1, Option.empty[Long], "no_time") // null probe time -> null
+    ).toDF("k", "t", "id")
+    for (fwd <- Seq(false, true)) {
+      val out = AsofJoin.asof(tradesWithNull, quotesWithNull, Seq("k"), "t", "t", forward = fwd)
+        .collect().map(r => r.getAs[String]("id") -> Option(r.getAs[Any]("px"))).toMap
+      assert(out("no_time") === None, s"forward=$fwd")
+      assert(!out.values.flatten.exists(_ == 999.0), s"forward=$fwd null-time quote matched")
+    }
+    val backward = AsofJoin.asof(tradesWithNull, quotesWithNull, Seq("k"), "t", "t")
+      .collect().map(r => r.getAs[String]("id") -> Option(r.getAs[Any]("px"))).toMap
+    assert(backward("early") === None && backward("after") === Some(30.0))
+  }
+
+  test("payload column colliding with a probe column is rejected") {
+    val build = Seq((1, 3L, 30.0, "mm")).toDF("k", "t", "id", "venue") // id collides
+    intercept[IllegalArgumentException] {
+      AsofJoin.asof(trades, build, Seq("k"), "t", "t")
+    }
+  }
+
   test("tolerance discards matches farther than the bound") {
     // backward, tolerance 2: trade e at t=9 matched quote at t=7 (dist 2,
     // kept); trade c at t=5 matched quote at t=3 (dist 2, kept); with
