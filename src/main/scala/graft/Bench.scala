@@ -31,23 +31,8 @@ object Bench {
   private def loadAvg: Double =
     ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
-  private def jstr(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
-
-  // Locale.ROOT: the f-interpolator uses the default locale, which renders
-  // comma decimals (invalid JSON) under e.g. de_DE
-  private def jfmt(d: Double, fmt: String): String =
-    if (d.isNaN || d.isInfinite) "null"
-    else String.format(java.util.Locale.ROOT, fmt, Double.box(d))
-
-  private def jnum(d: Double): String = jfmt(d, "%.6f")
+  private def jstr(s: String): String = Json.str(s)
+  private def jnum(d: Double): String = Json.num(d)
 
   /** Best-effort DuckDB oracle timing on the same tables (restricted to
     * `names`, so a SPARK_GRAFT_BENCH_ONLY run times the same subset on both
@@ -57,18 +42,19 @@ object Bench {
       sfDir: String, runs: Int, threads: String, names: Set[String]): Map[String, Double] = {
     val script = new java.io.File("tools/oraclebench.py")
     if (!script.isFile) return Map.empty
+    val tmp = Files.createTempFile("graft_oracle_sql", ".json")
     try {
-      val tmp = Files.createTempFile("graft_oracle_sql", ".json")
       val json = SparkEntry.oracleSql
         .filter { case (k, _) => names.contains(k) }
         .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ",", "}")
       Files.writeString(tmp, json)
       import scala.sys.process._
       val out = Seq("python3", script.getPath, sfDir, tmp.toString, runs.toString, threads).!!
-      Files.deleteIfExists(tmp)
+      // tolerant line parse: a stray tab-containing warning line must skip
+      // itself, not discard every other query's timing
       out.linesIterator.flatMap { line =>
         line.split('\t') match {
-          case Array(n, s) => Some(n -> s.toDouble)
+          case Array(n, s) => s.toDoubleOption.map(n -> _)
           case _ => None
         }
       }.toMap
@@ -76,7 +62,7 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] oracle timing unavailable: ${e.getMessage}")
         Map.empty
-    }
+    } finally Files.deleteIfExists(tmp)
   }
 
   def main(args: Array[String]): Unit = {
@@ -120,31 +106,41 @@ object Bench {
     // poisoned. Interleaved, a stall contaminates one pass and the min comes
     // from the clean passes. Codegen still warms on pass 1, so the min keeps
     // absorbing compile constants.
-    val passes: Seq[Seq[Double]] = (1 to runs).map { _ =>
+    // a run that THROWS records None, not its time-to-failure: folding a
+    // fast crash into the min would report a healthy-looking number for a
+    // query that never ran (stderr doesn't survive the tail-capture)
+    val passes: Seq[Seq[Option[Double]]] = (1 to runs).map { _ =>
       selected.map { q =>
         val t0 = System.nanoTime()
-        try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}") }
+        val ok =
+          try { q.build(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}"); false }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop blocks the query materialized (localCheckpoint): repeated runs
         // of 45+ queries must not accumulate executor storage memory
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        dt
+        if (ok) Some(dt) else None
       }
     }
     val results: Seq[(String, Seq[Double])] =
-      selected.map(_.name).zipWithIndex.map { case (n, i) => n -> passes.map(_(i)) }
+      selected.map(_.name).zipWithIndex.map { case (n, i) => n -> passes.flatMap(_(i)) }
+    val failed = results.collect { case (n, ts) if ts.isEmpty => n }
     val loadAfter = loadAvg
-    val mins = results.map { case (n, ts) => n -> ts.min }
+    // a query with zero successful runs is EXCLUDED from totals and listed
+    // in "failed" on the artifact line — visible, never silently costed
+    val mins = results.collect { case (n, ts) if ts.nonEmpty => n -> ts.min }
     val total = mins.map(_._2).sum
-    val duckTotal = duck.values.sum
+    // denominator restricted to queries that actually ran on Spark, so a
+    // failed query can't skew the ratio by dropping only its numerator
+    val duckTotal = mins.flatMap { case (k, _) => duck.get(k) }.sum
+    val failedJson = failed.map(jstr).mkString("[", ",", "]")
     // stdout line precision: the driver captures only the TAIL of sbt output
     // (~1.9 KB). Round 4's line carried full-precision per-run arrays + three
     // per-query maps, overflowed that window, and the driver recorded
     // `parsed: null` — a whole round of perf signal lost to line length. The
     // printed line now holds only the summary + a millisecond-precision
     // `queries` map; everything else goes to BENCH_DETAIL.json.
-    def jms(d: Double): String = jfmt(d, "%.3f")
+    def jms(d: Double): String = Json.num(d, "%.3f")
     val total3 = mins.map { case (_, v) => BigDecimal(jms(v)) }.sum  // so sum(queries) == value exactly
     // stdout uses the short unambiguous prefix (q01, t49, m35 — the spec's own
     // "queries":{"q1":sec} shape); BENCH_DETAIL.json carries full names
@@ -171,13 +167,13 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total3,"unit":"sec","queries":$qsShort,"sf":${jstr(sfDir)},""" +
       s""""runs":$runs,"cpus":$cpus,"duckdb_total":${jms(duckTotal)},"total_ratio":$totalRatio3,""" +
-      s""""load_before":${jms(loadBefore)},"load_after":${jms(loadAfter)},""" +
+      s""""failed":$failedJson,"load_before":${jms(loadBefore)},"load_after":${jms(loadAfter)},""" +
       s""""detail":"BENCH_DETAIL.json"}""")
     val detail =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":${jstr(sfDir)},""" +
       s""""runs":$runs,"cpus":$cpus,"queries":$qs,"spark_runs":$runsJson,"duckdb":$duckJson,""" +
       s""""ratio":$ratioJson,"duckdb_total":${jnum(duckTotal)},"total_ratio":$totalRatio,""" +
-      s""""load_before":${jnum(loadBefore)},"load_after":${jnum(loadAfter)}}"""
+      s""""failed":$failedJson,"load_before":${jnum(loadBefore)},"load_after":${jnum(loadAfter)}}"""
     try Files.writeString(Paths.get("BENCH_DETAIL.json"), detail + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     spark.stop()

@@ -75,7 +75,10 @@ object Enumerate {
     * (Arguments.java:184-201 parse; 306-346 getFilePaths). The combined path
     * `dir/pattern` is resolved in order:
     *   1. it IS a directory → its immediate FILES only (subdirectories are
-    *      skipped), names filtered by `startsWith(prefix)` (`-rg` passes "");
+    *      skipped), names filtered by `startsWith(prefix)`. The `-rg` CLI
+    *      passes "" exactly as the reference's does (Arguments.java:196);
+    *      the parameter exists for parity with getFilePaths' programmatic
+    *      surface, where callers pass a real name prefix;
     *   2. it IS a file → that file alone;
     *   3. otherwise, if the parent exists → the parent's children — files
     *      AND directories, the reference's regex branch has no isDir skip —

@@ -179,8 +179,11 @@ object Executor {
     dfs.mkdirs(new Path(dstRoot))
 
     val numBuckets = {
-      val totalBytes = planned.tasks.filter(!_.src.isDir).agg(org.apache.spark.sql.functions.sum("src.length"))
-        .head().let(r => if (r.isNullAt(0)) 0L else r.getLong(0))
+      val totalBytes = {
+        val r = planned.tasks.filter(!_.src.isDir)
+          .agg(org.apache.spark.sql.functions.sum("src.length")).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
       val derived = math.max(1L, totalBytes / cfg.bytesPerTask).toInt
       if (cfg.maxTasks > 0) math.min(cfg.maxTasks, math.max(derived, 1))
       else math.max(derived, spark.sparkContext.defaultParallelism)
@@ -198,10 +201,22 @@ object Executor {
       }
       .localCheckpoint()
 
-    val failed = results.filter(_.status == "FAIL")
-    val nFailed = failed.count()
+    // ONE aggregation pass over the checkpointed results for every counter
+    // the job reports (per-status counts + bytes): the previous five
+    // filter/count actions re-scanned the result blocks five times, all of
+    // it after the phase timers stopped
+    val statusAgg: Map[String, (Long, Long)] = {
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      results.groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("bytes")).as("b"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))))
+        .toMap
+    }
+    val nFailed = statusAgg.get("FAIL").map(_._1).getOrElse(0L)
     if (nFailed > 0) {
-      failed.collect().take(10).foreach(r => System.err.println(s"FAIL ${r.relDst} : ${r.error}"))
+      results.filter(_.status == "FAIL").take(10)
+        .foreach(r => System.err.println(s"FAIL ${r.relDst} : ${r.error}"))
       if (!cfg.ignoreFailures)
         throw new IOException(s"$nFailed copy failures (use -i to ignore)")
     }
@@ -232,19 +247,14 @@ object Executor {
     val tEnd = System.nanoTime()
 
     CopyStats(
-      copied = results.filter(_.status == "COPY").count(),
-      skipped = results.filter(_.status == "SKIP").count(),
+      copied = statusAgg.get("COPY").map(_._1).getOrElse(0L),
+      skipped = statusAgg.get("SKIP").map(_._1).getOrElse(0L),
       failed = nFailed,
-      dirs = results.filter(_.status == "DIR").count(),
-      bytesCopied = results.filter(_.status == "COPY").agg(org.apache.spark.sql.functions.sum("bytes"))
-        .head().let(r => if (r.isNullAt(0)) 0L else r.getLong(0)),
+      dirs = statusAgg.get("DIR").map(_._1).getOrElse(0L),
+      bytesCopied = statusAgg.get("COPY").map(_._2).getOrElse(0L),
       setupMs = (tRun0 - tSetup0) / 1000000L,
       runMs = (tCleanup0 - tRun0) / 1000000L,
       cleanupMs = (tEnd - tCleanup0) / 1000000L,
     )
-  }
-
-  private implicit class LetOps[A](private val a: A) extends AnyVal {
-    def let[B](f: A => B): B = f(a)
   }
 }

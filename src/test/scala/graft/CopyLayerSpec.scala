@@ -228,6 +228,21 @@ class CopyLayerSpec extends SparkTestBase {
     assert(treeListing(dst).keySet == Set("b.log"))
   }
 
+  test("flatRegex dir branch honors a programmatic name prefix") {
+    // getFilePaths' prefix parameter (Arguments.java:307,320): the -rg CLI
+    // passes "" (as the reference's does at :196), but programmatic callers
+    // filter immediate files by name prefix.
+    val src = mkTree(tmpDir("src"))
+    val all = graft.enumerate.Enumerate.flatRegex(spark, s"$src/sub1")
+      .collect().map(_.path.split('/').last).toSet
+    val pref = graft.enumerate.Enumerate.flatRegex(spark, s"$src/sub1", prefix = "b")
+      .collect().map(_.path.split('/').last).toSet
+    assert(all.contains("b.log"))
+    assert(pref == all.filter(_.startsWith("b")))
+    assert(graft.enumerate.Enumerate.flatRegex(spark, s"$src/sub1", prefix = "zz")
+      .collect().isEmpty)
+  }
+
   test("-rg at a concrete file selects it directly") {
     val src = mkTree(tmpDir("src"))
     val dst = tmpDir("dst").resolve("out")

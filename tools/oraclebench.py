@@ -26,13 +26,18 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(sql_json))
     for name in sorted(oracle):
-        best = None
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            con.query(oracle[name]).fetchall()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        print(f"{name}\t{best:.6f}")
+        # per-query isolation: one bad oracle string must not cost the
+        # artifact its entire denominator (the other queries' timings)
+        try:
+            best = None
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                con.query(oracle[name]).fetchall()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            print(f"{name}\t{best:.6f}")
+        except Exception as e:
+            print(f"[oraclebench] {name}: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":
