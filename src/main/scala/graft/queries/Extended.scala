@@ -536,5 +536,101 @@ object Extended {
              |FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
     ),
+
+    // ----- t76: ORC sink→source round-trip (columnar format breadth) -----
+    // Same contract as t63/t64 for the other columnar format Spark ships
+    // natively: write a typed projection to ORC, read it back (ORC carries
+    // its schema; the explicit read schema pins the pipeline contract
+    // anyway), aggregate, and prove against parquet. ORC scans get the same
+    // pushdown/pruning treatment as parquet in the physical plan.
+    Q(
+      "t76_orc_roundtrip",
+      (s, d) => {
+        val tmp = sys.props("java.io.tmpdir") + "/graft_t76_orc"
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"), col("l_extendedprice"))
+          .write.mode("overwrite").orc(tmp)
+        s.read
+          .schema("l_returnflag STRING, l_linestatus STRING, l_quantity DOUBLE, l_extendedprice DOUBLE")
+          .orc(tmp)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(cents(col("l_quantity"))).as("qty_cents"),
+            money(sum(cents(col("l_extendedprice")))).as("total"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents,
+             |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0, 4) AS total
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    ),
+
+    // ----- t77: RANGE window frames (value-based, not row-based) -----
+    // q10's running sum is a ROWS frame; RANGE frames bound by VALUE are the
+    // other half of the window surface — here each order sees the count and
+    // revenue of the SAME customer's orders in the trailing 30 days
+    // (including same-timestamp peers, which a ROWS frame would miss). One
+    // key-partitioned window; at scale this is the standard trailing-metric
+    // feature computation.
+    Q(
+      "t77_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("ts_day"))
+          .rangeBetween(-30L, 0L)
+        Tables.orders(s, d)
+          .filter(col("o_custkey") < 100)
+          .withColumn("ts_day", datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast("long"))
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("ts_day"),
+            count(lit(1)).over(w).as("n_30d"),
+            money(sum(cents(col("o_totalprice"))).over(w)).as("rev_30d"))
+          .orderBy("o_custkey", "ts_day", "o_orderkey")
+      },
+      Some("""WITH t AS (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    CAST(DATEDIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS ts_day
+             |  FROM orders WHERE o_custkey < 100)
+             |SELECT o_custkey, o_orderkey, ts_day,
+             |  COUNT(*) OVER w AS n_30d,
+             |  ROUND(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER w AS DOUBLE)/100.0, 4) AS rev_30d
+             |FROM t
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY ts_day
+             |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_custkey, ts_day, o_orderkey""".stripMargin),
+    ),
+
+    // ----- t78: null-safe equality join (IS NOT DISTINCT FROM) -----
+    // NULL join keys: a plain equi-join drops NULL=NULL pairs; the null-safe
+    // operator (<=> in Spark, IS NOT DISTINCT FROM in SQL) matches them —
+    // the semantics needed to reconcile datasets where NULL is a legitimate
+    // key value (e.g. "no referrer"). Keys are derived deterministically:
+    // every 10th customer's nation is nulled on both sides, then the
+    // reconciliation counts matches per nation bucket including the NULL
+    // bucket. Spark plans <=> as a hash join key (EqualNullSafe is
+    // shuffle-able), not a nested loop.
+    Q(
+      "t78_nullsafe_join",
+      (s, d) => {
+        val base = Tables.customer(s, d)
+          .withColumn("nk",
+            when(col("c_custkey") % 10 === 0, lit(null).cast("int"))
+              .otherwise(col("c_nationkey")))
+        val a = base.select(col("c_custkey").as("a_id"), col("nk"))
+        val b = base.select(col("c_custkey").as("b_id"), col("nk").as("nk_b"))
+        a.join(b, col("nk") <=> col("nk_b"))
+          .groupBy(col("nk"))
+          .agg(count(lit(1)).as("n_pairs"), count_distinct(col("a_id")).as("n_left"))
+          .orderBy(col("nk").asc_nulls_first)
+      },
+      Some("""WITH base AS (
+             |  SELECT c_custkey, CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_nationkey END AS nk
+             |  FROM customer)
+             |SELECT a.nk, COUNT(*) AS n_pairs,
+             |  CAST(COUNT(DISTINCT a.c_custkey) AS BIGINT) AS n_left
+             |FROM base a JOIN base b ON a.nk IS NOT DISTINCT FROM b.nk
+             |GROUP BY a.nk ORDER BY a.nk NULLS FIRST""".stripMargin),
+    ),
   )
 }
