@@ -147,5 +147,57 @@ object Multimodal {
              |  CAST(SUM(fb) AS BIGINT) AS byte_sum
              |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
+
+    // ----- partition-wise resize planning over image-style metadata -----
+    // The resize step of an image pipeline: from each payload's (width,
+    // height) metadata (m35's convention), compute the target dimensions
+    // that fit a 224×224 training square while preserving aspect ratio —
+    // scale = 224 / max(w, h), targets rounded half-up, never upscaled
+    // (scale capped at 1). The arithmetic runs in the same mapPartitions
+    // decode pass a real resampler would (the pixel work is the stub; the
+    // dimension plan, batch shape, and schema are the real plumbing).
+    Q(
+      "m38_resize_stub",
+      (s, d) => {
+        val src = withPayload(s, d)
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("width", LongType),
+          StructField("height", LongType),
+          StructField("target_w", LongType),
+          StructField("target_h", LongType),
+          StructField("scale_pm", LongType))) // scale in per-mille
+        val planned = src.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val n = r.getAs[Array[Byte]](1).length.toLong
+            val w = math.max(n % 640, 1L)
+            val h = math.max((n * 7) % 480, 1L)
+            val side = math.max(w, h)
+            // integer per-mille scale avoids float disagreement with the
+            // oracle; capped at 1000 (never upscale)
+            val scalePm = math.min(1000L, (224L * 1000L) / side)
+            val tw = (w * scalePm + 500L) / 1000L
+            val th = (h * scalePm + 500L) / 1000L
+            Row(id, w, h, tw, th, scalePm)
+          }
+        }(RowEncoder.encoderFor(outSchema))
+        planned.orderBy("doc_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    GREATEST(octet_length(encode(text)) % 640, 1) AS w,
+             |    GREATEST(octet_length(encode(text)) * 7 % 480, 1) AS h
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, w, h,
+             |    LEAST(1000, 224000 // GREATEST(w, h)) AS scale_pm
+             |  FROM m)
+             |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST((w * scale_pm + 500) // 1000 AS BIGINT) AS target_w,
+             |  CAST((h * scale_pm + 500) // 1000 AS BIGINT) AS target_h,
+             |  CAST(scale_pm AS BIGINT) AS scale_pm
+             |FROM p ORDER BY doc_id""".stripMargin),
+    ),
   )
 }
