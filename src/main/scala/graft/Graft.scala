@@ -59,4 +59,30 @@ object Graft {
       throw new IllegalArgumentException(
         s"unknown query '$name'; available: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"),
     )(spark, dir)
+
+  /** Point-in-time join — see [[graft.operators.AsofJoin.asof]]. */
+  def asofJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      probeTime: String,
+      buildTime: String,
+      strict: Boolean = false,
+      forward: Boolean = false,
+      tolerance: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    operators.AsofJoin.asof(probe, build, keys, probeTime, buildTime, strict, forward, tolerance)
+
+  /** Skew-mitigated equi-join — see [[graft.operators.SaltedJoin.join]]. */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      salts: Int,
+      joinType: String = "inner"): DataFrame =
+    operators.SaltedJoin.join(left, right, keys, salts, joinType)
+
+  /** Inject the graft_* SQL functions into a live session — see
+    * [[GraftExtensions.register]] (builder-time sessions can use
+    * `.withExtensions(new GraftExtensions)` instead). */
+  def registerFunctions(spark: SparkSession): Unit = GraftExtensions.register(spark)
 }

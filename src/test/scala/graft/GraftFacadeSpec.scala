@@ -22,6 +22,24 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(e.getMessage.contains("unknown query"))
   }
 
+  test("operator and SQL-function passthroughs work through the facade") {
+    import spark.implicits._
+    val probes = Seq((1, 5L, "p1")).toDF("k", "t", "id")
+    val builds = Seq((1, 3L, 30.0)).toDF("k", "t", "px")
+    val asof = Graft.asofJoin(probes, builds, Seq("k"), "t", "t").collect()
+    assert(asof.head.getAs[Double]("px") == 30.0)
+
+    val l = Seq((1, "a"), (1, "b")).toDF("k", "lv")
+    val r = Seq((1, 10)).toDF("k", "rv")
+    assert(Graft.saltedJoin(l, r, Seq("k"), 4).count() == 2)
+
+    Graft.registerFunctions(spark)
+    val cs = spark.sql(
+      "SELECT graft_cosine_sim(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>), CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS c")
+      .collect().head.getDouble(0)
+    assert(math.abs(cs - 1.0) < 1e-9)
+  }
+
   test("copy() end-to-end through the facade") {
     val base = Paths.get("target/fixtures", "facade-" + System.nanoTime()).toAbsolutePath
     val src = base.resolve("src")
