@@ -33,6 +33,13 @@ object Extended {
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
   private def money(sumCents: Column): Column = round(sumCents.cast("double") / 100.0, 4)
 
+  /** Sink dir for the write-then-read queries, keyed by query name AND the
+    * source dir: two JVMs running different scale factors concurrently must
+    * not race on one path (overwrite-under-reader, or silently aggregating
+    * the other run's data). */
+  private def sinkDir(name: String, d: String): String =
+    sys.props("java.io.tmpdir") + "/graft_" + name + "_" + d.replaceAll("[^A-Za-z0-9]", "_")
+
   /** Synthetic in-range "as-of" timestamp derived from the event's raw nanos
     * with pure integer arithmetic, so both engines compute the identical day:
     * day = (ts_ns div 86400e9) mod 2400 → 1995-01-01 + day. (The raw event
@@ -154,6 +161,9 @@ object Extended {
     ),
 
     // ----- t58: skew-safe two-stage distinct count -----
+    // count over the COLUMN (not count(1)): a NULL l_suppkey survives
+    // .distinct() as a (flag, NULL) row, and SQL's COUNT(DISTINCT) ignores
+    // NULLs — counting the column keeps the null semantics identical.
     Q(
       "t58_skew_distinct",
       (s, d) =>
@@ -161,7 +171,7 @@ object Extended {
           .select(col("l_returnflag"), col("l_suppkey"))
           .distinct()
           .groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("n_supp"))
+          .agg(count(col("l_suppkey")).as("n_supp"))
           .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
@@ -258,7 +268,7 @@ object Extended {
     Q(
       "t63_csv_roundtrip",
       (s, d) => {
-        val tmp = sys.props("java.io.tmpdir") + "/graft_t63_csv"
+        val tmp = sinkDir("t63_csv", d)
         Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
           .write.mode("overwrite").option("header", "true").csv(tmp)
@@ -288,7 +298,7 @@ object Extended {
     Q(
       "t64_json_roundtrip",
       (s, d) => {
-        val tmp = sys.props("java.io.tmpdir") + "/graft_t64_json"
+        val tmp = sinkDir("t64_json", d)
         Tables.part(s, d)
           .select(
             col("p_partkey"),
@@ -327,7 +337,7 @@ object Extended {
     Q(
       "t65_bucketed_join",
       (s, d) => {
-        val base = sys.props("java.io.tmpdir") + "/graft_t65_wh"
+        val base = sinkDir("t65_wh", d)
         Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice"))
           .write.mode("overwrite").option("path", s"$base/orders")
           .bucketBy(8, "o_custkey").saveAsTable("t65_orders_b")
@@ -487,7 +497,7 @@ object Extended {
     Q(
       "t74_corrupt_records",
       (s, d) => {
-        val tmp = sys.props("java.io.tmpdir") + "/graft_t74_json"
+        val tmp = sinkDir("t74_json", d)
         val valid = Tables.documents(s, d).filter(col("doc_id") < 100)
           .select(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("value"))
         import s.implicits._
@@ -519,7 +529,7 @@ object Extended {
     Q(
       "t75_partition_pruning",
       (s, d) => {
-        val tmp = sys.props("java.io.tmpdir") + "/graft_t75_part"
+        val tmp = sinkDir("t75_part", d)
         Tables.orders(s, d)
           .withColumn("o_year", year(col("o_orderdate")))
           .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
@@ -546,7 +556,7 @@ object Extended {
     Q(
       "t76_orc_roundtrip",
       (s, d) => {
-        val tmp = sys.props("java.io.tmpdir") + "/graft_t76_orc"
+        val tmp = sinkDir("t76_orc", d)
         Tables.lineitem(s, d)
           .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"), col("l_extendedprice"))
           .write.mode("overwrite").orc(tmp)

@@ -80,10 +80,12 @@ object Multimodal {
       },
       // The test corpus is pure ASCII (verified), so the UTF-8 byte sum equals
       // the per-character codepoint sum — expressible in plain SQL.
+      // COALESCE: list_sum over an empty list is NULL, but the Spark fold
+      // over an empty payload is 0 — an empty document must hash identically.
       Some("""WITH ck AS (
              |  SELECT doc_id, octet_length(encode(text)) AS n,
-             |         list_sum(list_transform(generate_series(1, length(text)),
-             |                                 i -> unicode(substring(text, i, 1)))) AS bytesum
+             |         COALESCE(list_sum(list_transform(generate_series(1, length(text)),
+             |                                          i -> unicode(substring(text, i, 1)))), 0) AS bytesum
              |  FROM documents)
              |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
              |  CAST(n % 640 AS BIGINT) AS width,
@@ -170,9 +172,11 @@ object Multimodal {
         val planned = src.mapPartitions { rows =>
           rows.map { r =>
             val id = r.getLong(0)
-            val n = r.getAs[Array[Byte]](1).length.toLong
-            val w = math.max(n % 640, 1L)
-            val h = math.max((n * 7) % 480, 1L)
+            // single source of truth for the metadata convention: the same
+            // FakeDecode width/height m35/m36 derive, floored to 1 px
+            val (_, w0, h0, _) = FakeDecode.features(r.getAs[Array[Byte]](1))
+            val w = math.max(w0, 1L)
+            val h = math.max(h0, 1L)
             val side = math.max(w, h)
             // integer per-mille scale avoids float disagreement with the
             // oracle; capped at 1000 (never upscale)
