@@ -62,6 +62,7 @@ object GraftExtensions {
     fixed("graft_cosine_sim", 2)(a => CosineSim(a.head, a(1))),
     fixed("graft_srp_bucket", 2)(a =>
       SrpBucket(a.head, intLit(a(1), "graft_srp_bucket"))),
+    fixed("graft_l2_norm", 1)(a => L2Norm(a.head)),
     fixed("graft_sorted_intersect_count", 2)(a =>
       SortedIntersectCount(a.head, a(1))),
   )

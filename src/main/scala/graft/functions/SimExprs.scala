@@ -145,6 +145,35 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** L2 norm of a float vector; NULL on a NULL input OR any NULL element —
+  * the reporting variant for vector health checks (t54), where [[CosineSim]]
+  * deliberately raises instead.
+  */
+case class L2Norm(child: Expression) extends UnaryExpression with SimKitCall {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    requireType(child, isFloatArray, "array<float>")
+  override def nullSafeEval(a: Any): Any = SimKit.l2NormOrNull(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val boxed = ctx.freshName("norm")
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${c.isNull}) {
+          java.lang.Double $boxed = $kit.l2NormOrNull(${c.value});
+          if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.doubleValue(); }
+        }
+      """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** SRP LSH bucket (low `nBits` bits) of a float-array embedding. */
 case class SrpBucket(child: Expression, nBits: Int)
     extends UnaryExpression with SimKitCall {

@@ -250,6 +250,24 @@ object SimKit {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** L2 norm of a float vector, or null if any element is NULL — the
+    * REPORTING variant of the cosine kernels' raise-on-malformed contract
+    * (a health check counts malformed vectors instead of dying on the
+    * first one). Sequential index-order double fold, bit-identical to
+    * DuckDB's `sqrt(list_sum(list_transform(emb, x -> x*x)))`. */
+  def l2NormOrNull(a: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = a.getFloat(i).toDouble
+      s += x * x
+      i += 1
+    }
+    java.lang.Double.valueOf(math.sqrt(s))
+  }
+
   /** Deterministic ±1 sign-random-projection planes (32 × 64), by the fixed
     * LCG-style formula embedded as a literal in the oracle SQL — bucket
     * assignment is bit-identical across engines. 32 planes give headroom to

@@ -95,4 +95,6 @@ object ArrayFns {
       CosineSim(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def srpBucket(emb: Column, nBits: Int): Column =
     GraftColumnBridge.column(SrpBucket(GraftColumnBridge.expression(emb), nBits))
+  def l2Norm(emb: Column): Column =
+    GraftColumnBridge.column(L2Norm(GraftColumnBridge.expression(emb)))
 }

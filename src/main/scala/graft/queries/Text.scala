@@ -19,6 +19,10 @@ object Text {
   // Stopword-hit patterns per language; zh detected by CJK codepoints.
   // \x{...} escapes parse identically in Java regex (Spark) and RE2 (DuckDB).
   private val enPat = "\\b(the|and|of|to|in)\\b"
+  // the quality-rule stopword set (t27 score, t53 filter) — ONE definition
+  // interpolated into both Spark and oracle sides so the two rules can't
+  // drift apart (alternation order is irrelevant under the \b anchors)
+  private val stopPat = "\\b(the|a|and|of|to|in)\\b"
   private val dePat = "\\b(der|die|das|und|ist)\\b"
   private val esPat = "\\b(el|los|las|es|y)\\b"
   private val frPat = "\\b(le|les|des|est)\\b"
@@ -111,7 +115,7 @@ object Text {
         Tables.documents(s, d)
           .withColumn("n_words", regexp_count(col("text"), lit("[A-Za-z]+")).cast("long"))
           .withColumn("n_punct", regexp_count(col("text"), lit("[.,!?;:]")).cast("long"))
-          .withColumn("n_stop", regexp_count(col("text"), lit("\\b(the|a|and|of|to|in)\\b")).cast("long"))
+          .withColumn("n_stop", regexp_count(col("text"), lit(stopPat)).cast("long"))
           .select(
             col("doc_id"), col("n_words"), col("n_punct"),
             round(
@@ -120,11 +124,11 @@ object Text {
                 + (lit(1.0) - least(col("n_punct") * 1.0 / greatest(col("n_words"), lit(1L)), lit(1.0))) * 0.2,
               4).as("score"))
           .orderBy("doc_id"),
-      Some("""WITH t AS (
+      Some(s"""WITH t AS (
              |  SELECT doc_id,
              |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
              |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
-             |    CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in)\b')) AS BIGINT) AS n_stop
+             |    CAST(len(regexp_extract_all(text, '$stopPat')) AS BIGINT) AS n_stop
              |  FROM documents)
              |SELECT doc_id, n_words, n_punct,
              |  ROUND(LEAST(n_words/100.0, 1.0)*0.5
@@ -208,9 +212,12 @@ object Text {
     // when it shares >= 3 distinct word-3-grams with ANY probe doc. Grams are
     // 64-bit hashes from one native-kernel call per row (WordNgramHashes —
     // only equality is used, so the signed/unsigned difference vs the
-    // oracle's UBIGINT never surfaces); the probe side is tiny by nature
-    // (benchmarks are small), hence broadcast — corpus-side grams never
-    // shuffle at all.
+    // oracle's UBIGINT never surfaces). The broadcast is valid because the
+    // REAL probe is a fixed, externally-bounded benchmark suite (MMLU-sized:
+    // at most ~10^7 grams regardless of corpus size); this demo derives the
+    // probe from the corpus only for oracle determinism, and at that 2%-of-
+    // corpus scaling a real deployment would shuffle-join on g instead —
+    // corpus-side grams still never shuffle here.
     Q(
       "t48_contamination",
       (s, d) => {
@@ -325,8 +332,7 @@ object Text {
             col("n_alpha") * 1.0 / greatest(col("n_words"), lit(1L)))
           .withColumn("alpha_frac_raw",
             col("n_alpha") * 1.0 / greatest(length(col("text")).cast("long"), lit(1L)))
-          .withColumn("has_stop",
-            regexp_count(col("text"), lit("\\b(the|and|of|to|in|a)\\b")) > 0)
+          .withColumn("has_stop", regexp_count(col("text"), lit(stopPat)) > 0)
           .select(
             col("doc_id"), col("n_words"),
             round(col("mean_wlen_raw"), 4).as("mean_wlen"),
@@ -336,12 +342,12 @@ object Text {
               && col("mean_wlen_raw") <= 10.0 && col("alpha_frac_raw") >= 0.6
               && col("has_stop")).as("keep"))
           .orderBy("doc_id"),
-      Some("""WITH t AS (
+      Some(s"""WITH t AS (
              |  SELECT doc_id,
              |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
              |    CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
              |    CAST(LENGTH(text) AS BIGINT) AS n_chars,
-             |    len(regexp_extract_all(text, '\b(the|and|of|to|in|a)\b')) > 0 AS has_stop
+             |    len(regexp_extract_all(text, '$stopPat')) > 0 AS has_stop
              |  FROM documents)
              |SELECT doc_id, n_words,
              |  ROUND(n_alpha * 1.0 / GREATEST(n_words, 1), 4) AS mean_wlen,
@@ -469,7 +475,10 @@ object Text {
           .select(col("doc_id"), col("source"),
             regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tok"))
           .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-          .withColumn("bin", (col("cum_before") / budget).cast("long"))
+          // `div` = exact integer division; `/` widens to double, whose
+          // 53-bit mantissa mis-bins once per-source cumulative tokens pass
+          // 2^53 — the oracle's `//` is exact at any magnitude
+          .withColumn("bin", expr(s"cum_before div $budget"))
           .groupBy(col("source"), col("bin"))
           .agg(
             count(lit(1)).as("n_docs"),

@@ -70,6 +70,18 @@ class SimKitSpec extends SparkTestBase {
     assert(rootMessage(e).contains("null element"))
   }
 
+  test("l2Norm: value on well-formed, NULL on null vector or null element") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq(Some(3.0f), Some(4.0f)))),
+      (2L, Some(Seq(Some(1.0f), None))),
+      (3L, Option.empty[Seq[Option[Float]]])
+    ).toDF("id", "v")
+    val rows = df.select(col("id"), ArrayFns.l2Norm(col("v")).as("n")).orderBy("id").collect()
+    assert(math.abs(rows(0).getDouble(1) - 5.0) < 1e-12)
+    assert(rows(1).isNullAt(1) && rows(2).isNullAt(1))
+  }
+
   test("word n-gram hashes: distinct sorted, empty under n tokens") {
     import spark.implicits._
     def grams(s: String, n: Int): Seq[Long] =
