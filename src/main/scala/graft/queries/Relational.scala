@@ -246,42 +246,53 @@ object Relational {
     Q(
       "q14_rollup",
       (s, d) =>
+        // grouping markers in the output (the t59 pattern): COALESCE('ALL')
+        // alone conflates a subtotal row with a genuine NULL data value and
+        // makes the ORDER BY non-total — the markers restore a total order
+        // and let readers tell the two apart
         Tables.lineitem(s, d)
           .rollup(col("l_returnflag"), col("l_linestatus"))
-          .agg(count(lit(1)).as("cnt"), money(sum(cents(col("l_quantity")))).as("sum_qty"))
+          .agg(
+            grouping(col("l_returnflag")).cast("int").as("g_rf"),
+            grouping(col("l_linestatus")).cast("int").as("g_ls"),
+            count(lit(1)).as("cnt"), money(sum(cents(col("l_quantity")))).as("sum_qty"))
           .select(
             coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
             coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
-            col("cnt"), col("sum_qty"))
-          .orderBy("rf", "ls"),
+            col("g_rf"), col("g_ls"), col("cnt"), col("sum_qty"))
+          .orderBy("g_rf", "g_ls", "rf", "ls"),
       Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+             |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+             |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
              |  COUNT(*) AS cnt,
              |  ROUND(SUM(CAST(ROUND(l_quantity*100) AS BIGINT))/100.0, 4) AS sum_qty
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-             |ORDER BY rf, ls""".stripMargin),
+             |ORDER BY g_rf, g_ls, rf, ls""".stripMargin),
     ),
 
     // ----- Q15: string functions (ref ops 3,4 regex selection) -----
     Q(
       "q15_string_funcs",
       (s, d) =>
+        // group directly on the projected/sorted key: grouping on raw
+        // p_brand but emitting upper(p_brand) would produce duplicate
+        // brand_u rows (non-total ORDER BY → flaky hash) if two brands
+        // ever differ only in case
         Tables.part(s, d)
-          .groupBy(col("p_brand"))
+          .groupBy(upper(col("p_brand")).as("brand_u"))
           .agg(
             count(lit(1)).as("cnt"),
             sum(when(col("p_name").like("%re%"), 1L).otherwise(0L)).as("n_re"),
             sum(when(col("p_name").rlike("^(red|blue|green)"), 1L).otherwise(0L)).as("n_color"),
             sum(length(col("p_name")).cast("long")).as("total_len"),
             min(substring(col("p_type"), 1, 3)).as("type_pfx"))
-          .select(upper(col("p_brand")).as("brand_u"), col("cnt"), col("n_re"),
-            col("n_color"), col("total_len"), col("type_pfx"))
           .orderBy("brand_u"),
       Some("""SELECT UPPER(p_brand) AS brand_u, COUNT(*) AS cnt,
              |  CAST(SUM(CASE WHEN p_name LIKE '%re%' THEN 1 ELSE 0 END) AS BIGINT) AS n_re,
              |  CAST(SUM(CASE WHEN regexp_matches(p_name, '^(red|blue|green)') THEN 1 ELSE 0 END) AS BIGINT) AS n_color,
              |  CAST(SUM(LENGTH(p_name)) AS BIGINT) AS total_len,
              |  MIN(SUBSTR(p_type, 1, 3)) AS type_pfx
-             |FROM part GROUP BY p_brand ORDER BY brand_u""".stripMargin),
+             |FROM part GROUP BY UPPER(p_brand) ORDER BY brand_u""".stripMargin),
     ),
 
     // ----- Q16: date/time functions -----
@@ -530,10 +541,13 @@ object Relational {
             min(col("k")).as("min_k"),
             max(col("k")).as("max_k"))
           .orderBy("event_type"),
+      // TRY_CAST, not CAST: Spark's .cast("long") nulls a non-numeric $.k
+      // while a hard CAST would ABORT the DuckDB query — the oracle must
+      // share the null-on-bad-value semantics, not turn it into an error.
       Some("""SELECT event_type, COUNT(*) AS n_events,
-             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-             |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-             |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+             |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  CAST(MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+             |  CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     ),
 
@@ -623,9 +637,13 @@ object Relational {
           .collect()
           .groupBy(_._1)
           .map { case (g, arr) => g -> arr.map(t => t._2 -> t._3).toMap }
-        // that collect was the checkpoint's last use — the returned frame is
-        // built from driver-side rows, so release the cached blocks now
+        // that collect was the checkpoint's AND the broadcasts' last use —
+        // the returned frame is built from driver-side rows, so release the
+        // cached blocks and broadcast blocks now (the harness RDD sweep
+        // doesn't cover broadcasts; undisposed ones linger until GC)
         ranged.unpersist(blocking = false)
+        bOff.destroy()
+        bNeed.destroy()
         def interp(g: String, q: Double): Double = {
           val n = totals(g)
           val pos = q * (n - 1)
@@ -675,33 +693,53 @@ object Relational {
     Q(
       "t43_cube",
       (s, d) =>
+        // grouping markers as in q14: subtotal vs genuine-NULL rows stay
+        // distinguishable and the ORDER BY stays total
         Tables.lineitem(s, d)
           .cube(col("l_returnflag"), col("l_linestatus"))
-          .agg(count(lit(1)).as("cnt"), money(sum(cents(col("l_quantity")))).as("sum_qty"))
+          .agg(
+            grouping(col("l_returnflag")).cast("int").as("g_rf"),
+            grouping(col("l_linestatus")).cast("int").as("g_ls"),
+            count(lit(1)).as("cnt"), money(sum(cents(col("l_quantity")))).as("sum_qty"))
           .select(
             coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
             coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
-            col("cnt"), col("sum_qty"))
-          .orderBy("rf", "ls"),
+            col("g_rf"), col("g_ls"), col("cnt"), col("sum_qty"))
+          .orderBy("g_rf", "g_ls", "rf", "ls"),
       Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+             |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+             |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
              |  COUNT(*) AS cnt,
              |  ROUND(SUM(CAST(ROUND(l_quantity*100) AS BIGINT))/100.0, 4) AS sum_qty
              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
-             |ORDER BY rf, ls""".stripMargin),
+             |ORDER BY g_rf, g_ls, rf, ls""".stripMargin),
     ),
 
     // ----- array/higher-order functions over the embedding column -----
     Q(
       "t44_array_funcs",
       (s, d) =>
+        // null semantics pinned to the oracle's list_sum: NULL elements are
+        // SKIPPED (filter before the fold), and an empty or all-null list
+        // yields NULL, where a bare aggregate() would NULL-propagate on the
+        // first NULL element and return 0 for empty — both probed against
+        // DuckDB. n_pos needs only the empty-list guard: IF(NULL > 0, 1, 0)
+        // already evaluates to 0 on both engines.
         Tables.embeddings(s, d)
           .filter(col("vec_id") < 50)
           .select(
             col("vec_id"),
             size(col("embedding")).cast("long").as("dim"),
-            round(expr("aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"), 4).as("vsum"),
-            round(expr("aggregate(slice(embedding, 1, 8), CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"), 4).as("head_sum"),
-            expr("CAST(aggregate(embedding, 0, (a, x) -> a + IF(x > 0, 1, 0)) AS BIGINT)").as("n_pos"))
+            round(expr(
+              """CASE WHEN size(filter(embedding, x -> x IS NOT NULL)) > 0
+                |THEN aggregate(filter(embedding, x -> x IS NOT NULL),
+                |               CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE)) END""".stripMargin), 4).as("vsum"),
+            round(expr(
+              """CASE WHEN size(filter(slice(embedding, 1, 8), x -> x IS NOT NULL)) > 0
+                |THEN aggregate(filter(slice(embedding, 1, 8), x -> x IS NOT NULL),
+                |               CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE)) END""".stripMargin), 4).as("head_sum"),
+            expr("""CASE WHEN size(embedding) > 0
+                   |THEN CAST(aggregate(embedding, 0, (a, x) -> a + IF(x > 0, 1, 0)) AS BIGINT) END""".stripMargin).as("n_pos"))
           .orderBy("vec_id"),
       Some("""SELECT vec_id,
              |  CAST(len(embedding) AS BIGINT) AS dim,
