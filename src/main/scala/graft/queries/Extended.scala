@@ -642,5 +642,48 @@ object Extended {
              |FROM base a JOIN base b ON a.nk IS NOT DISTINCT FROM b.nk
              |GROUP BY a.nk ORDER BY a.nk NULLS FIRST""".stripMargin),
     ),
+
+    // ----- t79: native DECIMAL exact-money arithmetic -----
+    // Everywhere else money rides the integer-cents trick; this query pins
+    // the engine's native DECIMAL path: per-row revenue is computed in
+    // EXACT integer ten-thousandths (price cents × discount percent) and
+    // HALF-UP'd to cents in integer math — `ROUND(price*(1-disc), 2)` on
+    // doubles hits .xx5 ties that Spark (HALF_UP on the shortest decimal
+    // repr) and DuckDB (binary rounding) resolve differently, a measured
+    // cent-level divergence. The cents then land in DECIMAL(18,2) (× 0.01
+    // is exact at scale 2) whose SUM is exact and order-independent — the
+    // type a financial pipeline would actually use. Partial-agg friendly:
+    // decimal sums are decomposable, an ordinary two-phase hash aggregate.
+    Q(
+      "t79_decimal_money",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(
+            col("l_returnflag"),
+            expr("""CAST(CAST((CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   |            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) + 50) div 100
+                   |          AS DECIMAL(18,2)) * 0.01 AS DECIMAL(18,2))""".stripMargin).as("rev"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("rev")).as("revenue_dec"))
+          // decimal → double via exact integer cents: a direct DECIMAL →
+          // DOUBLE cast differs between the engines in the last ulp (their
+          // decimal conversion paths round differently), while bigint/100.0
+          // is one identical double division on both
+          .select(
+            col("l_returnflag"), col("n"),
+            round((col("revenue_dec") * 100).cast("long") / 100.0, 4).as("revenue"))
+          .orderBy("l_returnflag"),
+      Some("""WITH t AS (
+             |  SELECT l_returnflag,
+             |    CAST(CAST((CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             |               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) + 50) // 100
+             |              AS DECIMAL(18,2)) * 0.01 AS DECIMAL(18,2)) AS rev
+             |  FROM lineitem)
+             |SELECT l_returnflag, COUNT(*) AS n,
+             |  ROUND(CAST(SUM(rev) * 100 AS BIGINT) / 100.0, 4) AS revenue
+             |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
   )
 }

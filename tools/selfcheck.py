@@ -70,7 +70,10 @@ def main():
             for xv, yv in zip(x, y):
                 if xv == yv:
                     continue
-                if isinstance(xv, float) and isinstance(yv, float) and math.isclose(xv, yv, abs_tol=2e-9):
+                # rel_tol MUST be 0: the default 1e-9 tolerates +-1.0 at
+                # billion-scale values and masked a real cent-level
+                # divergence as float slop
+                if isinstance(xv, float) and isinstance(yv, float) and math.isclose(xv, yv, rel_tol=0.0, abs_tol=2e-9):
                     continue
                 ok = False
             if not ok:
