@@ -46,6 +46,11 @@ object SaltedJoin {
       salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
+    // mirrors AsofJoin's collision check: withColumn would silently replace a
+    // user column named like our salt and the final drop() would remove it
+    require(
+      !left.columns.contains(SaltCol) && !right.columns.contains(SaltCol),
+      s"input already has a column named $SaltCol; rename it before salting")
     require(
       Set("inner", "left", "left_outer").contains(joinType),
       s"salted join preserves semantics only for inner/left_outer, got $joinType")

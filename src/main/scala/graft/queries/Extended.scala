@@ -36,7 +36,14 @@ object Extended {
   /** Sink dir for the write-then-read queries, keyed by query name AND the
     * source dir: two JVMs running different scale factors concurrently must
     * not race on one path (overwrite-under-reader, or silently aggregating
-    * the other run's data). */
+    * the other run's data).
+    *
+    * ASSUMPTION (single-writer-per-(query,dir)): two JVMs running the SAME
+    * query on the SAME source dir concurrently would still race on one sink
+    * path — and t65 additionally saveAsTable's fixed catalog names. The
+    * harness never does this (Verify and Bench are run sequentially by the
+    * driver); if concurrent same-dir runs ever become possible, add a
+    * per-process component (e.g. PID) to the path and unique table names. */
   private def sinkDir(name: String, d: String): String =
     sys.props("java.io.tmpdir") + "/graft_" + name + "_" + d.replaceAll("[^A-Za-z0-9]", "_")
 

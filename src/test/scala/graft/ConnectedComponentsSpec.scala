@@ -1,0 +1,87 @@
+package graft
+
+import scala.util.Random
+
+import graft.operators.ConnectedComponents
+
+/** Equivalence + shape tests for the two connected-components algorithms:
+  * large-star/small-star (SoCC'14, the scale path t49 runs on) must produce
+  * the identical (id → min-of-component) map as min-label propagation — and
+  * as a driver-side union-find reference — on deterministic shapes (star,
+  * path, clique, self-loops, empty) and on seeded random graphs that
+  * include the skewed-star regime the algorithm exists for.
+  */
+class ConnectedComponentsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  /** Driver-side union-find ground truth with min-id representatives. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+    }
+    edges.foreach { case (a, b) => union(a, b) }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Unit = {
+    val df = edges.toDF("a", "b")
+    val truth = unionFind(edges)
+    val lss = ConnectedComponents.largeSmallStar(df, "a", "b")
+      .as[(Long, Long)].collect().sorted
+    val lp = ConnectedComponents.labelPropagation(df, "a", "b")
+      .as[(Long, Long)].collect().sorted
+    // exactly one row per node on both, identical maps, matching ground truth
+    assert(lss.map(_._1).distinct.length === lss.length, "lss emitted duplicate ids")
+    assert(lss.toSeq === lp.toSeq)
+    assert(lss.toMap === truth)
+  }
+
+  test("star graph (the skewed hub t49 cares about)") {
+    run((1L to 500L).map(i => (0L, i)))
+  }
+
+  test("reversed star (hub is the max id)") {
+    run((0L until 500L).map(i => (i, 500L)))
+  }
+
+  test("long path (diameter stress — where propagation is slowest)") {
+    run((0L until 200L).map(i => (i, i + 1)))
+  }
+
+  test("clique plus isolated self-loop node") {
+    val clique = for (i <- 0L until 20L; j <- (i + 1) until 20L) yield (i, j)
+    run(clique ++ Seq((99L, 99L))) // 99 is its own component
+  }
+
+  test("empty edge set") {
+    val df = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(ConnectedComponents.largeSmallStar(df, "a", "b").count() === 0L)
+  }
+
+  test("randomized graphs: sparse, dense, and star-mixture regimes") {
+    val rnd = new Random(20260813L)
+    for (trial <- 1 to 6) {
+      val n = 120 + rnd.nextInt(80)
+      val regime = trial % 3
+      val edges: Seq[(Long, Long)] = regime match {
+        case 0 => // sparse random: many small components
+          (0 until n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        case 1 => // dense random: one giant component plus stragglers
+          (0 until 4 * n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        case _ => // star mixture: a few heavy hubs + random chaff
+          val hubs = (0 until 3).map(_ => rnd.nextInt(n).toLong)
+          hubs.flatMap(h => (0 until n / 2).map(_ => (h, rnd.nextInt(n).toLong))) ++
+            (0 until n / 4).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      }
+      withClue(s"trial=$trial regime=$regime n=$n") { run(edges) }
+    }
+  }
+}
