@@ -22,9 +22,24 @@ import graft.core.{FileMeta, Fs, PathUtils}
   */
 object Enumerate {
 
+  /** Canonical rendering of a root path for prefix-relativization against
+    * enumerated [[FileMeta.path]]s: qualified by the path's OWN filesystem,
+    * so user-typed roots ("/a/b", "hdfs://nn/a") and status paths
+    * ("file:/a/b", "hdfs://nn/a/x") agree segment-for-segment. */
+  def qualify(root: String): String = {
+    val p = new Path(root)
+    p.getFileSystem(Fs.conf()).makeQualified(p).toString
+  }
+
   def toMeta(st: FileStatus): FileMeta =
     FileMeta(
-      path = st.getPath.toUri.getPath,
+      // the FULL qualified URI, scheme included: stripping to the bare path
+      // (toUri.getPath) made every later access re-resolve against the
+      // DEFAULT filesystem — invisible locally, but a dual-cluster copy
+      // (hdfs://nn1 → hdfs://nn2, the reference's primary use case,
+      // DistCPPlus.java:38-43) would read the wrong cluster, and checksum
+      // fetches degraded to the default FS's (null ⇒ CRC diff silently off)
+      path = st.getPath.toString,
       length = st.getLen,
       isDir = st.isDirectory,
       replication = st.getReplication.toInt,
@@ -59,10 +74,16 @@ object Enumerate {
     val rootMeta = toMeta(fs(conf, root).getFileStatus(new Path(root)))
     var acc = spark.createDataset(Seq(rootMeta))
     var frontier = spark.createDataset(if (rootMeta.isDir) Seq(rootMeta.path) else Nil)
+    var depth = 0
     while (frontier.count() > 0) {
       val level = listLevel(spark, frontier).localCheckpoint()
       acc = acc.union(level)
       frontier = level.filter(_.isDir).map(_.path)
+      depth += 1
+      // the union chain otherwise grows one plan node per tree level:
+      // flatten the accumulator's lineage periodically so pathologically
+      // deep trees (depth 10³+) don't bloat the plan / driver stack
+      if (depth % 8 == 0) acc = acc.localCheckpoint()
     }
     acc
   }
@@ -100,7 +121,7 @@ object Enumerate {
       catch { case _: java.io.FileNotFoundException => None }
     st match {
       case Some(s) if s.isDirectory =>
-        listLevel(spark, spark.createDataset(Seq(s.getPath.toUri.getPath)))
+        listLevel(spark, spark.createDataset(Seq(s.getPath.toString)))
           .filter { m =>
             val name = m.path.substring(m.path.lastIndexOf('/') + 1)
             !m.isDir && name.startsWith(prefix)
@@ -130,8 +151,9 @@ object Enumerate {
   ): (Dataset[FileMeta], Dataset[FileMeta]) = {
     val compiled = regexes.map(Pattern.compile(_))
     val tree = listTree(spark, root)
+    val qRoot = qualify(root)
     def relSegs(m: FileMeta): Option[Vector[String]] =
-      PathUtils.makeRelative(root, m.path).filter(_ != ".").map(_.split('/').toVector)
+      PathUtils.makeRelative(qRoot, m.path).filter(_ != ".").map(_.split('/').toVector)
     def prefixMatches(segs: Vector[String]): Boolean =
       segs.length <= compiled.length &&
         segs.zip(compiled).forall { case (s, p) => p.matcher(s).matches() }
@@ -151,7 +173,9 @@ object Enumerate {
     paths
       .groupByKey(p => p.take(math.max(p.lastIndexOf('/'), 1)))
       .flatMapGroups { (parent, children) =>
-        val want = children.toSet
+        // membership on the scheme-less URI path so callers may request with
+        // or without a scheme; emitted metas carry the qualified URI
+        val want = children.map(c => new Path(c).toUri.getPath).toSet
         val conf = Fs.conf()
         val f = fs(conf, parent)
         f.listStatus(new Path(parent)).iterator

@@ -25,10 +25,35 @@ final case class CopyPlan(
     deletes: Dataset[String],
     dirs: Dataset[CopyTask],
 ) {
-  /** Dry-run surface (op 19): planned file copies without executing. */
+  /** Dry-run surface (op 19): planned file copies without executing.
+    *
+    * Driver-side materialization by contract (mirrors the reference's
+    * in-driver manifest walk, `d/DistCPPlus.java:580-607`) — valid for
+    * manifest-scale plans, so it FAILS FAST past [[CopyPlan.DryRunListCap]]
+    * paths instead of silently OOMing the driver; memory is bounded by
+    * collecting at most cap+1 rows. A plan too big to list belongs in
+    * the parquet plan export (`-exportOnly`), not a driver Seq. */
   def sourceFilesForTransfer: Seq[String] =
-    tasks.filter(!_.src.isDir).collect().map(_.src.path).toSeq
+    sourceFilesForTransfer(CopyPlan.DryRunListCap)
+
+  private[graft] def sourceFilesForTransfer(cap: Int): Seq[String] = {
+    val paths =
+      tasks.filter(!_.src.isDir).map(_.src.path)(tasks.sparkSession.implicits.newStringEncoder)
+        .limit(cap + 1).collect().toSeq
+    require(
+      paths.length <= cap,
+      s"dry-run file list exceeds $cap entries; use the parquet plan export " +
+        "(-exportOnly) for plans too large to hold on the driver")
+    paths
+  }
   def hasFileCopied: Boolean = tasks.filter(!_.src.isDir).limit(1).count() > 0
+}
+
+object CopyPlan {
+  /** Max paths [[CopyPlan.sourceFilesForTransfer]] will hand the driver
+    * (~1M paths ≈ low hundreds of MB) before failing fast with a pointer at
+    * the distributed plan export. */
+  val DryRunListCap: Int = 1000000
 }
 
 object Planner {
@@ -42,7 +67,10 @@ object Planner {
       cfg: CopyConfig,
   ): Dataset[CopyTask] = {
     import spark.implicits._
-    val baseName = root.split('/').filter(_.nonEmpty).lastOption.getOrElse("")
+    // relativize against the root's FS-qualified rendering: enumerated metas
+    // carry full qualified URIs, the user-typed root may not
+    val qRoot = Enumerate.qualify(root)
+    val baseName = qRoot.split('/').filter(_.nonEmpty).lastOption.getOrElse("")
     val nest = cfg.srcs.length > 1
     val metas: Dataset[FileMeta] = cfg.depthRegexes match {
       case Nil => Enumerate.listTree(spark, root)
@@ -54,7 +82,7 @@ object Planner {
           acc.union(Enumerate.listTree(spark, d.path).filter(!_.isDir)))
     }
     metas.flatMap { m =>
-      PathUtils.makeRelative(root, m.path).flatMap { rel =>
+      PathUtils.makeRelative(qRoot, m.path).flatMap { rel =>
         val r = if (rel == ".") {
           if (m.isDir) None else Some(baseName) // single-file source keeps its name
         } else Some(if (nest) s"$baseName/$rel" else rel)
@@ -154,8 +182,9 @@ object Planner {
     val dfs = new Path(dstRoot).getFileSystem(conf)
     if (!dfs.exists(new Path(dstRoot))) tasks
     else {
+      val qDstRoot = Enumerate.qualify(dstRoot)
       val dst = Enumerate.listTree(spark, dstRoot)
-        .flatMap(m => PathUtils.makeRelative(dstRoot, m.path).filter(_ != ".").map(r => (r, m.length, m.mtime, m.isDir)))
+        .flatMap(m => PathUtils.makeRelative(qDstRoot, m.path).filter(_ != ".").map(r => (r, m.length, m.mtime, m.isDir)))
         .toDF("relDst", "dLen", "dMtime", "dIsDir")
       val joined = tasks.join(dst, Seq("relDst"), "left").localCheckpoint()
       val metaDiff = joined
@@ -224,8 +253,9 @@ object Planner {
     val dfs = new Path(dstRoot).getFileSystem(conf)
     if (!dfs.exists(new Path(dstRoot))) spark.emptyDataset[String]
     else {
+      val qDstRoot = Enumerate.qualify(dstRoot)
       val dst = Enumerate.listTree(spark, dstRoot)
-        .flatMap(m => PathUtils.makeRelative(dstRoot, m.path).filter(_ != "."))
+        .flatMap(m => PathUtils.makeRelative(qDstRoot, m.path).filter(_ != "."))
         .toDF("relDst")
       val keep = tasks
         .flatMap { t =>

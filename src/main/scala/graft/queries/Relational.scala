@@ -28,6 +28,11 @@ import graft.Tables
   */
 object Relational {
 
+  /** Budget for t41's driver-held rank offsets (entries = parts × groups;
+    * 4M entries ≈ low hundreds of MB). Package-visible so the guard's
+    * failure mode is unit-testable without a 4M-group dataset. */
+  private[graft] var PercentileDriverStateBudget: Long = 4000000L
+
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
   private def money(sumCents: Column): Column = round(sumCents.cast("double") / 100.0, 4)
 
@@ -607,6 +612,17 @@ object Relational {
             Iterator.single(m.toArray)
           }
           .collect()
+        // driver state is O(parts × groups) — fine for a percentile REPORT
+        // over ≤ thousands of groups, but fail fast (instead of silently
+        // OOMing the driver) if someone points this at a high-cardinality
+        // group column; that workload belongs in approx_percentile
+        val stateEntries = partCounts.iterator.map(_.length.toLong).sum
+        require(
+          stateEntries <= Relational.PercentileDriverStateBudget,
+          s"t41 holds parts×groups = $stateEntries rank-offset entries on the driver, " +
+            s"over budget ${Relational.PercentileDriverStateBudget}; exact per-group " +
+            "order statistics need a group-cardinality this small — use " +
+            "approx_percentile for high-cardinality groups")
         val totals = scala.collection.mutable.Map.empty[String, Long]
         val offsets: Array[Map[String, Long]] = partCounts.map { pc =>
           val off = pc.map { case (g, _) => g -> totals.getOrElse(g, 0L) }.toMap

@@ -7,6 +7,8 @@ import java.util.Comparator
 import scala.jdk.CollectionConverters._
 import scala.util.Random
 
+import org.apache.hadoop.fs.{Path => HPath}
+
 import graft.core._
 import graft.enumerate.Enumerate
 import graft.exec.Executor
@@ -456,7 +458,8 @@ class CopyLayerSpec extends SparkTestBase {
       }
       val regexes = Seq.fill(2)(Seq("a.*", "b.*", "log-.*", ".*a.*")(rnd.nextInt(4)))
       val (leaves, _) = Enumerate.depthRegex(spark, root.toString, regexes)
-      val got = leaves.collect().map(m => root.relativize(Paths.get(m.path)).toString).toSet
+      val got = leaves.collect()
+        .map(m => root.relativize(Paths.get(new HPath(m.path).toUri.getPath)).toString).toSet
       // naive oracle: full walk, keep entries whose rel segments all match
       import scala.jdk.CollectionConverters._
       val expect = Files.walk(root).iterator().asScala
@@ -475,8 +478,11 @@ class CopyLayerSpec extends SparkTestBase {
     val src = mkTree(tmpDir("src"))
     val metas = Enumerate.listTree(spark, src.toString).collect()
     val expect = treeListing(src)
-    val got = metas.filter(_.path != src.toString)
-      .map(m => src.relativize(Paths.get(m.path)).toString -> (if (m.isDir) -1L else m.length)).toMap
+    val got = metas.map(m => new HPath(m.path).toUri.getPath -> m)
+      .filter(_._1 != src.toString)
+      .map { case (p, m) =>
+        src.relativize(Paths.get(p)).toString -> (if (m.isDir) -1L else m.length)
+      }.toMap
     assert(got == expect)
   }
 
@@ -548,7 +554,102 @@ class CopyLayerSpec extends SparkTestBase {
     val src = mkTree(tmpDir("src"))
     val want = Seq(s"$src/a.txt", s"$src/sub1/b.log")
     val got = Enumerate.batchedStatus(spark, spark.createDataset(want)).collect()
-    assert(got.map(_.path).toSet == want.toSet)
+    assert(got.map(m => new HPath(m.path).toUri.getPath).toSet == want.toSet)
     assert(got.forall(!_.isDir))
+  }
+
+  test("update CRC compare runs for real on a checksum-bearing filesystem") {
+    // chkfile:// (ChecksummedLocalFs) returns content MD5s, so this drives
+    // the non-null branch of DistCpUtils.java:264-291's truth table that
+    // file://'s null checksums always short-circuit: same length + same
+    // mtime + DIFFERENT content is recopied iff the CRC check is on.
+    def copyUri(extra: Seq[String], src: String, dst: String): Executor.CopyStats = {
+      val cfg = Args.parse(extra ++ Seq(src, dst)).toOption.get
+      Executor.execute(spark, Planner.plan(spark, cfg), cfg)
+    }
+    def chk(p: Path): String = "chkfile://" + p.toString
+    def scenario(tag: String): (Path, Path) = {
+      val src = tmpDir(s"crc-src-$tag")
+      val dst = tmpDir(s"crc-dst-$tag").resolve("out")
+      Files.write(src.resolve("diff.bin"), Array.fill[Byte](256)(1))
+      Files.write(src.resolve("same.bin"), Array.fill[Byte](128)(7))
+      copyUri(Seq("-pt"), chk(src), chk(dst)) // populate dst, mtimes preserved
+      // mutate dest content at SAME length, then restore the matching mtime
+      Files.write(dst.resolve("diff.bin"), Array.fill[Byte](256)(2))
+      Files.setLastModifiedTime(
+        dst.resolve("diff.bin"), Files.getLastModifiedTime(src.resolve("diff.bin")))
+      (src, dst)
+    }
+
+    // CRC check ON (the -update default): content divergence is caught
+    val (s1, d1) = scenario("on")
+    val statsOn = copyUri(Seq("-update", "-pt"), chk(s1), chk(d1))
+    // same.bin is pruned at plan time (meta-equal AND checksum-equal);
+    // diff.bin survives the CRC pass and is recopied
+    assert(statsOn.copied == 1 && statsOn.failed == 0, s"got $statsOn")
+    assert(fileBytes(d1.resolve("diff.bin")).toSeq == Array.fill[Byte](256)(1).toSeq)
+
+    // -skipcrccheck: metadata-equal pairs are trusted, divergence survives
+    val (s2, d2) = scenario("off")
+    val statsOff = copyUri(Seq("-update", "-skipcrccheck", "-pt"), chk(s2), chk(d2))
+    assert(statsOff.copied == 0 && statsOff.failed == 0, s"got $statsOff")
+    assert(fileBytes(d2.resolve("diff.bin")).toSeq == Array.fill[Byte](256)(2).toSeq)
+  }
+
+  test("sameAtCopyTime truth table with real checksums (DistCpUtils.java:239-291)") {
+    val base = tmpDir("crc-tt")
+    val fs = new HPath(s"chkfile://$base").getFileSystem(Fs.conf())
+    assert(fs.isInstanceOf[ChecksummedLocalFs], "service-loaded chkfile FS expected")
+    def mk(rel: String, fill: Byte, n: Int, mtime: Long): Path = {
+      val p = base.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, Array.fill[Byte](n)(fill))
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(mtime))
+      p
+    }
+    val mt = 1700000000000L
+    def same(src: Path, dst: Path, skipCrc: Boolean): Boolean = {
+      // sameAtCopyTime reads only length+mtime off the task's src meta
+      val meta = FileMeta(
+        s"chkfile://$src", Files.size(src), isDir = false, 1, 0L,
+        Files.getLastModifiedTime(src).toMillis, 0L, "rw-r--r--", "u", "g")
+      val cfg0 = Args.parse(Seq("-update", src.toString, base.toString)).toOption.get
+      val cfg = if (skipCrc) cfg0.copy(skipCrc = true) else cfg0
+      Executor.sameAtCopyTime(
+        fs, new HPath(s"chkfile://$src"), fs, new HPath(s"chkfile://$dst"),
+        CopyTask(meta, dst.getFileName.toString), cfg)
+    }
+    val a = mk("a/f", 1, 100, mt)
+    val aTwin = mk("twin/f", 1, 100, mt)
+    val aDiff = mk("diffc/f", 9, 100, mt) // same len+mtime, other content
+    assert(same(a, aTwin, skipCrc = false), "identical content ⇒ same")
+    assert(!same(a, aDiff, skipCrc = false), "content divergence caught by CRC")
+    assert(same(a, aDiff, skipCrc = true), "CRC disabled ⇒ metadata equality wins")
+  }
+
+  test("listTree enumerates a pathologically deep tree (lineage stays flat)") {
+    // depth 80 crosses the every-8-levels accumulator checkpoint ten times;
+    // before that checkpoint existed the union chain grew one plan node per
+    // level — this pins both correctness at depth and the flattened plan
+    val base = tmpDir("deep")
+    var cur = base
+    val depth = 80
+    (1 to depth).foreach { i =>
+      cur = cur.resolve(s"d$i")
+      Files.createDirectories(cur)
+      if (i % 10 == 0 || i == depth)
+        Files.write(cur.resolve(s"f$i.txt"), s"lvl$i".getBytes(StandardCharsets.UTF_8))
+    }
+    val listed = Enumerate.listTree(spark, base.toString).collect()
+    val dirs = listed.count(_.isDir)
+    val files = listed.filterNot(_.isDir)
+    assert(dirs == depth + 1) // the chain + the root itself
+    assert(files.map(_.path.split('/').last).sorted.toSeq ==
+      Seq("f10.txt", "f20.txt", "f30.txt", "f40.txt", "f50.txt",
+        "f60.txt", "f70.txt", "f80.txt"))
+    // the accumulator's plan must not carry one Union arm per level
+    val unions = "Union".r.findAllIn(
+      Enumerate.listTree(spark, base.toString).queryExecution.optimizedPlan.toString).size
+    assert(unions <= 16, s"accumulator lineage grew with depth: $unions Union nodes")
   }
 }
