@@ -29,7 +29,10 @@ object PlanScan {
       "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
       "BroadcastNestedLoopJoin", "CartesianProduct",
       "HashAggregate", "ObjectHashAggregate", "SortAggregate",
-      "Window", "Exchange SinglePartition")
+      "Window", "Exchange SinglePartition",
+      // runtime partition pruning planted in a scan's PartitionFilters
+      // (t80's contract; informational — more is better)
+      "dynamicpruning")
     val totals = scala.collection.mutable.LinkedHashMap(keys.map(_ -> 0): _*)
     SparkEntry.registry.foreach { q =>
       try {

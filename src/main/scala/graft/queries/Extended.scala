@@ -692,5 +692,47 @@ object Extended {
              |  ROUND(CAST(SUM(rev) * 100 AS BIGINT) / 100.0, 4) AS revenue
              |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     ),
+
+    // ----- t80: DYNAMIC partition pruning (fact ⋈ filtered dim) -----
+    // t75 proves static pruning (literal predicate on the partition column);
+    // this is the other half of the 100 TB pruning story: the partition
+    // predicate isn't known until runtime — it's implied by a filter on a
+    // DIM table joined on the partition key. Spark plants a dynamicpruning
+    // subquery in the fact scan's PartitionFilters (reusing the dim's
+    // broadcast), so only the partitions surviving the dim filter are read.
+    // The dim must live ON DISK: a filter over an in-memory LocalRelation is
+    // constant-folded before the PartitionPruning rule looks for it.
+    // PlanScanSpec asserts the dynamicpruning filter is actually planted.
+    Q(
+      "t80_dpp_join",
+      (s, d) => {
+        val factDir = sinkDir("t80_fact", d)
+        Tables.orders(s, d)
+          .withColumn("o_year", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("o_year").parquet(factDir)
+        val calDir = sinkDir("t80_cal", d)
+        s.createDataFrame(Seq(
+          (1992, "early"), (1993, "early"), (1994, "early"), (1995, "mid"),
+          (1996, "mid"), (1997, "late"), (1998, "late")))
+          .toDF("cal_year", "era")
+          .write.mode("overwrite").parquet(calDir)
+        val fact = s.read.parquet(factDir)
+        val cal = s.read.parquet(calDir).filter(col("era") === "late")
+        fact.join(broadcast(cal), fact("o_year") === cal("cal_year"))
+          .groupBy(col("cal_year"))
+          .agg(
+            count(lit(1)).as("n"),
+            money(sum(cents(col("o_totalprice")))).as("revenue"))
+          .orderBy("cal_year")
+      },
+      Some("""WITH cal(cal_year, era) AS (VALUES
+             |    (1992,'early'),(1993,'early'),(1994,'early'),(1995,'mid'),
+             |    (1996,'mid'),(1997,'late'),(1998,'late'))
+             |SELECT cal_year, COUNT(*) AS n,
+             |  ROUND(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0, 4) AS revenue
+             |FROM orders JOIN cal ON EXTRACT(YEAR FROM o_orderdate) = cal_year
+             |WHERE era = 'late'
+             |GROUP BY cal_year ORDER BY cal_year""".stripMargin),
+    ),
   )
 }
