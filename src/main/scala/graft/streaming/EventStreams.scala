@@ -34,19 +34,29 @@ object EventStreams {
 
   private val GapNs = 1800000000000L // 30 min
 
-  /** Streaming tumbling 1-hour window counts per user. */
-  def tumblingStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet") // single-file source: stream the parent dir
-      .parquet(dir)
-      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+  /** The watermarked tumbling agg itself, over any frame carrying
+    * (ts_ns, user_id, value) — the file stream and the late-data test
+    * harness (MemoryStream) share this exact plan; on a BATCH frame the
+    * watermark is Spark's documented no-op, so the same function is its own
+    * batch oracle. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_us", timestamp_micros(expr("ts_ns div 1000")))
       .withWatermark("ts_us", "2 hours")
       .groupBy(col("user_id"), window(col("ts_us"), "1 hour"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(round(col("value") * 100, 0).cast("long")).cast("double") / 100.0, 4).as("sum_value"))
       .select(col("user_id"), col("window.start").as("win_start"), col("n_events"), col("sum_value"))
+
+  /** Streaming tumbling 1-hour window counts per user. */
+  def tumblingStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tumblingAgg(
+      spark.readStream
+        .schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet") // single-file source: stream the parent dir
+        .parquet(dir)
+        .select(col("ts").as("ts_ns"), col("user_id"), col("value")))
   }
 
   /** Per-user session counting with explicit keyed state — the streaming twin

@@ -48,4 +48,43 @@ class SaltedJoinSpec extends SparkTestBase {
   test("salt column does not leak into the output") {
     assert(SaltedJoin.join(left, right, Seq("k"), 4).columns.toSeq === Seq("k", "lv", "rv"))
   }
+
+  test("inputs already carrying the salt column are rejected") {
+    val poisoned = left.withColumn("__graft_salt", lit(0))
+    intercept[IllegalArgumentException] {
+      SaltedJoin.join(poisoned, right, Seq("k"), 4)
+    }
+  }
+
+  test("salting spreads a hot key across reducers (AQE off, shuffle join pinned)") {
+    // the reason the operator exists: a genuinely hot key (50k of 50.8k rows
+    // on k=1) lands on ONE reducer in a plain shuffled join; salting splits
+    // it `salts` ways. Post-join partition row counts stand in for per-task
+    // shuffle read: the shuffled hash join's output partitioning IS the
+    // reducer assignment (AQE off so nothing re-coalesces or skew-splits it,
+    // both plans pinned to shuffle_hash so neither broadcasts).
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val hot = ((1 to 50000).map(i => (1, i.toLong)) ++
+        (2 to 9).flatMap(k => (1 to 100).map(i => (k, i.toLong)))).toDF("k", "lv")
+      val dim = (1 to 9).map(k => (k, k * 10)).toDF("k", "rv")
+      def maxPartRows(df: org.apache.spark.sql.DataFrame): Int =
+        df.rdd.mapPartitions(it => Iterator(it.length)).collect().max
+      val salts = 8
+      val plain = hot.join(dim.hint("shuffle_hash"), Seq("k"))
+      val salted = SaltedJoin.join(hot, dim, Seq("k"), salts)
+      val mp = maxPartRows(plain)
+      val ms = maxPartRows(salted)
+      assert(mp >= 50000, s"plain join should funnel the hot key to one reducer, max=$mp")
+      assert(ms < mp / 2, s"salting must spread the hot reducer: salted max=$ms vs plain max=$mp")
+      // and the spread output is still the same relation
+      assert(salted.count() === plain.count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", partsWas)
+    }
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.EventStreams
@@ -54,6 +55,49 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
       val ids = spark.sql("SELECT event_id FROM dedup_inc").collect().map(_.getLong(0)).toSeq
       assert(ids.sorted == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("late-data oracle: within-watermark late rows aggregate, past-watermark rows drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600L * 1000000000L // 1 hour in ns
+    def ev(id: Long, tHours: Double) = EventStreams.Ev(id, (tHours * h).toLong, 7L, 1.0)
+
+    val input = MemoryStream[EventStreams.Ev]
+    val agg = EventStreams.tumblingAgg(input.toDF().select(col("ts_ns"), col("user_id"), col("value")))
+    val q = agg.writeStream.format("memory").queryName("late_tumble")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: three on-time events; max event time 2.5h → watermark 0.5h
+      input.addData(ev(1, 1.0), ev(2, 1.5), ev(3, 2.5)); q.processAllAvailable()
+      // batch 2: advance to 6h → watermark 4h; windows [1,2) [2,3) finalize
+      input.addData(ev(4, 6.0)); q.processAllAvailable()
+      // batch 3 delivers LATE data against watermark 4h:
+      //  - ev5 at 4.5h: window [4,5) ends after the watermark → must count
+      //  - ev6 at 1.2h: window [1,2) ended long before it → must be dropped
+      input.addData(ev(5, 4.5), ev(6, 1.2)); q.processAllAvailable()
+      // batch 4: advance to 10h → watermark 8h; [4,5) and [6,7) finalize
+      input.addData(ev(7, 10.0)); q.processAllAvailable()
+
+      val emitted = spark.sql("SELECT user_id, win_start, n_events, sum_value FROM late_tumble")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+
+      // the drop happened: window [1,2) counts 2 events, not 3
+      val w1 = emitted.filter(_._2.getTime == 1 * 3600 * 1000L)
+      assert(w1.map(_._3) == Set(2L), s"late ev6 must be dropped, got $w1")
+      // the within-watermark late row was accepted: [4,5) exists with 1 event
+      val w4 = emitted.filter(_._2.getTime == 4 * 3600 * 1000L)
+      assert(w4.map(_._3) == Set(1L), s"late-but-within ev5 must count, got $w4")
+
+      // final emissions == the BATCH recompute over (delivered \ dropped),
+      // restricted to windows the final watermark (8h) has finalized
+      val union = Seq(ev(1, 1.0), ev(2, 1.5), ev(3, 2.5), ev(4, 6.0), ev(5, 4.5), ev(7, 10.0))
+      val oracle = EventStreams.tumblingAgg(
+        union.toDF().select(col("ts_ns"), col("user_id"), col("value")))
+        .filter(col("win_start") < timestamp_millis(lit(8L * 3600 * 1000)))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(emitted == oracle, s"emitted=$emitted oracle=$oracle")
     } finally q.stop()
   }
 
