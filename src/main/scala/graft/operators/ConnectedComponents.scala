@@ -49,7 +49,18 @@ object ConnectedComponents {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxRounds: Int = 64): DataFrame = {
+      maxRounds: Int = 64): DataFrame =
+    largeSmallStarWithRounds(edges, srcCol, dstCol, maxRounds)._1
+
+  /** Same, also reporting how many large+small-star rounds convergence took —
+    * the operator's O(log n)-rounds-regardless-of-diameter claim is asserted
+    * against this in ConnectedComponentsSpec (a path graph of length n makes
+    * label propagation pay ~n rounds; this stays logarithmic). */
+  private[graft] def largeSmallStarWithRounds(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxRounds: Int = 64): (DataFrame, Int) = {
     val base = edges
       .select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u") =!= col("v"))
@@ -102,9 +113,10 @@ object ConnectedComponents {
       cur = next
     }
     // fixpoint edges are (node → component-min) stars; roots map to selves
-    nodes
+    val labeled = nodes
       .join(cur, nodes("id") === cur("u"), "left")
       .select(col("id"), coalesce(col("v"), col("id")).as("component"))
+    (labeled, round)
   }
 
   /** Min-label propagation to a fixpoint (the diameter-bounded baseline the

@@ -66,6 +66,23 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(ConnectedComponents.largeSmallStar(df, "a", "b").count() === 0L)
   }
 
+  test("string ids work (any orderable type, min = lexicographic)") {
+    val edges = Seq(("b", "c"), ("c", "a"), ("x", "y"), ("z", "z")).toDF("s", "d")
+    val got = ConnectedComponents.largeSmallStar(edges, "s", "d")
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x", "z" -> "z"))
+  }
+
+  test("rounds stay logarithmic on a long path (the claim t49 switched for)") {
+    // a 300-edge path has diameter 300: min-label propagation pays ~300
+    // rounds; large/small-star must converge in O(log n) — single digits
+    val path = (0L until 300L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) =
+      ConnectedComponents.largeSmallStarWithRounds(path, "a", "b")
+    assert(labels.as[(Long, Long)].collect().forall(_._2 == 0L))
+    assert(rounds <= 10, s"expected O(log n) rounds on a path, took $rounds")
+  }
+
   test("randomized graphs: sparse, dense, and star-mixture regimes") {
     val rnd = new Random(20260813L)
     for (trial <- 1 to 6) {
