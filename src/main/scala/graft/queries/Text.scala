@@ -543,5 +543,40 @@ object Text {
              |  CAST(SUM(n_chunks * 512 - (n_chunks - 1) * 64) AS BIGINT) AS chunked_chars_ub
              |FROM k GROUP BY source ORDER BY source""".stripMargin),
     ),
+
+    // ----- t81: per-source document cap (corpus mixture control) -----
+    // The standard pretraining-mix lever: no single source may contribute
+    // more than N documents (a per-domain/per-crawl cap against one scrape
+    // dominating the mixture). Admission is a row_number over a
+    // (source)-partitioned, doc_id-ordered window — deterministic (retry-
+    // and engine-stable, like t47's hash admission), key-partitioned so no
+    // global sort, and one shuffle on the source key. The report shows
+    // kept/total per source so the mixture change is auditable. At 100 TB
+    // a hot source's window sort is bounded by that source's rows per
+    // partition — the same contract as every keyed window here.
+    Q(
+      "t81_source_cap",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("kept", row_number().over(w) <= 50)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("chars_kept"))
+          .orderBy("source")
+      },
+      Some("""WITH r AS (
+             |  SELECT source, n_chars,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) <= 50 AS kept
+             |  FROM documents)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+             |FROM r GROUP BY source ORDER BY source""".stripMargin),
+    ),
   )
 }
