@@ -102,6 +102,21 @@ object EventStreams {
       .as[Ev]
   }
 
+  /** Stream-static enrichment join — the third standard streaming shape
+    * next to windowed aggs and keyed state: each micro-batch joins a STATIC
+    * dimension (here a user→segment map, e.g. read from parquet) and counts
+    * per segment. Spark re-resolves the static side per micro-batch, so a
+    * slowly-changing dimension re-read from storage is picked up without
+    * restarting the query; the dim is broadcast when small (the usual
+    * case), so the stream side never shuffles for the join. Left join:
+    * events from users missing in the dim land in an explicit "unknown"
+    * bucket instead of silently dropping. */
+  def enrichedSegmentCounts(events: Dataset[Ev], userSegments: DataFrame): DataFrame =
+    events.toDF()
+      .join(userSegments, Seq("user_id"), "left")
+      .groupBy(coalesce(col("segment"), lit("unknown")).as("segment"))
+      .agg(count(lit(1)).as("n_events"))
+
   def eventsDataset(spark: SparkSession, dir: String): Dataset[Ev] = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

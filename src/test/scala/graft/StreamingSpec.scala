@@ -101,6 +101,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join equals batch recompute; missing users bucket as unknown") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val segments = Seq((7L, "paid"), (8L, "free")).toDF("user_id", "segment")
+    val h = 3600L * 1000000000L
+    val b1 = Seq(EventStreams.Ev(1, 1 * h, 7, 1.0), EventStreams.Ev(2, 1 * h, 8, 1.0))
+    val b2 = Seq(EventStreams.Ev(3, 2 * h, 7, 1.0), EventStreams.Ev(4, 2 * h, 99, 1.0)) // 99 not in dim
+
+    val input = MemoryStream[EventStreams.Ev]
+    val counts = EventStreams.enrichedSegmentCounts(input.toDS(), segments)
+    val q = counts.writeStream.format("memory").queryName("seg_counts")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.sql("SELECT segment, n_events FROM seg_counts").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val batch = EventStreams.enrichedSegmentCounts((b1 ++ b2).toDS(), segments).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed == Set(("paid", 2L), ("free", 1L), ("unknown", 1L)))
+    } finally q.stop()
+
+    // the static side broadcasts: the stream side must not shuffle for the join
+    val plan = EventStreams.enrichedSegmentCounts((b1 ++ b2).toDS(), segments)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
   test("incremental streaming via MemoryStream sees late-batch arrivals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
