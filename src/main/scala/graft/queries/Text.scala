@@ -578,5 +578,119 @@ object Text {
              |  CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
              |FROM r GROUP BY source ORDER BY source""".stripMargin),
     ),
+
+    // ----- t83: n-gram repetition metrics (Gopher-style quality rule) -----
+    // Per doc: the fraction of all word n-grams occupied by the single most
+    // frequent n-gram — the "top-2-gram / top-3-gram fraction" repetition
+    // rules of Rae et al. 2021 (Gopher), arXiv:2112.11446 §A1.1. A doc
+    // looping one phrase scores high and gets filtered. Fractions stay in
+    // integer basis points (max_cnt*10000 div total) — floor division is
+    // exact on both engines, no float divergence possible. Shape at 100 TB:
+    // explode → count on (doc_id, gram) is the canonical wordcount (full
+    // map-side combine on the composite key), the per-doc reduce keys on
+    // doc_id, and the per-source report is tiny; one shuffle per gram arm.
+    Q(
+      "t83_repetition",
+      (s, d) => {
+        def arm(n: Int, thresholdBp: Int, tag: String) = {
+          val gram = (1 until n).foldLeft(col("toks")(col("i") - 1).cast("string")) {
+            (acc, k) => concat(acc, lit(" "), col("toks")(col("i") - 1 + k))
+          }
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"),
+              expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
+            .filter(size(col("toks")) >= n)
+            .select(col("doc_id"), col("source"),
+              explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("i"),
+              col("toks"))
+            .select(col("doc_id"), col("source"), gram.as("g"))
+            .groupBy(col("doc_id"), col("source"), col("g"))
+            .agg(count(lit(1)).as("c"))
+            .groupBy(col("doc_id"), col("source"))
+            .agg(expr("max(c) * 10000 div sum(c)").as("bp"))
+            .groupBy(col("source"))
+            .agg(
+              count(lit(1)).as(s"n_docs_$tag"),
+              sum(when(col("bp") >= thresholdBp, 1L).otherwise(0L)).as(s"n_rep_$tag"),
+              max(col("bp")).as(s"max_bp_$tag"))
+        }
+        arm(2, 500, "bi").join(arm(3, 400, "tri"), Seq("source")).orderBy("source")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source,
+             |         regexp_extract_all(lower(text), '[a-z]+') AS t
+             |  FROM documents),
+             |bg AS (
+             |  SELECT doc_id, source,
+             |    unnest(list_transform(generate_series(1, len(t)-1),
+             |           i -> t[i] || ' ' || t[i+1])) AS g
+             |  FROM toks WHERE len(t) >= 2),
+             |bi AS (
+             |  SELECT source, COUNT(*) AS n_docs_bi,
+             |    CAST(SUM(CASE WHEN bp >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_bi,
+             |    MAX(bp) AS max_bp_bi
+             |  FROM (
+             |    SELECT doc_id, source, CAST((MAX(c)*10000)//SUM(c) AS BIGINT) AS bp
+             |    FROM (SELECT doc_id, source, g, COUNT(*) AS c FROM bg GROUP BY ALL)
+             |    GROUP BY doc_id, source)
+             |  GROUP BY source),
+             |tg AS (
+             |  SELECT doc_id, source,
+             |    unnest(list_transform(generate_series(1, len(t)-2),
+             |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+             |  FROM toks WHERE len(t) >= 3),
+             |tri AS (
+             |  SELECT source, COUNT(*) AS n_docs_tri,
+             |    CAST(SUM(CASE WHEN bp >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_tri,
+             |    MAX(bp) AS max_bp_tri
+             |  FROM (
+             |    SELECT doc_id, source, CAST((MAX(c)*10000)//SUM(c) AS BIGINT) AS bp
+             |    FROM (SELECT doc_id, source, g, COUNT(*) AS c FROM tg GROUP BY ALL)
+             |    GROUP BY doc_id, source)
+             |  GROUP BY source)
+             |SELECT bi.source, n_docs_bi, n_rep_bi, max_bp_bi,
+             |       n_docs_tri, n_rep_tri, max_bp_tri
+             |FROM bi JOIN tri ON bi.source = tri.source ORDER BY bi.source""".stripMargin),
+    ),
+
+    // ----- t85: corpus-frequency document scoring (unigram-LM rarity) -----
+    // Two-pass "score docs by corpus statistics": pass 1 builds the unigram
+    // frequency table, pass 2 joins it back token-by-token and reports the
+    // 10 documents with the rarest average vocabulary — the unigram arm of
+    // perplexity-style quality scoring (docs full of tokens the corpus has
+    // barely seen are OCR junk / boilerplate candidates). The score is the
+    // mean corpus-count of the doc's token instances, floor-scaled ×100 —
+    // all-integer, so engines can't diverge. Scale shape: both the freq
+    // table and the per-doc reduce are canonical partial-agg'd wordcounts;
+    // the token⋈freq join keys on the word. That key is Zipf-skewed ("the"
+    // joins everywhere) — at 100 TB broadcast the vocabulary head (a few
+    // MB covers it) and shuffle-join only the tail, or let AQE split the
+    // hot partitions; the toy corpus takes the plain shuffle join.
+    Q(
+      "t85_rarity_score",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+        val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        toks.join(freq, Seq("w"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n_toks"),
+            expr("(sum(cnt) * 100) div count(*)").as("avg_freq"))
+          .orderBy(col("avg_freq"), col("doc_id"))
+          .limit(10)
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, source,
+             |         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+             |  FROM documents),
+             |f AS (SELECT w, COUNT(*) AS cnt FROM tk GROUP BY w),
+             |sc AS (
+             |  SELECT doc_id, source, COUNT(*) AS n_toks,
+             |         CAST((SUM(cnt) * 100) // COUNT(*) AS BIGINT) AS avg_freq
+             |  FROM tk JOIN f USING (w) GROUP BY doc_id, source)
+             |SELECT doc_id, source, n_toks, avg_freq
+             |FROM sc ORDER BY avg_freq, doc_id LIMIT 10""".stripMargin),
+    ),
   )
 }

@@ -34,11 +34,16 @@ def canon(rows, cols):
 
 
 def main():
+    # argv: <sfDir> <verifyOutDir> [comma-separated query-name filter,
+    #       matching graft.Verify's third arg for single-query iteration]
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only is not None:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
@@ -89,6 +94,8 @@ def main():
     # queries without oracle
     import os
     for d in sorted(os.listdir(out_dir)):
+        if only is not None and d not in only:
+            continue
         if os.path.isdir(f"{out_dir}/{d}") and d not in oracle:
             n = con.query(f"SELECT count(*) FROM '{out_dir}/{d}/*.parquet'").fetchone()[0]
             print(f"ROWS {d}: {n} (no oracle)")
