@@ -81,6 +81,20 @@ object Graft {
       joinType: String = "inner"): DataFrame =
     operators.SaltedJoin.join(left, right, keys, salts, joinType)
 
+  /** Connected components over an edge list (near-dup clustering) — see
+    * [[graft.operators.ConnectedComponents.largeSmallStar]]. */
+  def connectedComponents(edges: DataFrame, src: String, dst: String): DataFrame =
+    operators.ConnectedComponents.largeSmallStar(edges, src, dst)
+
+  /** Time-series densification — see [[graft.operators.GapFill.gapFill]]. */
+  def gapFill(
+      df: DataFrame,
+      keys: Seq[String],
+      bucket: String,
+      fills: Map[String, org.apache.spark.sql.Column],
+      maxBucketsPerKey: Long = 10_000_000L): DataFrame =
+    operators.GapFill.gapFill(df, keys, bucket, fills, maxBucketsPerKey)
+
   /** Inject the graft_* SQL functions into a live session — see
     * [[GraftExtensions.register]] (builder-time sessions can use
     * `.withExtensions(new GraftExtensions)` instead). */

@@ -734,5 +734,42 @@ object Extended {
              |WHERE era = 'late'
              |GROUP BY cal_year ORDER BY cal_year""".stripMargin),
     ),
+
+    // ----- t86: gap-filled hourly series (operators.GapFill) -----
+    // Densify per-user hourly event counts over each user's observed span,
+    // zero-filling silent hours — the precondition for any ROWS-frame
+    // window math (moving averages, deltas) on event streams, which
+    // silently mis-computes over sparse series. Exercises the reusable
+    // graft.operators.GapFill: grid generated executor-side via
+    // explode(sequence), two key-partitioned shuffles, fail-fast ceiling on
+    // runaway spans. All-integer (epoch-hour floor division, cents), so no
+    // float divergence is possible.
+    Q(
+      "t86_gapfill",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .filter(col("user_id") < 8)
+          .withColumn("hour_bucket", expr("ts_ns div 3600000000000"))
+          .groupBy(col("user_id"), col("hour_bucket"))
+          .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("cents"))
+        graft.operators.GapFill.gapFill(hourly, Seq("user_id"), "hour_bucket",
+            Map("n_events" -> lit(0L), "cents" -> lit(0L)))
+          .orderBy("user_id", "hour_bucket")
+      },
+      Some("""WITH agg AS (
+             |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS hour_bucket,
+             |         COUNT(*) AS n_events,
+             |         CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM events WHERE user_id < 8 GROUP BY user_id, hour_bucket),
+             |spans AS (
+             |  SELECT user_id, MIN(hour_bucket) AS mn, MAX(hour_bucket) AS mx
+             |  FROM agg GROUP BY user_id),
+             |dense AS (
+             |  SELECT user_id, unnest(generate_series(mn, mx)) AS hour_bucket FROM spans)
+             |SELECT d.user_id, d.hour_bucket,
+             |       COALESCE(n_events, 0) AS n_events, COALESCE(cents, 0) AS cents
+             |FROM dense d LEFT JOIN agg a USING (user_id, hour_bucket)
+             |ORDER BY user_id, hour_bucket""".stripMargin),
+    ),
   )
 }

@@ -692,5 +692,36 @@ object Text {
              |SELECT doc_id, source, n_toks, avg_freq
              |FROM sc ORDER BY avg_freq, doc_id LIMIT 10""".stripMargin),
     ),
+
+    // ----- t88: deterministic weighted priority sample -----
+    // Priority-sampling-style weighted selection (Duffield et al., JACM'07
+    // shape): each doc draws a deterministic pseudo-uniform from md5 of its
+    // id and competes on priority u/weight — heavier docs get smaller keys
+    // more often, so the top-k skews toward weight, yet any retry or
+    // backfill reproduces the identical sample (same property t47's
+    // stratified admission relies on). The key is ONE IEEE division of a
+    // hash-derived double by the weight — no pow/log, so both engines
+    // order identically and the sample is bit-stable. Scale shape: keys
+    // are embarrassingly parallel; the global top-k is
+    // TakeOrderedAndProject (per-partition partial top-k, single tiny
+    // merge) — the q11 shape, no full sort, no shuffle of the data.
+    Q(
+      "t88_weighted_sample",
+      (s, d) =>
+        Tables.documents(s, d)
+          .filter(col("n_chars") > 0)
+          .withColumn("h", expr(
+            "CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"))
+          .withColumn("key", col("h").cast("double") / col("n_chars").cast("double"))
+          .orderBy(col("key"), col("doc_id"))
+          .limit(50)
+          .select(col("doc_id"), col("source"), col("n_chars")),
+      Some("""SELECT doc_id, source, n_chars FROM (
+             |  SELECT doc_id, source, n_chars,
+             |    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |         AS DOUBLE) / CAST(n_chars AS DOUBLE) AS key
+             |  FROM documents WHERE n_chars > 0)
+             |ORDER BY key, doc_id LIMIT 50""".stripMargin),
+    ),
   )
 }

@@ -117,6 +117,34 @@ object EventStreams {
       .groupBy(coalesce(col("segment"), lit("unknown")).as("segment"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Stream–stream interval join — the fourth streaming shape: correlate
+    * two live streams (here high-value events to each user's subsequent
+    * events within 1 hour) on an equi-key plus an event-time range. BOTH
+    * sides carry watermarks and the range is two-sided, so Spark can bound
+    * the join state: a buffered trigger row is dropped once the follow
+    * stream's watermark passes its time + 1h — without the time bounds the
+    * state grows forever and the query is rejected in Append mode. Output
+    * rows pair (trigger event, follow event, lag); the aggregation to
+    * follow-counts per trigger is left to the caller so the join itself
+    * stays append-only.
+    */
+  def triggerFollowJoin(triggers: DataFrame, follows: DataFrame): DataFrame = {
+    val t = triggers
+      .withColumn("t_us", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("t_us", "2 hours")
+      .select(col("event_id").as("trigger_id"), col("user_id"), col("t_us"))
+    val f = follows
+      .withColumn("f_us", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("f_us", "2 hours")
+      .select(col("event_id").as("follow_id"), col("user_id").as("f_user"), col("f_us"))
+    t.join(f,
+      col("user_id") === col("f_user") &&
+        col("f_us") > col("t_us") &&
+        col("f_us") <= col("t_us") + expr("INTERVAL 1 HOUR"))
+      .select(col("trigger_id"), col("follow_id"), col("user_id"),
+        (unix_micros(col("f_us")) - unix_micros(col("t_us"))).as("lag_us"))
+  }
+
   def eventsDataset(spark: SparkSession, dir: String): Dataset[Ev] = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

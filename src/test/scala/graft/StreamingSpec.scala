@@ -130,6 +130,37 @@ class StreamingSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
   }
 
+  test("stream-stream interval join pairs triggers with follows inside the hour, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600L * 1000000000L
+    def ev(id: Long, tHours: Double, u: Long) =
+      EventStreams.Ev(id, (tHours * h).toLong, u, 1.0)
+
+    val trig = MemoryStream[EventStreams.Ev]
+    val fol = MemoryStream[EventStreams.Ev]
+    val joined = EventStreams.triggerFollowJoin(trig.toDF(), fol.toDF())
+    val q = joined.writeStream.format("memory").queryName("tf_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: trigger for user 7 at t=1h; one follow in range at 1.5h
+      trig.addData(ev(1, 1.0, 7)); fol.addData(ev(10, 1.5, 7)); q.processAllAvailable()
+      // batch 2 (cross-batch match): follow at 1.9h still joins the buffered
+      // trigger; 2.5h is past the 1h bound; user 8 never matches
+      fol.addData(ev(11, 1.9, 7), ev(12, 2.5, 7), ev(13, 1.2, 8)); q.processAllAvailable()
+      val got = spark.sql("SELECT trigger_id, follow_id, lag_us FROM tf_join").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 10L, 1800000000L), (1L, 11L, 3240000000L)), s"got $got")
+
+      // batch equivalence: the same function on static frames
+      val tb = Seq(ev(1, 1.0, 7)).toDF()
+      val fb = Seq(ev(10, 1.5, 7), ev(11, 1.9, 7), ev(12, 2.5, 7), ev(13, 1.2, 8)).toDF()
+      val batch = EventStreams.triggerFollowJoin(tb, fb).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(batch == got, s"batch=$batch stream=$got")
+    } finally q.stop()
+  }
+
   test("incremental streaming via MemoryStream sees late-batch arrivals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
