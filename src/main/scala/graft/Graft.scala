@@ -86,6 +86,15 @@ object Graft {
   def connectedComponents(edges: DataFrame, src: String, dst: String): DataFrame =
     operators.ConnectedComponents.largeSmallStar(edges, src, dst)
 
+  /** Per-key top-k without sorting key groups (custom plan node) — see
+    * [[graft.operators.TopK.perKey]]. */
+  def topKPerKey(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Seq[org.apache.spark.sql.Column],
+      k: Int): DataFrame =
+    operators.TopK.perKey(df, keys, order, k)
+
   /** Time-series densification — see [[graft.operators.GapFill.gapFill]]. */
   def gapFill(
       df: DataFrame,

@@ -27,8 +27,13 @@ import graft.functions._
   * call fails the query plan, not a task at runtime.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // whole-operator extensions (logical node → physical exec); the
+    // runtime path for existing sessions is GraftPlanBridge.addStrategy,
+    // which graft.operators.TopK invokes on first use
+    ext.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -1,0 +1,95 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator top-k-per-key: the rows that would survive
+  * `row_number() OVER (PARTITION BY keys ORDER BY order) <= k`, computed
+  * WITHOUT sorting any key group.
+  *
+  * Why a custom physical operator instead of the Window formulation: the
+  * window plan is Exchange → per-partition FULL SORT → rank → filter. The
+  * sort is O(n log n) in the partition and — the real cost at 100 TB —
+  * buffers and spills every row of every key group to keep rows it will
+  * immediately discard. This operator declares the same
+  * ClusteredDistribution(keys) requirement (EnsureRequirements inserts the
+  * one hash Exchange) but replaces sort+rank+filter with one streaming
+  * pass per partition over bounded per-key heaps: O(n log k) time,
+  * O(#keys-in-partition × k) memory, nothing spilled. Ties are broken by
+  * the caller's total ordering (make it total — include a unique column —
+  * exactly as a deterministic window query would).
+  *
+  * The operator demonstrates the full Catalyst extension ladder:
+  * [[TopKPerKeyNode]] (logical) → [[TopKPerKeyStrategy]] (planning, via
+  * `SparkSessionExtensions.injectPlannerStrategy` or the runtime
+  * `experimental.extraStrategies` hook) → [[TopKPerKeyExec]] (physical).
+  */
+case class TopKPerKeyNode(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"topKPerKey needs k > 0, got $k")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+class TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  /** Co-locate each key's rows; deliberately NO required ordering — not
+    * sorting is the operator's entire reason to exist. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (keys.isEmpty) AllTuples :: Nil else ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val orderLocal = order
+    val keysLocal = keys
+    val attrs = child.output
+    child.execute().mapPartitions { iter =>
+      // generated comparator; "smaller" = earlier in the requested order,
+      // i.e. would receive a smaller row_number
+      val ord = new LazilyGeneratedOrdering(orderLocal, attrs)
+      val keyGen = UnsafeProjection.create(keysLocal, attrs)
+      // max-heap per key: head = currently-worst kept row, evicted first
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val heap = heaps.getOrElseUpdate(
+          keyGen(row).copy(),
+          mutable.PriorityQueue.empty[InternalRow](ord))
+        if (heap.size < kLocal) heap.enqueue(row.copy())
+        else if (ord.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}

@@ -771,5 +771,33 @@ object Extended {
              |FROM dense d LEFT JOIN agg a USING (user_id, hour_bucket)
              |ORDER BY user_id, hour_bucket""".stripMargin),
     ),
+
+    // ----- t90: native top-k-per-key operator (plans.TopKPerKey) -----
+    // Top-3 customers by account balance per nation, computed by the
+    // custom whole-operator plan node instead of window row_number: same
+    // one hash Exchange on the key, but a streaming bounded-heap pass
+    // (O(n log k), O(keys×k) memory) replaces the window's full
+    // per-partition sort — the shape that matters when a 100 TB corpus
+    // keeps the best k documents per domain. The oracle is the window
+    // formulation, so this row also proves operator/window equivalence on
+    // real data; TopKSpec pins the plan (TopKPerKey present, no Window, no
+    // Sort below it) and property-tests equivalence on random inputs.
+    Q(
+      "t90_topk_native",
+      (s, d) =>
+        graft.operators.TopK.perKey(
+            Tables.customer(s, d).select(col("c_nationkey"), col("c_custkey"), col("c_acctbal")),
+            Seq("c_nationkey"),
+            Seq(col("c_acctbal").desc, col("c_custkey")),
+            k = 3)
+          .orderBy(col("c_nationkey"), col("c_acctbal").desc, col("c_custkey")),
+      Some("""SELECT c_nationkey, c_custkey, c_acctbal FROM (
+             |  SELECT c_nationkey, c_custkey, c_acctbal,
+             |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+             |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+             |  FROM customer)
+             |WHERE rn <= 3
+             |ORDER BY c_nationkey, c_acctbal DESC, c_custkey""".stripMargin),
+    ),
   )
 }
