@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -33,11 +35,35 @@ import org.apache.spark.sql.functions._
   *   hot-spotting the hub every propagation round. This is the scale path
   *   t49 runs on.
   *
-  * Both keep all per-round state as checkpointed Datasets (flat lineage,
+  * Both keep per-round state as checkpointed Datasets (flat lineage,
   * edge-scale shuffles only, nothing driver-side but the one convergence
-  * count per round).
+  * count per round), and FREE each round's blocks as soon as the next
+  * round's are materialized — retention is O(1) edge-scale datasets, not
+  * O(rounds). The blocks backing the RETURNED frame (final edges/labels +
+  * the node set) stay live until the caller is done; release them with the
+  * session-wide persistent-RDD sweep the Verify/Bench harnesses already
+  * run between queries.
   */
 object ConnectedComponents {
+
+  /** localCheckpoint + remember which persistent RDD blocks the call
+    * created, so superseded rounds can be freed eagerly. Attribution is a
+    * before/after diff of the context's persistent-RDD ids — exact for the
+    * sequential calls inside one operator run (a concurrent query
+    * checkpointing in the same session could be misattributed; the
+    * Verify/Bench harnesses run queries sequentially). */
+  private final class CkTracker(df0: DataFrame) {
+    private val sc = df0.sparkSession.sparkContext
+    def ck(df: DataFrame): (DataFrame, Seq[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint() // eager: blocks exist on return
+      (out, (sc.getPersistentRDDs.keySet -- before).toSeq)
+    }
+    def free(ids: Seq[Int]): Unit = {
+      val live = sc.getPersistentRDDs
+      ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    }
+  }
 
   /** Large-star/small-star alternation to a fixpoint (SoCC'14).
     *
@@ -61,6 +87,7 @@ object ConnectedComponents {
       srcCol: String,
       dstCol: String,
       maxRounds: Int = 64): (DataFrame, Int) = {
+    val tracker = new CkTracker(edges)
     val base = edges
       .select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u") =!= col("v"))
@@ -71,7 +98,7 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint()
 
-    var cur = base.localCheckpoint()
+    var (cur, curIds) = tracker.ck(base)
     var round = 0
     var converged = cur.isEmpty
     while (!converged) {
@@ -85,11 +112,10 @@ object ConnectedComponents {
       val lsMin = sym.groupBy("u")
         .agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
-      val ls = sym.join(lsMin, "u")
+      val (ls, lsIds) = tracker.ck(sym.join(lsMin, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct())
       // ---- small-star: key every edge by its LARGER endpoint; the center
       //      and all its ≤-neighbors are rewired to the neighborhood min
       val dir = ls.select(
@@ -104,13 +130,17 @@ object ConnectedComponents {
       val fromCenter = ssMin
         .filter(col("u") =!= col("m"))
         .select(col("u"), col("m").as("v"))
-      val next = fromNbrs.union(fromCenter).distinct().localCheckpoint()
+      val (next, nextIds) = tracker.ck(fromNbrs.union(fromCenter).distinct())
       // convergence = the canonical edge set is stable (both sets are
       // distinct, so two anti-join counts decide equality exactly)
       converged =
         next.join(cur, Seq("u", "v"), "left_anti").isEmpty &&
         cur.join(next, Seq("u", "v"), "left_anti").isEmpty
+      // this round's inputs are dead: next is materialized and compared
+      tracker.free(lsIds)
+      tracker.free(curIds)
       cur = next
+      curIds = nextIds
     }
     // fixpoint edges are (node → component-min) stars; roots map to selves
     val labeled = nodes
@@ -127,19 +157,18 @@ object ConnectedComponents {
       srcCol: String,
       dstCol: String,
       maxRounds: Int = 256): DataFrame = {
+    val tracker = new CkTracker(edges)
     val base = edges
       .select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    val sym = base
+    val (sym, symIds) = tracker.ck(base
       .union(base.select(col("v").as("u"), col("u").as("v")))
-      .toDF("src", "nbr")
-      .localCheckpoint()
-    var labels = edges.select(col(srcCol).as("id"))
+      .toDF("src", "nbr"))
+    var (labels, labelIds) = tracker.ck(edges.select(col(srcCol).as("id"))
       .union(edges.select(col(dstCol).as("id")))
       .distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint()
+      .withColumn("lbl", col("id")))
     var changed = 1L
     var round = 0
     while (changed > 0) {
@@ -149,17 +178,21 @@ object ConnectedComponents {
         s"label propagation did not converge in $maxRounds rounds")
       val nbrMin = sym.join(labels, sym("nbr") === labels("id"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(
-          col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+      val (next, nextIds) = tracker.ck(
+        labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(
+            col("id"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
       changed = next
         .join(labels.withColumnRenamed("lbl", "oldLbl"), "id")
         .filter(col("lbl") =!= col("oldLbl"))
         .count()
+      // previous round's labels are dead once the delta count is taken
+      tracker.free(labelIds)
       labels = next
+      labelIds = nextIds
     }
+    tracker.free(symIds) // loop done; the returned plan reads only `labels`
     labels.select(col("id"), col("lbl").as("component"))
   }
 }

@@ -25,6 +25,9 @@ import org.apache.spark.sql.functions._
   *
   * Input must be unique per (keys, bucket) — pre-aggregate first, as any
   * resample does; duplicate buckets would survive into the dense output.
+  * A NULL grouping key is a legitimate group (matched null-safely on the
+  * way back); rows with a NULL bucket are excluded — the grid is defined
+  * over observed non-null buckets only.
   */
 object GapFill {
 
@@ -58,10 +61,26 @@ object GapFill {
           .otherwise(col("__mx")))
     val dense = spans.select(
       keys.map(col) :+ explode(sequence(col("__mn"), col("__mx"))).as(bucket): _*)
-    val filled = valueCols.map { c =>
-      fills.get(c).map(f => coalesce(col(c), f).as(c)).getOrElse(col(c))
+      .alias("__gf_d")
+    // Join back null-safely (a NULL grouping key is a legitimate group —
+    // plain equality would miss it and silently fill over observed rows),
+    // and detect gaps by join-miss marker, NOT value nullness: an observed
+    // row whose value is genuinely NULL keeps its NULL.
+    require(!df.columns.contains(ObservedCol),
+      s"input already has a column named $ObservedCol; rename it before gapFill")
+    val observed = df.withColumn(ObservedCol, lit(true)).alias("__gf_o")
+    val joinCond = (keys :+ bucket)
+      .map(c => col(s"__gf_d.$c") <=> col(s"__gf_o.$c"))
+      .reduce(_ && _)
+    val outKeys = keys.map(c => col(s"__gf_d.$c").as(c)) :+ col(s"__gf_d.$bucket").as(bucket)
+    val outVals = valueCols.map { c =>
+      fills.get(c) match {
+        case Some(f) => when(col(ObservedCol).isNull, f).otherwise(col(s"__gf_o.$c")).as(c)
+        case None => col(s"__gf_o.$c").as(c)
+      }
     }
-    dense.join(df, keys :+ bucket, "left")
-      .select((keys.map(col) :+ col(bucket)) ++ filled: _*)
+    dense.join(observed, joinCond, "left").select(outKeys ++ outVals: _*)
   }
+
+  private val ObservedCol = "__graft_observed"
 }

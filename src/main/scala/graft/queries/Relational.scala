@@ -605,6 +605,28 @@ object Relational {
         val ranged = li.repartitionByRange(parts, col("g"), col("v"))
           .sortWithinPartitions("g", "v")
           .localCheckpoint()
+        // driver state will be O(parts × groups) — fine for a percentile
+        // REPORT over ≤ thousands of groups, but fail fast if someone
+        // points this at a high-cardinality group column. The guard must
+        // run BEFORE the entries are collected (a post-collect require
+        // can't prevent the OOM it documents), so a cheap pre-pass ships
+        // one Long per partition: partitions are sorted by (g, v), so the
+        // group count is a run count, no map materialized anywhere.
+        val stateEntries = ranged
+          .mapPartitions { it =>
+            var n = 0L; var prev: String = null; var first = true
+            it.foreach { case (g, _) =>
+              if (first || g != prev) { n += 1L; prev = g; first = false }
+            }
+            Iterator.single(n)
+          }
+          .collect().sum
+        require(
+          stateEntries <= Relational.PercentileDriverStateBudget,
+          s"t41 holds parts×groups = $stateEntries rank-offset entries on the driver, " +
+            s"over budget ${Relational.PercentileDriverStateBudget}; exact per-group " +
+            "order statistics need a group-cardinality this small — use " +
+            "approx_percentile for high-cardinality groups")
         val partCounts: Array[Array[(String, Long)]] = ranged
           .mapPartitions { it =>
             val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -612,17 +634,6 @@ object Relational {
             Iterator.single(m.toArray)
           }
           .collect()
-        // driver state is O(parts × groups) — fine for a percentile REPORT
-        // over ≤ thousands of groups, but fail fast (instead of silently
-        // OOMing the driver) if someone points this at a high-cardinality
-        // group column; that workload belongs in approx_percentile
-        val stateEntries = partCounts.iterator.map(_.length.toLong).sum
-        require(
-          stateEntries <= Relational.PercentileDriverStateBudget,
-          s"t41 holds parts×groups = $stateEntries rank-offset entries on the driver, " +
-            s"over budget ${Relational.PercentileDriverStateBudget}; exact per-group " +
-            "order statistics need a group-cardinality this small — use " +
-            "approx_percentile for high-cardinality groups")
         val totals = scala.collection.mutable.Map.empty[String, Long]
         val offsets: Array[Map[String, Long]] = partCounts.map { pc =>
           val off = pc.map { case (g, _) => g -> totals.getOrElse(g, 0L) }.toMap

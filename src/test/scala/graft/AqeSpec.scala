@@ -19,16 +19,6 @@ import org.apache.spark.sql.functions._
   */
 class AqeSpec extends SparkTestBase {
 
-  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
     df.collect() // materialize so AQE finalizes the plan
     df.queryExecution.executedPlan match {

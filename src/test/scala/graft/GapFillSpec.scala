@@ -45,6 +45,29 @@ class GapFillSpec extends SparkTestBase {
     assert(out.count() == 5) // (x,1): 5..8 dense = 4 rows; (x,2): 1 row
   }
 
+  test("a NULL grouping key is a real group: observed rows survive, holes fill") {
+    import spark.implicits._
+    val df = Seq((Some("a"), 1L, 7L), (None, 5L, 9L), (None, 7L, 3L))
+      .toDF("k", "bucket", "n")
+    val out = GapFill.gapFill(df, Seq("k"), "bucket", Map("n" -> lit(0L)))
+      .orderBy(col("k").asc_nulls_first, col("bucket")).collect()
+    assert(out.length == 4) // null-key span 5..7 = 3 rows + ("a",1)
+    val nullRows = out.filter(_.isNullAt(0)).map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // observed values kept (9, 3), hole at 6 filled with 0 — not overwritten
+    assert(nullRows == Seq((5L, 9L), (6L, 0L), (7L, 3L)))
+  }
+
+  test("an observed row's genuine NULL value is kept, not mistaken for a gap") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, Some(5L)), (1L, 12L, None)).toDF("k", "bucket", "n")
+    val out = GapFill.gapFill(df, Seq("k"), "bucket", Map("n" -> lit(0L)))
+      .orderBy("bucket").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(10L, 11L, 12L))
+    assert(out(0).getLong(2) == 5L)
+    assert(out(1).getLong(2) == 0L) // the real gap takes the fill
+    assert(out(2).isNullAt(2), "observed NULL must survive") // bucket 12
+  }
+
   test("span past maxBucketsPerKey fails fast instead of materializing the grid") {
     import spark.implicits._
     val wide = Seq(("a", 0L, 1L), ("a", 1000L, 1L)).toDF("k", "bucket", "n")

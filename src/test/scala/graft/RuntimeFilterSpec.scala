@@ -20,18 +20,15 @@ class RuntimeFilterSpec extends SparkTestBase {
   private val dir = "/root/testdata/sf0.001"
 
   test("selective dim filter injects a bloom filter into the fact side") {
-    val confs = Seq(
+    val supplier = Tables.supplier(spark, dir)
+      .filter(col("s_nationkey") === 3) // selective dim predicate
+    val got = withConf(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
       // force a shuffled join: a broadcast dim needs no runtime filter
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val lineitem = Tables.lineitem(spark, dir)
-      val supplier = Tables.supplier(spark, dir)
-        .filter(col("s_nationkey") === 3) // selective dim predicate
       val joined = lineitem
         .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
         .groupBy(col("s_name"))
@@ -40,24 +37,17 @@ class RuntimeFilterSpec extends SparkTestBase {
       assert(
         optimized.contains("might_contain") && optimized.contains("bloom_filter_agg"),
         s"expected a runtime bloom filter on the fact side:\n$optimized")
-      val got = joined.collect().map(r => (r.getString(0), r.getLong(1))).toSet
-
-      // the runtime filter must not change the result: recompute with the
-      // rule OFF (session back at defaults, where test-scale thresholds
-      // don't inject) and compare
-      saved.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
-      val clean = Tables.lineitem(spark, dir)
-        .join(supplier, col("l_suppkey") === supplier("s_suppkey"))
-        .groupBy(col("s_name")).agg(count(lit(1)).as("n"))
-      assert(!clean.queryExecution.optimizedPlan.toString.contains("might_contain"))
-      val expected = clean.collect().map(r => (r.getString(0), r.getLong(1))).toSet
-      assert(got == expected && got.nonEmpty)
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
+      joined.collect().map(r => (r.getString(0), r.getLong(1))).toSet
     }
+
+    // the runtime filter must not change the result: recompute with the
+    // session back at defaults (test-scale thresholds don't inject) and
+    // compare
+    val clean = Tables.lineitem(spark, dir)
+      .join(supplier, col("l_suppkey") === supplier("s_suppkey"))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("n"))
+    assert(!clean.queryExecution.optimizedPlan.toString.contains("might_contain"))
+    val expected = clean.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected && got.nonEmpty)
   }
 }

@@ -63,11 +63,9 @@ class SaltedJoinSpec extends SparkTestBase {
     // shuffle read: the shuffled hash join's output partitioning IS the
     // reducer assignment (AQE off so nothing re-coalesces or skew-splits it,
     // both plans pinned to shuffle_hash so neither broadcasts).
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    try {
+    withConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "16") {
       val hot = ((1 to 50000).map(i => (1, i.toLong)) ++
         (2 to 9).flatMap(k => (1 to 100).map(i => (k, i.toLong)))).toDF("k", "lv")
       val dim = (1 to 9).map(k => (k, k * 10)).toDF("k", "rv")
@@ -82,9 +80,6 @@ class SaltedJoinSpec extends SparkTestBase {
       assert(ms < mp / 2, s"salting must spread the hot reducer: salted max=$ms vs plain max=$mp")
       // and the spread output is still the same relation
       assert(salted.count() === plain.count())
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set("spark.sql.shuffle.partitions", partsWas)
     }
   }
 }
