@@ -799,5 +799,61 @@ object Extended {
              |WHERE rn <= 3
              |ORDER BY c_nationkey, c_acctbal DESC, c_custkey""".stripMargin),
     ),
+
+    // ----- t91: KMV (bottom-k) distinct-count sketch, certified vs exact -----
+    // The k-minimum-values estimator (Bar-Yossef et al., RANDOM'02): hash
+    // every key, keep the k smallest distinct hashes, estimate
+    // D ≈ (k-1)·M/U_k from the k-th smallest. Unlike HLL's register
+    // internals, KMV is DETERMINISTIC given the hash — the k smallest
+    // values of a set don't depend on partition order — so the sketch
+    // itself can be certified bit-for-bit against a DuckDB oracle (t57
+    // certifies HLL only through its estimate). Spark-first shape: the
+    // "sketch" is just distinct (partial-agg'd map-side) + TakeOrdered
+    // (per-partition bottom-k heaps, tiny merge) — mergeability for free
+    // because bottom-k of a union IS the bottom-k of per-partition
+    // bottom-ks. M = 16^15 (15-hex-digit hash space), k = 256 → ~6% rmse.
+    Q(
+      "t91_kmv_distinct",
+      (s, d) => {
+        val k = 256
+        // hash space 16^15 = 2^60: a power of two, exactly representable —
+        // written as the literal so neither engine goes through libm pow
+        val m = 1152921504606846976.0d
+        val hashes = Tables.lineitem(s, d)
+          .select(expr(
+            "CAST(conv(substring(md5(CAST(CAST(l_partkey AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
+            .as("h"))
+          .distinct()
+        val bottomK = hashes.orderBy(col("h")).limit(k)
+        val uk = bottomK.agg(max(col("h")).as("u_k"), count(lit(1)).as("n_kept"))
+        val exact = Tables.lineitem(s, d)
+          .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+        // standard KMV regimes: fewer than k distinct hashes kept ⇒ the
+        // sketch IS the distinct set (exact); otherwise (k-1)·M/U_k
+        val est = when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(m) / col("u_k").cast("double"))
+        uk.crossJoin(exact) // 1-row × 1-row scalar merge
+          .select(
+            col("n_kept"),
+            col("exact_distinct"),
+            round(est, 4).as("kmv_estimate"),
+            round(abs(est - col("exact_distinct")) / col("exact_distinct") * 100, 4)
+              .as("err_pct"))
+      },
+      Some("""WITH h AS (
+             |  SELECT DISTINCT CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+             |  FROM lineitem),
+             |bk AS (SELECT h FROM h ORDER BY h LIMIT 256),
+             |uk AS (SELECT MAX(h) AS u_k, COUNT(*) AS n_kept FROM bk),
+             |ex AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct FROM lineitem),
+             |est AS (
+             |  SELECT n_kept, exact_distinct,
+             |    CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+             |         ELSE 255.0 * 1152921504606846976.0 / CAST(u_k AS DOUBLE) END AS e
+             |  FROM uk CROSS JOIN ex)
+             |SELECT n_kept, exact_distinct, ROUND(e, 4) AS kmv_estimate,
+             |  ROUND(ABS(e - exact_distinct) / exact_distinct * 100, 4) AS err_pct
+             |FROM est""".stripMargin),
+    ),
   )
 }
