@@ -84,6 +84,48 @@ object EventStreams {
       }
   }
 
+  final case class EvT(event_id: Long, ts_ns: Long, user_id: Long, value: Double,
+      ts_us: java.sql.Timestamp)
+  final case class SessFinal(user_id: Long, n_sessions: Long, n_events: Long, closed: Boolean)
+
+  /** Sessionization with REAL state eviction — the production lifecycle
+    * [[sessionCounts]]'s scaladoc only gestures at. State carries an
+    * event-time timeout at lastSeen + gap: when the watermark passes it,
+    * the group's final row is emitted with `closed = true` and the state
+    * is REMOVED — so state size tracks active users, not all users ever
+    * seen, which is the difference between bounded and unbounded state on
+    * a year-long stream. A user who returns after eviction starts a fresh
+    * session from zero (proven in StreamingSpec), exactly what
+    * re-keying-by-epoch would give a batch recompute.
+    */
+  def sessionCountsEvicting(spark: SparkSession, events: Dataset[EvT]): Dataset[SessFinal] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts_us", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessFinal](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evs: Iterator[EvT], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(SessFinal(user, st.sessions, st.events, closed = true))
+          } else {
+            val sorted = evs.toArray.sortBy(e => (e.ts_ns, e.event_id))
+            var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+            sorted.foreach { e =>
+              val newSession = st.lastTs == Long.MinValue || e.ts_ns - st.lastTs > GapNs
+              st = SessState(e.ts_ns, st.sessions + (if (newSession) 1 else 0), st.events + 1)
+            }
+            state.update(st)
+            // evict when the watermark passes the session gap after the
+            // last event (ns → ms; GapNs is minute-granular so exact)
+            state.setTimeoutTimestamp(st.lastTs / 1000000L + GapNs / 1000000L)
+            Iterator(SessFinal(user, st.sessions, st.events, closed = false))
+          }
+      }
+  }
+
   /** Streaming ingest dedup — the streaming twin of exact dedup (q24/t34)
     * for at-least-once sources that replay events on recovery. State is
     * bounded by the watermark: an event_id is remembered only until the

@@ -161,6 +161,77 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("event-time timeout evicts session state; a returning user starts fresh") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600L * 1000000000L
+    def ev(id: Long, tHours: Double, u: Long) = EventStreams.EvT(
+      id, (tHours * h).toLong, u, 1.0,
+      new java.sql.Timestamp((tHours * 3600L * 1000L).toLong))
+
+    val input = MemoryStream[EventStreams.EvT]
+    val out = EventStreams.sessionCountsEvicting(spark, input.toDS())
+    val q = out.writeStream.format("memory").queryName("sess_evict")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 42, two events in one session
+      input.addData(ev(1, 1.0, 42), ev(2, 1.1, 42)); q.processAllAvailable()
+      // batch 2: unrelated user at t=5h → watermark 5h > 1.1h + 30min gap
+      // → user 42's state times out: closed row emitted, state removed
+      input.addData(ev(3, 5.0, 7)); q.processAllAvailable()
+      // MicroBatchExecution fires timeouts on the NEXT batch after the
+      // watermark advance; an empty-ish tick triggers it deterministically
+      input.addData(ev(4, 5.1, 7)); q.processAllAvailable()
+      val closed42 = spark.sql(
+        "SELECT n_sessions, n_events FROM sess_evict WHERE user_id = 42 AND closed").collect()
+      assert(closed42.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)),
+        s"expected user 42's final (1 session, 2 events), got ${closed42.toSeq}")
+
+      // user 42 returns at 9h: state was REMOVED, so counts restart at 1/1
+      input.addData(ev(5, 9.0, 42)); q.processAllAvailable()
+      val fresh = spark.sql(
+        "SELECT n_sessions, n_events FROM sess_evict WHERE user_id = 42 AND NOT closed " +
+          "ORDER BY n_events DESC").collect()
+      assert(fresh.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 1L)),
+        s"returning user must start from evicted (fresh) state, got ${fresh.toSeq}")
+    } finally q.stop()
+  }
+
+  test("parquet sink + checkpoint: stop/restart resumes exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val h = 3600L * 1000000000L
+    val input = MemoryStream[EventStreams.Ev]
+
+    def startQuery() = input.toDS().writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
+
+    val q1 = startQuery()
+    try {
+      input.addData(EventStreams.Ev(1, 1 * h, 7, 1.0), EventStreams.Ev(2, 1 * h, 8, 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart against the same checkpoint: committed offsets must not be
+    // re-emitted, new data must land — exactly-once across the restart
+    val q2 = startQuery()
+    try {
+      input.addData(EventStreams.Ev(3, 2 * h, 7, 1.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val ids = spark.read.parquet(outDir).select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L),
+      s"sink must hold each event exactly once across restart, got $ids")
+  }
+
   test("incremental streaming via MemoryStream sees late-batch arrivals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
