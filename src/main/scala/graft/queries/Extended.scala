@@ -855,5 +855,99 @@ object Extended {
              |  ROUND(ABS(e - exact_distinct) / exact_distinct * 100, 4) AS err_pct
              |FROM est""".stripMargin),
     ),
+
+    // ----- t93: parquet schema evolution (mergeSchema across batch versions) -----
+    // The lake reality at 100 TB: a column is ADDED mid-stream and the table
+    // is thereafter a mix of old-schema and new-schema files. Writer v1
+    // lands (doc_id, lang, n_chars); writer v2 adds `source`; the read
+    // merges footers (`mergeSchema=true` — an O(#files) planning-time
+    // footer union, no data rewrite) and old files surface the new column
+    // as NULL. The aggregate proves no rows and no values are lost across
+    // the boundary. The oracle recomputes from the unversioned table, with
+    // v2 membership (doc_id odd) standing in for source IS NOT NULL.
+    Q(
+      "t93_schema_merge",
+      (s, d) => {
+        val base = sinkDir("t93_merge", d)
+        val docs = Tables.documents(s, d)
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").parquet(base + "/v1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+          .write.mode("overwrite").parquet(base + "/v2")
+        s.read.option("mergeSchema", "true").parquet(base + "/v1", base + "/v2")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("source").isNotNull, 1L).otherwise(0L)).as("n_with_source"),
+            sum(col("n_chars")).as("chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_source,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+    ),
+
+    // ----- t94: deterministic train/val/test split (hash admission, t47 idiom) -----
+    // The canonical corpus split: membership is a pure function of doc_id
+    // (md5 bucket 0–99 → train <90, val <95, else test), so retries,
+    // re-runs, incremental appends, and the oracle all assign every document
+    // to the SAME split — no rand(), no seed coordination across executors,
+    // and a document can never leak between train and test across pipeline
+    // runs. Zero shuffle before the 3-row aggregate; trivially 100-TB-parallel.
+    Q(
+      "t94_split",
+      (s, d) => {
+        val b = expr(
+          "CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 100")
+        Tables.documents(s, d)
+          .withColumn("split",
+            when(b < 90, lit("train")).when(b < 95, lit("val")).otherwise(lit("test")))
+          .groupBy(col("split"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars_total"),
+            countDistinct(col("lang")).as("n_langs"))
+          .orderBy("split")
+      },
+      Some("""WITH b AS (
+             |  SELECT *, CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bk
+             |  FROM documents),
+             |sp AS (
+             |  SELECT *, CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val' ELSE 'test' END AS split
+             |  FROM b)
+             |SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+             |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+             |FROM sp GROUP BY split ORDER BY split""".stripMargin),
+    ),
+
+    // ----- t95: sliding event-time windows (2 h window, 1 h slide) -----
+    // q18 is the tumbling half of the window surface; sliding windows are
+    // the other half: each event lands in window_duration/slide = 2
+    // overlapping windows (Spark expands this in a Generate node BEFORE the
+    // aggregation, so partial aggregation still applies — the expansion
+    // factor is the constant 2, not data-dependent). The oracle materializes
+    // the same two aligned starts per event (floor-hour and floor-hour − 1 h)
+    // and re-aggregates.
+    Q(
+      "t95_sliding_window",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts_us"), "2 hours", "1 hour"))
+          .agg(count(lit(1)).as("n_events"), money(sum(cents(col("value")))).as("sum_value"))
+          .select(col("window.start").as("win_start"), col("n_events"), col("sum_value"))
+          .orderBy("win_start"),
+      Some("""WITH e AS (
+             |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hb, value FROM events),
+             |x AS (
+             |  SELECT hb AS win_start, value FROM e
+             |  UNION ALL
+             |  SELECT hb - INTERVAL '1 hour' AS win_start, value FROM e)
+             |SELECT win_start, COUNT(*) AS n_events,
+             |  ROUND(SUM(CAST(ROUND(value*100) AS BIGINT))/100.0, 4) AS sum_value
+             |FROM x GROUP BY win_start ORDER BY win_start""".stripMargin),
+    ),
   )
 }
