@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY.md §1.3 stretch goal; the batch
@@ -55,6 +55,53 @@ object EventStreams {
       spark.readStream
         .schema(eventsSchema)
         .option("pathGlobFilter", "events.parquet") // single-file source: stream the parent dir
+        .parquet(dir)
+        .select(col("ts").as("ts_ns"), col("user_id"), col("value")))
+  }
+
+  /** The sliding (2 h window / 1 h slide) twin of [[tumblingAgg]] and batch
+    * t95: each event lands in exactly 2 overlapping windows (constant
+    * expansion in a Generate node before the agg — partials still apply),
+    * state store keyed by window start, watermark bounds it to the trailing
+    * 2 h + 2 h of open windows. Same function is its own batch oracle
+    * (watermark is a no-op on a batch frame). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_us", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts_us", "2 hours")
+      .groupBy(window(col("ts_us"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(round(col("value") * 100, 0).cast("long")).cast("double") / 100.0, 4).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("n_events"), col("sum_value"))
+
+  /** Exactly-once over a NON-transactional sink via idempotent foreachBatch:
+    * the write is keyed by batchId (one overwritten directory per batch), so
+    * foreachBatch's documented at-least-once re-invocation after a crash
+    * lands on the SAME path and replaces rather than duplicates. This is the
+    * standard recipe for stores with no transaction log (plain object
+    * stores, JDBC upserts keyed by (batchId, pk), …); the file sink's own
+    * log (proven elsewhere in StreamingSpec) is the transactional
+    * alternative. `onBatch` exists so tests can observe replays.
+    */
+  def startIdempotentSink(
+      src: DataFrame, path: String, ckpt: String,
+      onBatch: Long => Unit = _ => ()): StreamingQuery =
+    src.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        onBatch(batchId)
+        df.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
+
+  /** Streaming sliding-window counts over the events file stream. */
+  def slidingStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    slidingAgg(
+      spark.readStream
+        .schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
         .select(col("ts").as("ts_ns"), col("user_id"), col("value")))
   }

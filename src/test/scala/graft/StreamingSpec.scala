@@ -29,6 +29,67 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming sliding window agg equals batch t95") {
+    val stream = EventStreams.slidingStream(spark, dir)
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("sliding_test")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.sql("SELECT * FROM sliding_test").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val batch = SparkEntry.queries("t95_sliding_window")(spark, dir).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("idempotent foreachBatch sink: crash-replayed batch lands exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fb_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fb_sink").toString
+    val h = 3600L * 1000000000L
+    val input = MemoryStream[EventStreams.Ev]
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+    def start() = EventStreams.startIdempotentSink(
+      input.toDS().toDF(), outDir, ckpt,
+      bid => seen.merge(bid, 1, (a, b) => a + b))
+
+    val q1 = start()
+    try {
+      input.addData(EventStreams.Ev(1, 1 * h, 7, 1.0), EventStreams.Ev(2, 1 * h, 8, 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // simulate a crash BETWEEN the sink write and the commit: remove the
+    // newest commit marker so the restarted query re-executes that batch
+    val commits = new java.io.File(ckpt, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    assert(commits.last.delete())
+    // the local checksummed FS keeps a .N.crc sidecar next to the marker;
+    // a real crash would have written neither — remove it too
+    new java.io.File(ckpt + "/commits", "." + commits.last.getName + ".crc").delete()
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays the uncommitted batch
+      input.addData(EventStreams.Ev(3, 2 * h, 7, 1.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val replayed = seen.getOrDefault(commits.last.getName.toLong, 0)
+    assert(replayed >= 2, s"expected the uncommitted batch to re-execute, invocations=$seen")
+    val ids = spark.read.parquet(outDir).select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L),
+      s"batchId-keyed overwrite must make the replay idempotent, got $ids")
+  }
+
   test("flatMapGroupsWithState sessionization equals batch q19") {
     val evs = EventStreams.eventsDataset(spark, dir)
     val got = EventStreams.sessionCounts(spark, evs).collect()
