@@ -43,6 +43,10 @@ object PlanScan {
           k -> ("\\b" + java.util.regex.Pattern.quote(k) + "\\b").r
             .findAllMatchIn(plan).size)
         hits.foreach { case (k, n) => totals(k) += n }
+        if (sys.env.contains("SPARK_GRAFT_PLANSCAN_VERBOSE")) {
+          val nz = hits.filter(_._2 > 0)
+          println(s"DETAIL ${q.name}: ${nz.map { case (k, n) => s"$k x$n" }.mkString(", ")}")
+        }
         val bad = hits.filter { case (k, n) =>
           n > 0 && (k == "CartesianProduct" || k == "Exchange SinglePartition")
         }
