@@ -949,5 +949,47 @@ object Extended {
              |  ROUND(SUM(CAST(ROUND(value*100) AS BIGINT))/100.0, 4) AS sum_value
              |FROM x GROUP BY win_start ORDER BY win_start""".stripMargin),
     ),
+
+    // ----- t97: keyed pseudonymization + k-anonymity audit -----
+    // The privacy pass of a training-data pipeline: direct identifiers
+    // (c_name) are replaced by a deterministic keyed hash (first 12 hex of
+    // md5(salt || name) — same input, same pseudonym, so joins on the
+    // pseudonym still link records), then the release audit groups by the
+    // quasi-identifier pair (nation, market segment) and marks groups
+    // below k = 10 as suppressed — the k-anonymity rule. Reported per
+    // quasi-group: size, distinct pseudonyms (collision audit: must equal
+    // size when names are unique), and the released flag. Two shuffles
+    // (dim-broadcast join + one agg), map-side partials, no row data on the
+    // driver; at 100 TB the pseudonym map is never materialized — it's a
+    // projection, and the audit is a plain agg over the quasi-key.
+    Q(
+      "t97_anonymize",
+      (s, d) => {
+        val k = 10L
+        Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(
+            col("n_name"),
+            col("c_mktsegment"),
+            substring(md5(concat(lit("graft-pseud-v1:"), col("c_name"))), 1, 12).as("pseud"))
+          .groupBy(col("n_name"), col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("group_n"),
+            countDistinct(col("pseud")).as("n_pseudonyms"))
+          .withColumn("released", col("group_n") >= k)
+          .orderBy("n_name", "c_mktsegment")
+      },
+      Some("""WITH p AS (
+             |  SELECT n.n_name, c.c_mktsegment,
+             |    substring(md5('graft-pseud-v1:' || c.c_name), 1, 12) AS pseud
+             |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+             |SELECT n_name, c_mktsegment,
+             |  COUNT(*) AS group_n,
+             |  CAST(COUNT(DISTINCT pseud) AS BIGINT) AS n_pseudonyms,
+             |  COUNT(*) >= 10 AS released
+             |FROM p GROUP BY n_name, c_mktsegment
+             |ORDER BY n_name, c_mktsegment""".stripMargin),
+    ),
   )
 }
