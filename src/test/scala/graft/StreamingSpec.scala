@@ -311,4 +311,44 @@ class StreamingSpec extends SparkTestBase {
       assert(rows.map(r => (r.getLong(1), r.getLong(2))).contains((2L, 3L)))
     } finally q.stop()
   }
+
+  test("streaming admission over micro-batches equals one-shot batch t96") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.Similarity
+    import graft.streaming.DocStreams
+
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // static side: the persisted corpus index (built once, probed per batch)
+    val corpusSh = Similarity.shingleDocs(docs.filter(col("doc_id") % 10 =!= 0))
+      .localCheckpoint()
+    val index = Similarity.bandIndex(corpusSh).localCheckpoint()
+
+    val batchDocs = docs.filter(col("doc_id") % 10 === 0).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(batchDocs.nonEmpty)
+
+    val out = java.nio.file.Files.createTempDirectory("graft_adm_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_adm_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = DocStreams.admissionStream(
+      input.toDS().toDF("doc_id", "text"), index, corpusSh, out, ckpt)
+    try {
+      // two micro-batches: the verdicts must not depend on the batch split
+      val (b1, b2) = batchDocs.splitAt(batchDocs.length / 2)
+      input.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getBoolean(3))
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "n_dups", "best_jac", "admitted").collect().map(key).toSet
+    val oneShot = SparkEntry.queries("t96_incremental_dedup")(spark, dir)
+      .collect().map(key).toSet
+    assert(streamed == oneShot,
+      s"streamed verdicts diverge from batch: ${streamed.diff(oneShot)} / ${oneShot.diff(streamed)}")
+  }
 }
