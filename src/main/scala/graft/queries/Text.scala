@@ -496,7 +496,7 @@ object Text {
              |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
              |  FROM t)
-             |SELECT source, cum_before // 2048 AS bin, COUNT(*) AS n_docs,
+             |SELECT source, CAST(cum_before // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
              |  CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
              |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
              |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin),
