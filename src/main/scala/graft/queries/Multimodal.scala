@@ -1,6 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -11,116 +13,203 @@ import graft.Tables
   * with typed metadata, and decode/feature-extraction runs as a partition-wise
   * transformation over the binary column.
   *
-  * The container has no image/audio codecs, so the decode itself is a
-  * *deterministic stub* (`FakeDecode`): features derive only from payload
-  * length and bytes. Everything around it — the binary column, the schema, the
-  * `mapPartitions` batch shape, partitioning — is the real plumbing you'd keep
-  * when swapping in a real decoder. At 100 TB the payloads dominate I/O, so
-  * the op projects only (id, payload) before the partition-wise decode, keeps
-  * metadata columns pruned, and never collects binaries to the driver.
+  * Payloads here are real parseable containers, not hashes: every payload is
+  * a GRFT1 container (fixed 14-byte header + body) and every "decode" below
+  * genuinely parses the header with byte arithmetic — magic check, u16/u32
+  * little-endian field reads — exactly as a BMP/WAV-style reader would. The
+  * only synthetic part is WHERE the bytes come from: the container has no
+  * image/audio codecs and the test corpus has no media files, so the ingest
+  * fixture ([[mediaPayload]]) wraps each document's UTF-8 bytes as the body
+  * and derives the header fields deterministically from the body length (the
+  * generator contract the DuckDB oracles mirror). Swap the fixture for real
+  * files and every operator below runs unchanged.
+  *
+  * At 100 TB the payloads dominate I/O, so each op projects only
+  * (id, payload) before the partition-wise decode, keeps metadata columns
+  * pruned, and never collects binaries to the driver.
   */
 object Multimodal {
 
-  /** STUB: stand-in for image/audio decode + feature extraction. Deterministic
-    * pure function of the payload bytes so the DuckDB oracle can mirror it.
-    * A real implementation would decode the payload and emit real features.
+  /** GRFT1 container layout (little-endian):
+    * {{{
+    * bytes 0-3   magic 'G' 'R' 'F' 'T'
+    * byte  4     version  (1)
+    * bytes 5-6   width    u16  = body_len % 640
+    * bytes 7-8   height   u16  = body_len * 7 % 480
+    * byte  9     channels u8   = body_len % 3 + 1
+    * bytes 10-13 body_len u32
+    * bytes 14-   body (document UTF-8 bytes in the test fixture)
+    * }}}
+    * The width/height/channels derivations are the test-data generator
+    * contract that lets the SQL oracles predict the header from `text`
+    * alone; the Spark side never uses them — it parses the bytes.
     */
-  private object FakeDecode {
-    def features(payload: Array[Byte]): (Long, Long, Long, Long) = {
-      val n = payload.length.toLong
-      val checksum = payload.foldLeft(0L)((acc, b) => (acc + (b & 0xffL)) % 65521L) // adler-ish, mirrored in SQL
-      (n, n % 640, (n * 7) % 480, checksum)
-    }
+  val HeaderLen = 14
+
+  /** Build one GRFT1 payload. Exposed for specs. */
+  def packPayload(body: Array[Byte]): Array[Byte] = {
+    val n = body.length
+    val width = n % 640
+    val height = (n.toLong * 7 % 480).toInt
+    val channels = n % 3 + 1
+    val p = new Array[Byte](HeaderLen + n)
+    p(0) = 'G'; p(1) = 'R'; p(2) = 'F'; p(3) = 'T'
+    p(4) = 1
+    p(5) = (width & 0xff).toByte; p(6) = ((width >> 8) & 0xff).toByte
+    p(7) = (height & 0xff).toByte; p(8) = ((height >> 8) & 0xff).toByte
+    p(9) = channels.toByte
+    p(10) = (n & 0xff).toByte; p(11) = ((n >> 8) & 0xff).toByte
+    p(12) = ((n >> 16) & 0xff).toByte; p(13) = ((n >> 24) & 0xff).toByte
+    System.arraycopy(body, 0, p, HeaderLen, n)
+    p
   }
 
-  private def withPayload(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("payload"))
+  /** Parsed GRFT1 header. Exposed for specs and the partition-wise decoders. */
+  final case class Header(width: Long, height: Long, channels: Long, bodyLen: Long)
+
+  /** Parse + validate a GRFT1 header with plain byte arithmetic. Fails loudly
+    * on corrupt input — a media pipeline quarantines, it never guesses. */
+  def parseHeader(p: Array[Byte]): Header = {
+    def u8(i: Int): Long = p(i) & 0xffL
+    require(p.length >= HeaderLen &&
+      p(0) == 'G' && p(1) == 'R' && p(2) == 'F' && p(3) == 'T',
+      s"not a GRFT1 payload (magic mismatch, len=${p.length})")
+    require(p(4) == 1, s"unsupported GRFT version ${p(4)}")
+    val bodyLen = u8(10) | (u8(11) << 8) | (u8(12) << 16) | (u8(13) << 24)
+    require(bodyLen == p.length - HeaderLen,
+      s"body length field $bodyLen != actual ${p.length - HeaderLen}")
+    Header(u8(5) | (u8(6) << 8), u8(7) | (u8(8) << 8), u8(9), bodyLen)
+  }
+
+  /** Ingest fixture: each document's UTF-8 bytes wrapped in a GRFT1
+    * container, built partition-wise — payloads originate as bytes on
+    * executors (as they would reading real media files) and never visit
+    * the driver. */
+  private[graft] def mediaPayload(s: SparkSession, d: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), packPayload(r.getString(1).getBytes(StandardCharsets.UTF_8)))
+        }
+      }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** One header byte as a long, 1-based position — pure column ops
+    * (substring on binary → hex → conv), codegen-friendly, no UDF. */
+  private def u8(pos: Int): Column =
+    conv(hex(expr(s"substring(payload, $pos, 1)")), 16, 10).cast("long")
 
   val all: Seq[Q] = Seq(
-    // ----- binary column + typed metadata extraction (pure column ops) -----
+    // ----- m35: header parse with pure column ops (no partition-wise pass) -----
+    // Typed-metadata extraction straight off the binary column: magic and
+    // version are checked as a filter (a real reader drops foreign blobs),
+    // and width/height/channels/body_len are little-endian byte reads
+    // composed from substring+hex+conv — all codegen'd, zero UDFs, so the
+    // scan stays inside whole-stage codegen and prunes to (doc_id, payload).
     Q(
       "m35_binary_meta",
       (s, d) =>
-        withPayload(s, d)
+        mediaPayload(s, d)
+          .filter(u8(1) === 71 && u8(2) === 82 && u8(3) === 70 && u8(4) === 84 &&
+            u8(5) === 1) // 'G','R','F','T', version 1
           .select(
             col("doc_id"),
             length(col("payload")).cast("long").as("n_bytes"),
-            (length(col("payload")).cast("long") % 640).as("width"),
-            ((length(col("payload")).cast("long") * 7) % 480).as("height"),
-            (length(col("payload")).cast("long") % 16 + 1).as("n_frames"))
+            (u8(6) + u8(7) * 256).as("width"),
+            (u8(8) + u8(9) * 256).as("height"),
+            u8(10).as("channels"),
+            (u8(11) + u8(12) * 256 + u8(13) * 65536 + u8(14) * 16777216).as("body_len"),
+            ((u8(11) + u8(12) * 256 + u8(13) * 65536 + u8(14) * 16777216) % 16 + 1)
+              .as("n_frames"))
           .orderBy("doc_id"),
+      // The oracle predicts the header from the generator contract (it sees
+      // only `text`); the Spark side parses the actual bytes. ASCII corpus:
+      // octet_length(encode(text)) is the body length.
       Some("""SELECT doc_id,
-             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  CAST(octet_length(encode(text)) + 14 AS BIGINT) AS n_bytes,
              |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
              |  CAST(octet_length(encode(text)) * 7 % 480 AS BIGINT) AS height,
+             |  CAST(octet_length(encode(text)) % 3 + 1 AS BIGINT) AS channels,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
              |  CAST(octet_length(encode(text)) % 16 + 1 AS BIGINT) AS n_frames
              |FROM documents ORDER BY doc_id""".stripMargin),
     ),
 
-    // ----- partition-wise decode / feature extraction over binary payloads -----
+    // ----- m36: partition-wise decode / feature extraction -----
+    // The real decode shape: project (id, payload), then one mapPartitions
+    // pass that parses the header (magic/version/length validation included)
+    // and folds a checksum over the body bytes — the stand-in for the pixel
+    // work a codec would do, computed from the same parsed byte ranges a
+    // codec would read. Payloads never leave the executor.
     Q(
       "m36_decode_features",
       (s, d) => {
-        val src = withPayload(s, d)
         val outSchema = StructType(Seq(
           StructField("doc_id", LongType),
-          StructField("n_bytes", LongType),
           StructField("width", LongType),
           StructField("height", LongType),
+          StructField("channels", LongType),
+          StructField("body_len", LongType),
           StructField("checksum", LongType)))
-        val decoded = src.mapPartitions { rows =>
+        mediaPayload(s, d).mapPartitions { rows =>
           rows.map { r =>
             val id = r.getLong(0)
-            val payload = r.getAs[Array[Byte]](1)
-            val (n, w, h, c) = FakeDecode.features(payload)
-            Row(id, n, w, h, c)
+            val p = r.getAs[Array[Byte]](1)
+            val h = parseHeader(p)
+            var acc = 0L
+            var i = HeaderLen
+            while (i < p.length) { acc = (acc + (p(i) & 0xffL)) % 65521L; i += 1 }
+            Row(id, h.width, h.height, h.channels, h.bodyLen, acc)
           }
-        }(RowEncoder.encoderFor(outSchema))
-        decoded.orderBy("doc_id")
+        }(RowEncoder.encoderFor(outSchema)).orderBy("doc_id")
       },
-      // The test corpus is pure ASCII (verified), so the UTF-8 byte sum equals
-      // the per-character codepoint sum — expressible in plain SQL.
-      // COALESCE: list_sum over an empty list is NULL, but the Spark fold
-      // over an empty payload is 0 — an empty document must hash identically.
+      // ASCII corpus: the UTF-8 body byte sum equals the per-character
+      // codepoint sum — expressible in plain SQL. COALESCE: list_sum over
+      // an empty list is NULL, but the fold over an empty body is 0.
       Some("""WITH ck AS (
              |  SELECT doc_id, octet_length(encode(text)) AS n,
              |         COALESCE(list_sum(list_transform(generate_series(1, length(text)),
              |                                          i -> unicode(substring(text, i, 1)))), 0) AS bytesum
              |  FROM documents)
-             |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+             |SELECT doc_id,
              |  CAST(n % 640 AS BIGINT) AS width,
              |  CAST(n * 7 % 480 AS BIGINT) AS height,
+             |  CAST(n % 3 + 1 AS BIGINT) AS channels,
+             |  CAST(n AS BIGINT) AS body_len,
              |  CAST(bytesum % 65521 AS BIGINT) AS checksum
              |FROM ck ORDER BY doc_id""".stripMargin),
     ),
 
-    // ----- partition-wise frame sampling over binary payloads -----
-    // The video-style access pattern: each payload notionally holds
-    // `n_bytes % 16 + 1` frames (m35's metadata convention); every 4th frame
-    // is sampled and a 1-byte "feature" read at the frame's offset — a
-    // deterministic stand-in for decode-and-sample (see FakeDecode note).
-    // The sampler is a flatMap inside mapPartitions (one output row per
-    // sampled frame, payloads never leave the executor) followed by a
-    // per-doc rollup — the exact shape a real frame-dedup/filter pass has.
+    // ----- m37: partition-wise frame sampling over binary payloads -----
+    // The video-style access pattern: each container notionally holds
+    // `body_len % 16 + 1` frames; every 4th frame is sampled and a 1-byte
+    // "feature" read at the frame's body offset — the decode-and-sample
+    // shape with the header genuinely parsed per payload. The sampler is a
+    // flatMap inside mapPartitions (one output row per sampled frame,
+    // payloads never leave the executor) followed by a per-doc rollup —
+    // the exact shape a real frame-dedup/filter pass has.
     Q(
       "m37_frame_sample",
       (s, d) => {
-        val src = withPayload(s, d)
         val outSchema = StructType(Seq(
           StructField("doc_id", LongType),
           StructField("frame_idx", LongType),
           StructField("frame_byte", LongType)))
-        val frames = src.mapPartitions { rows =>
+        val frames = mediaPayload(s, d).mapPartitions { rows =>
           rows.flatMap { r =>
             val id = r.getLong(0)
             val p = r.getAs[Array[Byte]](1)
-            val n = p.length
+            val h = parseHeader(p)
+            val n = h.bodyLen.toInt
             if (n == 0) Iterator.empty
             else {
               val nFrames = n % 16 + 1
               (0 until nFrames by 4).iterator.map { fi =>
                 val off = (fi * 1024) % n
-                Row(id, fi.toLong, (p(off) & 0xffL))
+                Row(id, fi.toLong, (p(HeaderLen + off) & 0xffL))
               }
             }
           }
@@ -132,7 +221,7 @@ object Multimodal {
             sum(col("frame_byte")).as("byte_sum"))
           .orderBy("doc_id")
       },
-      // ASCII corpus: the byte at offset i equals the codepoint of the
+      // ASCII corpus: the body byte at offset i equals the codepoint of the
       // character at i+1 (1-based substring), so the oracle mirrors the
       // sampler in plain SQL.
       Some("""WITH f AS (
@@ -150,18 +239,18 @@ object Multimodal {
              |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
 
-    // ----- partition-wise resize planning over image-style metadata -----
-    // The resize step of an image pipeline: from each payload's (width,
-    // height) metadata (m35's convention), compute the target dimensions
-    // that fit a 224×224 training square while preserving aspect ratio —
-    // scale = 224 / max(w, h), targets rounded half-up, never upscaled
-    // (scale capped at 1). The arithmetic runs in the same mapPartitions
-    // decode pass a real resampler would (the pixel work is the stub; the
-    // dimension plan, batch shape, and schema are the real plumbing).
+    // ----- m38: partition-wise resize planning over parsed image metadata -----
+    // The resize step of an image pipeline: from each container's PARSED
+    // (width, height), compute the target dimensions that fit a 224×224
+    // training square while preserving aspect ratio — scale = 224/max(w,h),
+    // targets rounded half-up, never upscaled (scale capped at 1). The
+    // arithmetic runs in the same mapPartitions decode pass a real
+    // resampler would (the pixel resample itself is the one step that
+    // needs a codec; the header parse, dimension plan, batch shape, and
+    // schema are the real plumbing).
     Q(
       "m38_resize_stub",
       (s, d) => {
-        val src = withPayload(s, d)
         val outSchema = StructType(Seq(
           StructField("doc_id", LongType),
           StructField("width", LongType),
@@ -169,14 +258,13 @@ object Multimodal {
           StructField("target_w", LongType),
           StructField("target_h", LongType),
           StructField("scale_pm", LongType))) // scale in per-mille
-        val planned = src.mapPartitions { rows =>
+        mediaPayload(s, d).mapPartitions { rows =>
           rows.map { r =>
             val id = r.getLong(0)
-            // single source of truth for the metadata convention: the same
-            // FakeDecode width/height m35/m36 derive, floored to 1 px
-            val (_, w0, h0, _) = FakeDecode.features(r.getAs[Array[Byte]](1))
-            val w = math.max(w0, 1L)
-            val h = math.max(h0, 1L)
+            val h0 = parseHeader(r.getAs[Array[Byte]](1))
+            // degenerate dims floored to 1 px (body_len % 640 can be 0)
+            val w = math.max(h0.width, 1L)
+            val h = math.max(h0.height, 1L)
             val side = math.max(w, h)
             // integer per-mille scale avoids float disagreement with the
             // oracle; capped at 1000 (never upscale)
@@ -185,8 +273,7 @@ object Multimodal {
             val th = (h * scalePm + 500L) / 1000L
             Row(id, w, h, tw, th, scalePm)
           }
-        }(RowEncoder.encoderFor(outSchema))
-        planned.orderBy("doc_id")
+        }(RowEncoder.encoderFor(outSchema)).orderBy("doc_id")
       },
       Some("""WITH m AS (
              |  SELECT doc_id,
