@@ -24,7 +24,10 @@ object DocStreams {
 
   /** Start the admission stream: `docs` is a streaming (doc_id, text)
     * frame; the static index/corpusShingles frames are resolved once by
-    * the caller (in production: reads of the persisted index table). Each
+    * the caller — in production the index is
+    * `Similarity.loadBandIndex(spark, table)`, the (band, sig)-bucketed
+    * table `Similarity.writeBandIndex` maintains by append (see
+    * PersistedIndexSpec for the append==rebuild proof). Each
     * verdict batch overwrites `path/batch=<id>` — replayed micro-batches
     * land on the same path, so the sink stays exactly-once. */
   def admissionStream(

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.queries.Similarity
+
+/** The persisted admission index contract behind t96/DocStreams: the
+  * on-disk (band, sig)-bucketed table is append-only, and probing it is
+  * indistinguishable from probing a freshly built in-memory index.
+  *
+  *  - append == rebuild: writing corpus half A then APPENDING half B gives
+  *    the same admission verdicts as writing A∪B in one shot, and the same
+  *    as the in-memory [[Similarity.bandIndex]] frame. This is what makes
+  *    the 100 TB maintenance path sound: admitted batches append their
+  *    signatures; nothing is ever rebuilt.
+  *  - the mega-bucket guard stays correct under appends because
+  *    [[Similarity.admission]] applies it at probe time over current
+  *    bucket sizes (a bucket crossing 20 members only via the append must
+  *    be skipped — build-time capping would have frozen it in).
+  *  - the table scan is genuinely bucketed (no Exchange needed to count
+  *    bucket sizes by exactly the bucket keys).
+  */
+class PersistedIndexSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def verdicts(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Option[Any], Boolean)] =
+    df.orderBy("doc_id").collect().toSeq
+      .map((r: Row) => (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getBoolean(3)))
+
+  test("append-then-probe equals rebuild-then-probe equals in-memory index") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val sh = Similarity.shingleDocs(corpus).localCheckpoint()
+    val batchSh = Similarity.shingleDocs(docs.filter(col("doc_id") % 10 === 0))
+      .localCheckpoint()
+
+    val base = Files.createTempDirectory("graft_pidx").toString
+
+    // one-shot: whole corpus written at once
+    Similarity.writeBandIndex(sh, "pidx_oneshot", s"$base/oneshot", overwrite = true)
+    val oneShot = verdicts(
+      Similarity.admission(batchSh, Similarity.loadBandIndex(spark, "pidx_oneshot"), sh))
+
+    // incremental: half A overwrites, half B appends to the same table
+    val halfA = sh.filter(col("doc_id") % 2 === 1)
+    val halfB = sh.filter(col("doc_id") % 2 === 0)
+    Similarity.writeBandIndex(halfA, "pidx_inc", s"$base/inc", overwrite = true)
+    Similarity.writeBandIndex(halfB, "pidx_inc", s"$base/inc", overwrite = false)
+    val incremental = verdicts(
+      Similarity.admission(batchSh, Similarity.loadBandIndex(spark, "pidx_inc"), sh))
+
+    // in-memory: no table at all
+    val inMemory = verdicts(Similarity.admission(batchSh, Similarity.bandIndex(sh), sh))
+
+    assert(oneShot.nonEmpty)
+    assert(incremental == oneShot, "appended index diverges from one-shot index")
+    assert(inMemory == oneShot, "persisted index diverges from in-memory index")
+
+    // row-level: the appended table holds exactly the one-shot rows
+    val a = spark.table("pidx_inc").collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val b = spark.table("pidx_oneshot").collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(a == b, "appended table contents differ from one-shot table")
+  }
+
+  test("probe-time mega-bucket guard sees buckets that cross 20 only via append") {
+    import spark.implicits._
+    // 21 corpus docs with IDENTICAL text land their band signatures in the
+    // same buckets; a probe of the same text must be ADMITTED (all its
+    // buckets are mega-buckets, all skipped). Split 11+10 across an append
+    // so no single write sees a bucket over the cap — only probe-time
+    // counting can catch it.
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = (1L to 21L).map(i => (i, text)).toDF("doc_id", "text")
+    val sh = Similarity.shingleDocs(corpus).localCheckpoint()
+    val base = Files.createTempDirectory("graft_pidx_mega").toString
+    Similarity.writeBandIndex(sh.filter(col("doc_id") <= 11), "pidx_mega",
+      s"$base/mega", overwrite = true)
+    Similarity.writeBandIndex(sh.filter(col("doc_id") > 11), "pidx_mega",
+      s"$base/mega", overwrite = false)
+
+    val probeSh = Similarity.shingleDocs(Seq((1000L, text)).toDF("doc_id", "text"))
+    val out = verdicts(
+      Similarity.admission(probeSh, Similarity.loadBandIndex(spark, "pidx_mega"), sh))
+    assert(out == Seq((1000L, 0L, None, true)),
+      s"probe of a 21-member mega-bucket must skip it and admit, got $out")
+
+    // control: at 20 members the bucket is within the cap and must collide
+    Similarity.writeBandIndex(sh.filter(col("doc_id") <= 20), "pidx_ctrl",
+      s"$base/ctrl", overwrite = true)
+    val ctrl = verdicts(
+      Similarity.admission(probeSh, Similarity.loadBandIndex(spark, "pidx_ctrl"),
+        sh.filter(col("doc_id") <= 20)))
+    assert(ctrl.head._2 == 20L && !ctrl.head._4,
+      s"20-member bucket must produce 20 verified dups and reject, got $ctrl")
+  }
+
+  test("bucket-size count over the persisted index needs no Exchange") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 100)
+    val sh = Similarity.shingleDocs(docs)
+    val base = Files.createTempDirectory("graft_pidx_plan").toString
+    Similarity.writeBandIndex(sh, "pidx_plan", s"$base/plan", overwrite = true)
+    val counts = Similarity.loadBandIndex(spark, "pidx_plan")
+      .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("bsize"))
+    counts.collect()
+    val plan = counts.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"grouping by the bucket keys of a bucketed table must not shuffle:\n$plan")
+  }
+}
