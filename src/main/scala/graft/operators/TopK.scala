@@ -35,6 +35,13 @@ object TopK {
       case s: Sort => (s.order, s.child)
       case other => throw new IllegalStateException(s"expected Sort, got $other")
     }
+    // keys/order are split positionally from the probe's SortOrders; if the
+    // analyzer ever dedupes or normalizes them (e.g. a key repeated in
+    // `order`), fail loudly rather than mis-split into a wrong plan
+    require(sortOrders.length == keys.length + order.length,
+      s"analyzer changed the probe sort arity: expected ${keys.length} keys + " +
+        s"${order.length} order columns, got ${sortOrders.length} SortOrders " +
+        "(is a key repeated in the ordering?)")
     val keyExprs = sortOrders.take(keys.length).map(_.child)
     GraftPlanBridge.ofRows(spark,
       TopKPerKeyNode(keyExprs, sortOrders.drop(keys.length), k, child))

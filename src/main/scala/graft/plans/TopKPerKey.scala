@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator top-k-per-key: the rows that would survive
@@ -64,6 +64,11 @@ case class TopKPerKeyExec(
   override def requiredChildDistribution: Seq[Distribution] =
     if (keys.isEmpty) AllTuples :: Nil else ClusteredDistribution(keys) :: Nil
 
+  /** Rows pass through key-stable, so the child's (hash) partitioning
+    * survives — downstream operators on the same keys must not re-shuffle
+    * what EnsureRequirements already co-located for us. */
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val orderLocal = order
@@ -74,12 +79,28 @@ case class TopKPerKeyExec(
       // i.e. would receive a smaller row_number
       val ord = new LazilyGeneratedOrdering(orderLocal, attrs)
       val keyGen = UnsafeProjection.create(keysLocal, attrs)
-      // max-heap per key: head = currently-worst kept row, evicted first
+      // max-heap per key: head = currently-worst kept row, evicted first.
+      // Retained memory is #keys-in-partition × k rows and is NOT tracked
+      // by TaskMemoryManager (no spill path) — the operator's contract is
+      // grouped-top-k with key cardinality ≪ row count. The guard below
+      // converts a silent executor OOM under extreme per-partition key
+      // cardinality into an actionable error pointing at the Window
+      // formulation (which spills) instead.
+      val maxKeys =
+        java.lang.Long.getLong("graft.topk.maxKeysPerPartition", 4000000L)
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       iter.foreach { row =>
         val heap = heaps.getOrElseUpdate(
-          keyGen(row).copy(),
-          mutable.PriorityQueue.empty[InternalRow](ord))
+          keyGen(row).copy(), {
+            if (heaps.size >= maxKeys)
+              throw new IllegalStateException(
+                s"TopKPerKey: over $maxKeys distinct keys in one partition " +
+                  s"(retaining k=$kLocal rows each); this heap operator holds " +
+                  "keys×k rows un-spillably — raise -Dgraft.topk.maxKeysPerPartition, " +
+                  "repartition finer on the keys, or use the Window row_number " +
+                  "formulation, which spills")
+            mutable.PriorityQueue.empty[InternalRow](ord)
+          })
         if (heap.size < kLocal) heap.enqueue(row.copy())
         else if (ord.compare(row, heap.head) < 0) {
           heap.dequeue()

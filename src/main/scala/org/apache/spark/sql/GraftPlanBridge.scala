@@ -19,10 +19,15 @@ object GraftPlanBridge {
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 
   /** Idempotently append a planner strategy to the session's experimental
-    * strategy list (public ExperimentalMethods surface, classic session). */
+    * strategy list (public ExperimentalMethods surface, classic session).
+    * Synchronized on the experimental object: the check-then-append is not
+    * atomic, and two threads' first TopK.perKey calls on one session must
+    * not register the strategy twice. */
   def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
-    if (!exp.extraStrategies.exists(_.getClass == s.getClass))
-      exp.extraStrategies = exp.extraStrategies :+ s
+    exp.synchronized {
+      if (!exp.extraStrategies.exists(_.getClass == s.getClass))
+        exp.extraStrategies = exp.extraStrategies :+ s
+    }
   }
 }

@@ -86,4 +86,27 @@ class GapFillSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("column names containing dots resolve (backtick-quoted references)") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 2L), ("a", 4L, 5L))
+      .toDF("the.key", "time.bucket", "the.value")
+    val out = GapFill.gapFill(df, Seq("the.key"), "time.bucket",
+        Map("the.value" -> lit(0L)))
+      .orderBy(col("`time.bucket`")).collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L), (2L, 0L), (3L, 0L), (4L, 5L)))
+  }
+
+  test("a span wider than one grid chunk densifies exactly (chunked explode)") {
+    import spark.implicits._
+    // 65536 is the per-row chunk width: 0..80000 spans two chunks; the
+    // boundary rows 65535/65536 must appear exactly once each
+    val df = Seq(("a", 0L, 1L), ("a", 80000L, 1L)).toDF("k", "bucket", "n")
+    val out = GapFill.gapFill(df, Seq("k"), "bucket", Map("n" -> lit(0L)))
+    assert(out.count() == 80001L)
+    assert(out.select(count_distinct(col("bucket"))).head().getLong(0) == 80001L)
+    assert(out.filter(col("bucket").isin(65535L, 65536L)).count() == 2)
+    assert(out.select(sum(col("n"))).head().getLong(0) == 2L)
+  }
 }
