@@ -11,11 +11,30 @@ import graft.plan.Planner
 /** CLI with the reference's flag surface and exit-code contract
   * (DistCPPlus.java:307-333): 0 ok, -1 bad args, -2 duplication,
   * -3 remote FS errors, -999 other.
+  *
+  * A second entry surface, `-sql`, drives the ANALYTICS layer without any
+  * Scala: every corpus table is registered as a view, the graft_* SQL
+  * functions are injected, and the given statements run through
+  * `spark.sql`:
+  * {{{
+  *   graft.cli.Main -sql /data/sf100 \
+  *     -e "SELECT count(*) FROM lineitem" \
+  *     -e "SELECT graft_simhash64(graft_token_hashes64(text)) FROM documents LIMIT 5"
+  *   graft.cli.Main -sql /data/sf100 -f queries.sql   # ;-separated script
+  * }}}
+  * Results print as TAB-separated rows with a header line. Output is
+  * capped at [[SqlMaxRows]] rows per statement (stderr notes the
+  * truncation): the CLI is a driver process, and an uncapped SELECT over
+  * a 100 TB table must not be collectable by accident.
   */
 object Main {
 
+  /** Per-statement stdout row cap for `-sql` mode. */
+  val SqlMaxRows = 10000
+
   def run(argv: Array[String], spark: SparkSession): Int =
-    Args.parse(argv.toSeq) match {
+    if (argv.headOption.contains("-sql")) runSql(argv.drop(1).toSeq, spark)
+    else Args.parse(argv.toSeq) match {
       case Left(msg) =>
         System.err.println(s"graft-copy: $msg")
         -1
@@ -45,6 +64,58 @@ object Main {
             -999
         }
     }
+
+  /** `-sql` mode: <dir> then any mix of `-e <stmt>` / `-f <script>`.
+    * Statements run in order; the first failure stops the run (-999), a
+    * malformed invocation is -1 — the copy CLI's exit-code contract. */
+  private def runSql(argv: Seq[String], spark: SparkSession): Int = {
+    def parse(rest: Seq[String], acc: Seq[String]): Either[String, Seq[String]] =
+      rest match {
+        case Nil => Right(acc)
+        case "-e" +: stmt +: tail => parse(tail, acc :+ stmt)
+        case "-f" +: path +: tail =>
+          val src = scala.io.Source.fromFile(path)
+          val script = try src.mkString finally src.close()
+          parse(tail, acc ++ script.split(';').map(_.trim).filter(_.nonEmpty))
+        case other +: _ => Left(s"unexpected argument '$other' (want -e/-f)")
+      }
+    argv match {
+      case dir +: rest if !dir.startsWith("-") =>
+        parse(rest, Nil) match {
+          case Left(msg) =>
+            System.err.println(s"graft-sql: $msg"); -1
+          case Right(Nil) =>
+            System.err.println("graft-sql: no statements (use -e '<sql>' or -f <file>)"); -1
+          case Right(stmts) =>
+            try {
+              graft.Graft.registerViews(spark, dir)
+              graft.Graft.registerFunctions(spark)
+              stmts.foreach { sql =>
+                val df = spark.sql(sql)
+                if (df.columns.nonEmpty) {
+                  // capped driver materialization — never an unbounded collect
+                  val rows = df.limit(SqlMaxRows + 1).collect()
+                  println(df.columns.mkString("\t"))
+                  rows.take(SqlMaxRows).foreach { r =>
+                    println(r.toSeq.map(v => if (v == null) "NULL" else v.toString)
+                      .mkString("\t"))
+                  }
+                  if (rows.length > SqlMaxRows)
+                    System.err.println(s"graft-sql: output capped at $SqlMaxRows rows")
+                }
+              }
+              0
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"graft-sql: ${e.getClass.getName}: ${e.getMessage}")
+                -999
+            }
+        }
+      case _ =>
+        System.err.println("graft-sql: usage: -sql <tableDir> [-e <sql>]... [-f <script>]...")
+        -1
+    }
+  }
 
   def main(argv: Array[String]): Unit = {
     val spark = SparkSession.builder()
