@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
 import graft.queries.Similarity
@@ -41,6 +42,56 @@ object DocStreams {
         val verdicts =
           Similarity.admission(Similarity.shingleDocs(batch), index, corpusShingles)
         verdicts.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
+
+  /** The SELF-MAINTAINING admission stream: like [[admissionStream]], but
+    * each micro-batch's ADMITTED documents append their band signatures to
+    * the persisted index table and their shingle sets to the verify store,
+    * so later micro-batches dedup against everything admitted before them —
+    * the complete production ingestion loop, not just a probe of a frozen
+    * corpus.
+    *
+    * Semantics and ordering:
+    *  - a batch doc is judged against the index AS OF the start of its
+    *    micro-batch; docs within one micro-batch are not compared to each
+    *    other (same contract as batch t96 — intra-batch dups admit
+    *    together; run a periodic full near-dup pass, or shrink batches, if
+    *    that window matters).
+    *  - verdicts are MATERIALIZED (eager localCheckpoint + idempotent
+    *    batch-id-keyed sink write) BEFORE the appends run, so a batch can
+    *    never probe its own freshly appended signatures.
+    *  - replay safety: the verdict sink overwrites per batch id; a
+    *    replayed append can at worst duplicate index/store rows, which
+    *    admission tolerates by construction (candidate pairs are
+    *    distinct-ed; the shingle store read dedupes by doc_id).
+    *  - the mega-bucket guard stays correct as the index grows because
+    *    admission counts bucket sizes at probe time (PersistedIndexSpec).
+    */
+  def selfMaintainingAdmissionStream(
+      docs: DataFrame,
+      indexTable: String,
+      indexPath: String,
+      shingleTable: String,
+      shinglePath: String,
+      path: String,
+      ckpt: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val batchSh = Similarity.shingleDocs(batch).localCheckpoint()
+        val verdicts = Similarity.admission(
+            batchSh,
+            Similarity.loadBandIndex(spark, indexTable),
+            Similarity.loadShingleStore(spark, shingleTable))
+          .localCheckpoint() // eager: pin verdicts before the index grows
+        verdicts.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+        val admittedSh = batchSh.join(
+          verdicts.filter(col("admitted")).select("doc_id"), Seq("doc_id"))
+        Similarity.writeBandIndex(admittedSh, indexTable, indexPath, overwrite = false)
+        Similarity.writeShingleStore(admittedSh, shingleTable, shinglePath, overwrite = false)
       }
       .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append())

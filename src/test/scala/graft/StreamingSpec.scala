@@ -351,4 +351,54 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == oneShot,
       s"streamed verdicts diverge from batch: ${streamed.diff(oneShot)} / ${oneShot.diff(streamed)}")
   }
+
+  test("self-maintaining admission: later micro-batches dedup against earlier admissions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.Similarity
+    import graft.streaming.DocStreams
+
+    val base = java.nio.file.Files.createTempDirectory("graft_selfadm").toString
+    // bootstrap: a one-doc seed corpus in the persisted index + shingle store
+    val seed = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val seedSh = Similarity.shingleDocs(seed).localCheckpoint()
+    Similarity.writeBandIndex(seedSh, "selfadm_idx", s"$base/idx", overwrite = true)
+    Similarity.writeShingleStore(seedSh, "selfadm_sh", s"$base/sh", overwrite = true)
+
+    val novel1 = "the quick brown fox jumps over the lazy dog while rain falls on the plain"
+    val novel2 = "completely different content about catalyst optimizer internals and shuffles"
+
+    val out = java.nio.file.Files.createTempDirectory("graft_selfadm_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_selfadm_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = DocStreams.selfMaintainingAdmissionStream(
+      input.toDS().toDF("doc_id", "text"),
+      "selfadm_idx", s"$base/idx", "selfadm_sh", s"$base/sh", out, ckpt)
+    try {
+      // batch 1: a novel doc — admitted, and its signatures join the index
+      input.addData((10L, novel1))
+      q.processAllAvailable()
+      // batch 2: a duplicate of the doc ADMITTED IN BATCH 1 (not in the
+      // seed corpus) must now be rejected; an unrelated doc still admits
+      input.addData((20L, novel1), (21L, novel2))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val v = spark.read.parquet(out)
+      .select("doc_id", "n_dups", "admitted").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(v(10L) == ((0L, true)), s"novel doc vs seed corpus must admit: $v")
+    assert(v(20L)._1 >= 1L && !v(20L)._2,
+      s"dup of a doc admitted in an EARLIER micro-batch must be rejected: $v")
+    assert(v(21L) == ((0L, true)), s"unrelated doc must still admit: $v")
+
+    // the index grew by exactly the admitted docs — the rejected one is absent
+    val idxDocs = spark.table("selfadm_idx")
+      .select("doc_id2").distinct().as[Long].collect().toSet
+    assert(idxDocs == Set(1L, 10L, 21L), s"index docs: $idxDocs")
+    val storeDocs = spark.table("selfadm_sh")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(storeDocs == idxDocs, s"shingle store must track the index: $storeDocs")
+  }
 }
