@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -722,6 +723,67 @@ object Text {
              |         AS DOUBLE) / CAST(n_chars AS DOUBLE) AS key
              |  FROM documents WHERE n_chars > 0)
              |ORDER BY key, doc_id LIMIT 50""".stripMargin),
+    ),
+
+    // ----- t100: count-min sketch heavy hitters, certified vs exact -----
+    // The streaming-scale frequency sketch (Cormode & Muthukrishnan '05):
+    // d=4 hash rows × w=1024 counters, h_j(tok) = md5('cms'||j||':'||tok)
+    // first-8-hex mod w — fully deterministic, so the sketch (unlike
+    // sampling-based sketches) is reproducible across engines and the
+    // oracle rebuilds it bit-identically. Counter updates are sums, so the
+    // sketch is order- and partition-independent: at 100 TB it builds in
+    // one map-side pass (4 KiB of state per task, merged by a 4096-key
+    // agg), where the exact token groupBy shuffles the full vocabulary.
+    // Here BOTH arms run and the report certifies the CMS contract on the
+    // top-20 exact heavy hitters: est = min_j cell[j][h_j] ≥ exact, with
+    // the overcount column showing the collision error the 100-TB user
+    // would actually pay. Distinct tokens are counted once BEFORE the ×4
+    // row expansion, so the sketch build explodes the vocabulary, not the
+    // token stream.
+    Q(
+      "t100_cms_heavy",
+      (s, d) => {
+        def cmsHash(tok: Column, j: Column): Column =
+          conv(substring(md5(concat(lit("cms"), j.cast("string"), lit(":"), tok)
+            .cast("binary")), 1, 8), 16, 10).cast("long") % 1024
+        val toks = Tables.documents(s, d)
+          .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        val cells = toks
+          .select(col("tok"), col("cnt"), explode(expr("sequence(0, 3)")).as("j"))
+          .withColumn("h", cmsHash(col("tok"), col("j")))
+          .groupBy(col("j"), col("h")).agg(sum(col("cnt")).as("cell"))
+        val top = toks.orderBy(col("cnt").desc, col("tok")).limit(20)
+          .select(col("tok"), col("cnt"), explode(expr("sequence(0, 3)")).as("j"))
+          .withColumn("h", cmsHash(col("tok"), col("j")))
+        top.join(broadcast(cells), Seq("j", "h"))
+          .groupBy(col("tok"), col("cnt"))
+          .agg(min(col("cell")).as("cms_est"))
+          .select(col("tok"), col("cnt").as("exact_cnt"), col("cms_est"),
+            (col("cms_est") - col("cnt")).as("overcount"))
+          .orderBy(col("exact_cnt").desc, col("tok"))
+      },
+      Some("""WITH tc AS (
+             |  SELECT tok, COUNT(*) AS cnt FROM (
+             |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok FROM documents)
+             |  GROUP BY tok),
+             |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+             |cells AS (
+             |  SELECT j,
+             |    CAST(('0x' || substring(md5('cms' || CAST(j AS VARCHAR) || ':' || tok), 1, 8)) AS BIGINT) % 1024 AS h,
+             |    CAST(SUM(cnt) AS BIGINT) AS cell
+             |  FROM tc, js GROUP BY j, h),
+             |top AS (SELECT tok, cnt FROM tc ORDER BY cnt DESC, tok LIMIT 20),
+             |th AS (
+             |  SELECT t.tok, t.cnt, j,
+             |    CAST(('0x' || substring(md5('cms' || CAST(j AS VARCHAR) || ':' || t.tok), 1, 8)) AS BIGINT) % 1024 AS h
+             |  FROM top t, js)
+             |SELECT th.tok, th.cnt AS exact_cnt, MIN(c.cell) AS cms_est,
+             |  MIN(c.cell) - th.cnt AS overcount
+             |FROM th JOIN cells c ON th.j = c.j AND th.h = c.h
+             |GROUP BY th.tok, th.cnt
+             |ORDER BY exact_cnt DESC, tok""".stripMargin),
     ),
   )
 }

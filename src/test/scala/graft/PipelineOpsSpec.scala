@@ -64,4 +64,53 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(r.getLong(3) >= 1, "max-|x| element must saturate to ±127")
     }
   }
+
+  test("t99: clusters partition the corpus and shrinkage accounting closes") {
+    val out = q("t99_semdedup").collect()
+    val nVecs = Tables.embeddings(spark, dir).count()
+    assert(out.map(_.getLong(1)).sum == nVecs, "assigned clusters partition the corpus")
+    assert(out.exists(_.getLong(3) > 0), "ε must yield real drop decisions on this corpus")
+    out.foreach { r =>
+      val (nv, np, nd, nk) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nk + nd == nv, s"kept + dropped != cluster size: $r")
+      assert(nd <= np || np == 0, s"more drops than ε-pairs: $r")
+      assert(nd < nv, s"a cluster may never drop every member (each pair keeps one): $r")
+    }
+  }
+
+  test("t100: the CMS estimate never underestimates, for every token in the corpus") {
+    // The oracle gate checks the top-20 report; the sketch CONTRACT
+    // (est >= exact, always) must hold for the whole vocabulary — rebuild
+    // the same 4×1024 sketch and check every distinct token against it.
+    def cmsHash(tok: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit("cms"), j.cast("string"), lit(":"), tok)
+        .cast("binary")), 1, 8), 16, 10).cast("long") % 1024
+    val toks = Tables.documents(spark, dir)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val hashed = toks
+      .select(col("tok"), col("cnt"), explode(expr("sequence(0, 3)")).as("j"))
+      .withColumn("h", cmsHash(col("tok"), col("j")))
+    val cells = hashed.groupBy(col("j"), col("h")).agg(sum(col("cnt")).as("cell"))
+    val under = hashed.join(cells, Seq("j", "h"))
+      .groupBy(col("tok"), col("cnt")).agg(min(col("cell")).as("est"))
+      .filter(col("est") < col("cnt"))
+    assert(under.count() == 0, "count-min must never underestimate")
+  }
+
+  test("t100: sketch cells are partition-order independent (counter updates commute)") {
+    def cmsHash(tok: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit("cms"), j.cast("string"), lit(":"), tok)
+        .cast("binary")), 1, 8), 16, 10).cast("long") % 1024
+    def cells(docs: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] = docs
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+      .select(col("tok"), explode(expr("sequence(0, 3)")).as("j"))
+      .withColumn("h", cmsHash(col("tok"), col("j")))
+      .groupBy(col("j"), col("h")).agg(count(lit(1)).as("cell"))
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1)) -> r.getLong(2)).toMap
+    val docs = Tables.documents(spark, dir)
+    val a = cells(docs)
+    val b = cells(docs.repartition(17))
+    assert(a == b, "sketch must not depend on input partitioning")
+  }
 }
