@@ -70,6 +70,9 @@ object GraftExtensions {
     fixed("graft_l2_norm", 1)(a => L2Norm(a.head)),
     fixed("graft_sorted_intersect_count", 2)(a =>
       SortedIntersectCount(a.head, a(1))),
+    // aggregate (not scalar): the analyzer wraps an AggregateFunction
+    // returned from a builder in AggregateExpression(Complete) itself
+    fixed("graft_kmv", 2)(a => KmvAgg(a.head, intLit(a(1), "graft_kmv"))),
   )
 
   /** Runtime injection into an existing session (same surface as the

@@ -991,5 +991,77 @@ object Extended {
              |FROM p GROUP BY n_name, c_mktsegment
              |ORDER BY n_name, c_mktsegment""".stripMargin),
     ),
+
+    // ----- t101: grouped KMV sketches via the native graft_kmv aggregate -----
+    // t91 certifies the global bottom-k sketch built from distinct +
+    // TakeOrdered; this is the GROUPED production form, built by the custom
+    // TypedImperativeAggregate (graft.functions.KmvAgg, also registered as
+    // SQL `graft_kmv`). Scale shape is the whole point: per-partition
+    // buffers hold ≤ k longs per group, partials combine MAP-SIDE, and the
+    // shuffle carries k longs per (group × partition) — t91's
+    // distinct-then-sort formulation would shuffle every distinct key of
+    // every group instead. The sketch is partitioning-invariant (bottom-k
+    // of a union = bottom-k of bottom-ks), so its exact content is
+    // oracle-certified: count, k-th value, and a mod-p content checksum,
+    // plus the (k−1)·M/U_k estimate against the exact arm. KmvAggSpec pins
+    // the partial/merge path (repartition-invariance, serde round-trip).
+    Q(
+      "t101_kmv_grouped",
+      (s, d) => {
+        val k = 128
+        val m = 1152921504606846976.0d // 16^15 = 2^60, exactly representable
+        val sk = Tables.lineitem(s, d)
+          .select(col("l_returnflag").as("flag"), expr(
+            "CAST(conv(substring(md5(CAST(CAST(l_partkey AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
+            .as("h"))
+          .groupBy(col("flag"))
+          .agg(graft.functions.KmvAgg.kmv(col("h"), k).as("sk"))
+        val ex = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag").as("flag"))
+          .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+        val est = when(size(col("sk")) < k, size(col("sk")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(m)
+            / element_at(col("sk"), -1).cast("double"))
+        sk.join(ex, Seq("flag"))
+          .select(
+            col("flag"),
+            size(col("sk")).cast("long").as("n_kept"),
+            element_at(col("sk"), -1).as("u_k"),
+            // mod-p content checksum: order-free, overflow-free (the raw
+            // bottom-k hashes live near 2^60 — a direct BIGINT sum could
+            // overflow in Spark where DuckDB widens to HUGEINT)
+            expr("aggregate(sk, CAST(0 AS BIGINT), (a, x) -> a + x % 1000000007)")
+              .as("sketch_chk"),
+            col("exact_distinct"),
+            round(est, 4).as("kmv_estimate"),
+            round(abs(est - col("exact_distinct")) / col("exact_distinct") * 100, 4)
+              .as("err_pct"))
+          .orderBy("flag")
+      },
+      Some("""WITH h AS (
+             |  SELECT DISTINCT l_returnflag AS flag,
+             |    CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+             |  FROM lineitem),
+             |bk AS (
+             |  SELECT flag, h FROM (
+             |    SELECT flag, h, ROW_NUMBER() OVER (PARTITION BY flag ORDER BY h) AS rn
+             |    FROM h) WHERE rn <= 128),
+             |sk AS (
+             |  SELECT flag, COUNT(*) AS n_kept, MAX(h) AS u_k,
+             |    CAST(SUM(h % 1000000007) AS BIGINT) AS sketch_chk
+             |  FROM bk GROUP BY flag),
+             |ex AS (
+             |  SELECT l_returnflag AS flag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+             |  FROM lineitem GROUP BY flag),
+             |est AS (
+             |  SELECT sk.flag, n_kept, u_k, sketch_chk, exact_distinct,
+             |    CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE)
+             |         ELSE 127.0 * 1152921504606846976.0 / CAST(u_k AS DOUBLE) END AS e
+             |  FROM sk JOIN ex ON sk.flag = ex.flag)
+             |SELECT flag, n_kept, u_k, sketch_chk, exact_distinct,
+             |  ROUND(e, 4) AS kmv_estimate,
+             |  ROUND(ABS(e - exact_distinct) / exact_distinct * 100, 4) AS err_pct
+             |FROM est ORDER BY flag""".stripMargin),
+    ),
   )
 }
