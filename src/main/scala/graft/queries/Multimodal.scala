@@ -102,6 +102,48 @@ object Multimodal {
   private def u8(pos: Int): Column =
     conv(hex(expr(s"substring(payload, $pos, 1)")), 16, 10).cast("long")
 
+  /** REAL file ingest: GRFT1 containers as files on storage, read with
+    * Spark's `binaryFile` source — the production entry point the
+    * [[mediaPayload]] fixture stands in for. Each file becomes one
+    * (doc_id, payload) row: doc_id from the file name, payload = the raw
+    * bytes (`content`). The source prunes columns like any other
+    * (selecting only `path` skips the byte read entirely), pathGlobFilter
+    * prunes foreign files at listing time, and files stream through
+    * executors without visiting the driver — so every m35–m38 operator
+    * runs UNCHANGED on this frame (proven in MultimodalSpec).
+    * spark.sql.files.maxPartitionBytes governs file-to-task packing at
+    * scale exactly as for parquet. */
+  def binaryFileIngest(s: SparkSession, dir: String): DataFrame =
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.grft")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.grft$", 1).cast("long").as("doc_id"),
+        col("content").as("payload"))
+
+  /** m36's decode pass over ANY (doc_id, payload) frame — shared by the
+    * fixture-driven query and the binaryFile ingest path. */
+  private[graft] def decodeFeatures(payloads: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("channels", LongType),
+      StructField("body_len", LongType),
+      StructField("checksum", LongType)))
+    payloads.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val p = r.getAs[Array[Byte]](1)
+        val h = parseHeader(p)
+        var acc = 0L
+        var i = HeaderLen
+        while (i < p.length) { acc = (acc + (p(i) & 0xffL)) % 65521L; i += 1 }
+        Row(id, h.width, h.height, h.channels, h.bodyLen, acc)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   val all: Seq[Q] = Seq(
     // ----- m35: header parse with pure column ops (no partition-wise pass) -----
     // Typed-metadata extraction straight off the binary column: magic and
@@ -146,26 +188,7 @@ object Multimodal {
     // codec would read. Payloads never leave the executor.
     Q(
       "m36_decode_features",
-      (s, d) => {
-        val outSchema = StructType(Seq(
-          StructField("doc_id", LongType),
-          StructField("width", LongType),
-          StructField("height", LongType),
-          StructField("channels", LongType),
-          StructField("body_len", LongType),
-          StructField("checksum", LongType)))
-        mediaPayload(s, d).mapPartitions { rows =>
-          rows.map { r =>
-            val id = r.getLong(0)
-            val p = r.getAs[Array[Byte]](1)
-            val h = parseHeader(p)
-            var acc = 0L
-            var i = HeaderLen
-            while (i < p.length) { acc = (acc + (p(i) & 0xffL)) % 65521L; i += 1 }
-            Row(id, h.width, h.height, h.channels, h.bodyLen, acc)
-          }
-        }(RowEncoder.encoderFor(outSchema)).orderBy("doc_id")
-      },
+      (s, d) => decodeFeatures(mediaPayload(s, d)).orderBy("doc_id"),
       // ASCII corpus: the UTF-8 body byte sum equals the per-character
       // codepoint sum — expressible in plain SQL. COALESCE: list_sum over
       // an empty list is NULL, but the fold over an empty body is 0.

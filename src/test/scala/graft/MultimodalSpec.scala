@@ -60,4 +60,58 @@ class MultimodalSpec extends SparkTestBase {
     assert((p(7) & 0xff) == (h & 0xff).toInt && (p(8) & 0xff) == (h >> 8).toInt)
     assert((p(9) & 0xff) == n % 3 + 1)
   }
+
+  test("binaryFile ingest: real .grft files decode identically to the fixture") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("grft_ingest")
+    try {
+      // land a real media directory: 40 docs as one .grft file each, plus a
+      // foreign file the glob must prune at listing time
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+        .filter(col("doc_id") < 40).select("doc_id", "text").collect()
+      docs.foreach { r =>
+        java.nio.file.Files.write(
+          dir.resolve(s"doc_${r.getLong(0)}.grft"),
+          Multimodal.packPayload(r.getString(1).getBytes(StandardCharsets.UTF_8)))
+      }
+      java.nio.file.Files.write(dir.resolve("README.txt"), "not media".getBytes)
+
+      val fromFiles = Multimodal.decodeFeatures(
+          Multimodal.binaryFileIngest(spark, dir.toString))
+        .orderBy("doc_id").collect().toSeq
+      assert(fromFiles.size == docs.length, "glob must keep exactly the .grft files")
+      // the m36 query's own decode over the in-query fixture, same subset
+      val fromFixture = SparkEntry.queries("m36_decode_features")(
+          spark, "/root/testdata/sf0.001")
+        .filter(col("doc_id") < 40).orderBy("doc_id").collect().toSeq
+      assert(fromFiles == fromFixture,
+        "file-based ingest must be indistinguishable from the fixture downstream")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala.foreach(java.nio.file.Files.delete)
+      java.nio.file.Files.delete(dir)
+    }
+  }
+
+  test("binaryFile ingest quarantines corrupt files loudly, not silently") {
+    val dir = java.nio.file.Files.createTempDirectory("grft_corrupt")
+    try {
+      java.nio.file.Files.write(dir.resolve("doc_1.grft"),
+        Multimodal.packPayload("fine".getBytes(StandardCharsets.UTF_8)))
+      java.nio.file.Files.write(dir.resolve("doc_2.grft"), "XRFT garbage".getBytes)
+      val ex = intercept[Exception] {
+        Multimodal.decodeFeatures(
+          Multimodal.binaryFileIngest(spark, dir.toString)).collect()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(_.getMessage != null) &&
+        causes(ex).flatMap(c => Option(c.getMessage)).exists(_.contains("magic mismatch")),
+        s"expected the parse to name the corruption, got: $ex")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala.foreach(java.nio.file.Files.delete)
+      java.nio.file.Files.delete(dir)
+    }
+  }
 }
