@@ -1063,5 +1063,54 @@ object Extended {
              |  ROUND(ABS(e - exact_distinct) / exact_distinct * 100, 4) AS err_pct
              |FROM est ORDER BY flag""".stripMargin),
     ),
+
+    // ----- t103: native session_window (the built-in q19 doesn't use) -----
+    // q19 sessionizes with lag + cumulative sum (the portable SQL shape);
+    // this runs Spark's NATIVE session-window operator — dynamic-gap
+    // windows merged by the session aggregation, the same operator the
+    // streaming side would use with a watermark, emitting the session
+    // BOUNDS ([first event, last event + gap)) that q19's count-only
+    // rollup never materializes. Scale shape: one shuffle on user_id, the
+    // merge walks each user's events sorted within the partition — state
+    // bounded per user, no global sort. The oracle rebuilds the same
+    // sessions via lag+cumsum on microsecond timestamps and re-derives the
+    // bounds as MIN(ts) / MAX(ts)+gap. Boundary semantics: an event at
+    // EXACTLY prev+gap would split in Spark ([start, start+gap) windows
+    // touch, not overlap) — the corpus has no exact-gap deltas (checked:
+    // 0 of 9850 user-consecutive deltas at sf0.01), so both engines'
+    // conventions agree on this data; the oracle keeps q19's `> gap`.
+    Q(
+      "t103_session_window",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("user_id"), session_window(col("ts_us"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"), money(sum(cents(col("value")))).as("sum_value"))
+          .select(col("user_id"),
+            col("sw.start").as("sess_start"),
+            col("sw.end").as("sess_end"),
+            col("n_events"), col("sum_value"))
+          .orderBy("user_id", "sess_start"),
+      Some("""WITH t AS (
+             |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_u, value FROM events),
+             |l AS (
+             |  SELECT user_id, event_id, ts_u, value,
+             |    CASE WHEN LAG(ts_u) OVER (PARTITION BY user_id ORDER BY ts_u, event_id) IS NULL
+             |           OR ts_u - LAG(ts_u) OVER (PARTITION BY user_id ORDER BY ts_u, event_id)
+             |              > 1800000000
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM t),
+             |g AS (
+             |  SELECT user_id, ts_u, value,
+             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_u, event_id
+             |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+             |  FROM l)
+             |SELECT user_id,
+             |  make_timestamp(MIN(ts_u)) AS sess_start,
+             |  make_timestamp(MAX(ts_u) + 1800000000) AS sess_end,
+             |  COUNT(*) AS n_events,
+             |  ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value
+             |FROM g GROUP BY user_id, sess_id
+             |ORDER BY user_id, sess_start""".stripMargin),
+    ),
   )
 }

@@ -95,6 +95,34 @@ object EventStreams {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Native session-window aggregation — the same operator as batch t103,
+    * shared plan for both modes (the tumblingAgg pattern): dynamic-gap
+    * sessions merged by the session aggregation, emitting the session
+    * bounds. On a stream the watermark both bounds the per-user open
+    * sessions kept in the state store AND finalizes a session once the
+    * watermark passes its end — the streaming lifecycle q19's lag+cumsum
+    * shape cannot express. */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_us", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts_us", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts_us"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(round(col("value") * 100, 0).cast("long")).cast("double") / 100.0, 4).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("sess_start"),
+        col("sw.end").as("sess_end"), col("n_events"), col("sum_value"))
+
+  /** Streaming native session windows over the events file stream. */
+  def sessionStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sessionWindowAgg(
+      spark.readStream
+        .schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select(col("ts").as("ts_ns"), col("user_id"), col("value")))
+  }
+
   /** Streaming sliding-window counts over the events file stream. */
   def slidingStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

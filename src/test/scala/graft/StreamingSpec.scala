@@ -47,6 +47,26 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("native session windows: streaming equals batch t103") {
+    val stream = EventStreams.sessionStream(spark, dir)
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("session_test")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.sql("SELECT * FROM session_test").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+
+    val batch = SparkEntry.queries("t103_session_window")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("idempotent foreachBatch sink: crash-replayed batch lands exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
