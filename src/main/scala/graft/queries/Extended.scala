@@ -1112,5 +1112,51 @@ object Extended {
              |FROM g GROUP BY user_id, sess_id
              |ORDER BY user_id, sess_start""".stripMargin),
     ),
+
+    // ----- t106: the composed preprocessing pipeline, end-to-end -----
+    // The capstone DAG a training-data run actually executes, as ONE
+    // declarative plan: length floor (the simplest quality rule — t53
+    // owns the full stack) → exact dedup keep-first (t34's md5 rule) →
+    // deterministic hash split (t94's bucket rule, applied AFTER dedup so
+    // a duplicate can never leak its twin across splits) → per-split
+    // corpus accounting. Stage order is load-bearing and pinned by the
+    // oracle: dedup-then-split is the leak-proof order. One plan means
+    // Catalyst sees the whole pipeline — the length filter pushes to the
+    // scan beneath both the dedup agg and the split projection, and the
+    // only shuffles are the dedup groupBy and the final 3-group rollup.
+    Q(
+      "t106_pipeline_e2e",
+      (s, d) => {
+        val keep = Tables.documents(s, d).filter(col("n_chars") >= 100)
+        val first = keep
+          .groupBy(md5(col("text").cast("binary")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val b = expr(
+          "CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 100")
+        keep.join(first.select("doc_id"), Seq("doc_id"))
+          .withColumn("split",
+            when(b < 90, lit("train")).when(b < 95, lit("val")).otherwise(lit("test")))
+          .groupBy(col("split"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars_total"),
+            sum(expr("CAST(size(regexp_extract_all(lower(text), '[a-z]+', 0)) AS BIGINT)"))
+              .as("n_tokens"))
+          .orderBy("split")
+      },
+      Some("""WITH keep AS (SELECT * FROM documents WHERE n_chars >= 100),
+             |f AS (SELECT MD5(text) AS h, MIN(doc_id) AS doc_id FROM keep GROUP BY 1),
+             |ded AS (SELECT k.* FROM keep k JOIN f ON k.doc_id = f.doc_id),
+             |sp AS (
+             |  SELECT *, CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val'
+             |                 ELSE 'test' END AS split
+             |  FROM (SELECT *,
+             |          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bk
+             |        FROM ded))
+             |SELECT split, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+             |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS n_tokens
+             |FROM sp GROUP BY split ORDER BY split""".stripMargin),
+    ),
   )
 }

@@ -785,5 +785,44 @@ object Text {
              |GROUP BY th.tok, th.cnt
              |ORDER BY exact_cnt DESC, tok""".stripMargin),
     ),
+
+    // ----- t105: BPE iteration 0 — weighted adjacent-pair counts -----
+    // The inner loop of byte-pair-encoding training (Sennrich et al.,
+    // ACL'16): count adjacent symbol pairs across the corpus, weighted by
+    // word frequency; the top pair becomes the first merge. Symbols here
+    // are characters with the GPT-style '_' word-start marker, so the
+    // ('_', first-char) boundary pairs compete with in-word pairs exactly
+    // as in real tokenizer training. Scale shape is the important part:
+    // pairs explode over the DISTINCT vocabulary (each word processed
+    // once, multiplied by its frequency) — never over the token stream —
+    // so the expensive pass is vocabulary-sized, the word-frequency
+    // groupBy is the only corpus-sized shuffle, and every further BPE
+    // iteration would reuse the same cached vocabulary with re-segmented
+    // symbols. Top-20 via TakeOrdered (no global sort).
+    Q(
+      "t105_bpe_pairs",
+      (s, d) => {
+        val wf = Tables.documents(s, d)
+          .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        wf.select(col("freq"), concat(lit("_"), col("w")).as("sym"))
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, length(sym) - 1), i -> substring(sym, i, 2))")).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(20)
+      },
+      Some("""WITH wf AS (
+             |  SELECT w, COUNT(*) AS freq FROM (
+             |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+             |  GROUP BY w),
+             |sy AS (SELECT '_' || w AS sym, freq FROM wf),
+             |pp AS (
+             |  SELECT unnest(list_transform(generate_series(1, length(sym) - 1),
+             |                i -> substring(sym, i, 2))) AS pair, freq
+             |  FROM sy)
+             |SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+             |FROM pp GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin),
+    ),
   )
 }
