@@ -1158,5 +1158,49 @@ object Extended {
              |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS n_tokens
              |FROM sp GROUP BY split ORDER BY split""".stripMargin),
     ),
+
+    // ----- t109: Z-order cell occupancy (the layout key, oracle-gated) -----
+    // Puts operators.ZOrder's Morton interleave itself under the DuckDB
+    // gate: (l_partkey, l_suppkey) are normalized to an 8-bit grid from
+    // data-derived extents (a 1-row broadcast — the stats pass a layout
+    // job runs once), bit-interleaved with the SAME expression
+    // writeZOrdered sorts by, and reported as per-1024-block occupancy
+    // with block extents — the histogram that tells a layout job whether
+    // the curve spreads rows evenly (uniform keys → even blocks) before
+    // it pays for the write. The oracle rebuilds the interleave
+    // independently with SQL bit arithmetic, so a drifted shift/mask in
+    // the Scala expression fails the hash, not just a spec.
+    Q(
+      "t109_zorder_cells",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+        val ext = li.agg(
+          min(col("x")).as("x0"), max(col("x")).as("x1"),
+          min(col("y")).as("y0"), max(col("y")).as("y1"))
+        li.crossJoin(broadcast(ext))
+          .withColumn("gx", expr("CAST((x - x0) * 255 div greatest(x1 - x0, 1L) AS BIGINT)"))
+          .withColumn("gy", expr("CAST((y - y0) * 255 div greatest(y1 - y0, 1L) AS BIGINT)"))
+          .withColumn("zv", graft.operators.ZOrder.zValue(col("gx"), col("gy"), 8))
+          .groupBy(expr("CAST(zv div 1024 AS BIGINT)").as("zblock"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("zv")).as("zv_min"), max(col("zv")).as("zv_max"))
+          .orderBy("zblock")
+      },
+      Some("""WITH li AS (SELECT l_partkey AS x, l_suppkey AS y FROM lineitem),
+             |ext AS (SELECT MIN(x) AS x0, MAX(x) AS x1, MIN(y) AS y0, MAX(y) AS y1 FROM li),
+             |g AS (
+             |  SELECT CAST((x - x0) * 255 // GREATEST(x1 - x0, 1) AS BIGINT) AS gx,
+             |         CAST((y - y0) * 255 // GREATEST(y1 - y0, 1) AS BIGINT) AS gy
+             |  FROM li, ext),
+             |z AS (
+             |  SELECT CAST(list_sum(list_transform(generate_series(0, 7), i ->
+             |           (((gx >> CAST(i AS INT)) & 1) << CAST(2*i + 1 AS INT))
+             |           + (((gy >> CAST(i AS INT)) & 1) << CAST(2*i AS INT)))) AS BIGINT) AS zv
+             |  FROM g)
+             |SELECT CAST(zv // 1024 AS BIGINT) AS zblock, COUNT(*) AS n_rows,
+             |  CAST(MIN(zv) AS BIGINT) AS zv_min, CAST(MAX(zv) AS BIGINT) AS zv_max
+             |FROM z GROUP BY zblock ORDER BY zblock""".stripMargin),
+    ),
   )
 }
