@@ -74,9 +74,17 @@ object Main {
         case Nil => Right(acc)
         case "-e" +: stmt +: tail => parse(tail, acc :+ stmt)
         case "-f" +: path +: tail =>
-          val src = scala.io.Source.fromFile(path)
-          val script = try src.mkString finally src.close()
-          parse(tail, acc ++ script.split(';').map(_.trim).filter(_.nonEmpty))
+          // an unreadable script file is a malformed invocation (-1), not
+          // an uncaught stack trace — keep the exit-code contract
+          val read =
+            try {
+              val src = scala.io.Source.fromFile(path)
+              try Right(src.mkString) finally src.close()
+            } catch {
+              case e: IOException => Left(s"cannot read -f $path: ${e.getMessage}")
+            }
+          read.flatMap(script =>
+            parse(tail, acc ++ script.split(';').map(_.trim).filter(_.nonEmpty)))
         case other +: _ => Left(s"unexpected argument '$other' (want -e/-f)")
       }
     argv match {

@@ -58,11 +58,16 @@ object GapFill {
     // mis-resolve (or miss) a column genuinely named "a.b"
     def q(c: String): Column = col(s"`${c.replace("`", "``")}`")
 
+    // span arithmetic runs in LongType regardless of the bucket's width: an
+    // IntegerType bucket with a ±2G span would wrap the int subtraction,
+    // slip past the ceiling check, and silently truncate the grid. A LONG
+    // bucket can still overflow the subtraction itself (mx − mn past 2^63)
+    // — that surfaces as span ≤ 0, which fails the same loud way.
     val spans = df.groupBy(keys.map(q): _*)
-      .agg(min(q(bucket)).as("__mn"), max(q(bucket)).as("__mx"))
+      .agg(min(q(bucket)).cast("long").as("__mn"), max(q(bucket)).cast("long").as("__mx"))
       .withColumn("__span", col("__mx") - col("__mn") + 1)
       .withColumn("__mx",
-        when(col("__span") > maxBucketsPerKey,
+        when(col("__span") > maxBucketsPerKey || col("__span") <= 0,
           raise_error(concat(lit(s"gapFill: key span exceeds $maxBucketsPerKey buckets ("),
             col("__span"), lit(s"); coarsen the bucket or raise maxBucketsPerKey"))))
           .otherwise(col("__mx")))
@@ -82,6 +87,10 @@ object GapFill {
           col("__mn") + col("__chunk") * GridChunk,
           least(col("__mx"), col("__mn") + (col("__chunk") + 1) * GridChunk - 1)))
           .as(bucket): _*)
+      // the long span arithmetic must not leak into the output schema: the
+      // generated bucket narrows back to the input's exact type (values are
+      // within the observed [min, max], so the cast is lossless)
+      .withColumn(bucket, q(bucket).cast(df.schema(bucket).dataType))
     // Join back null-safely (a NULL grouping key is a legitimate group —
     // plain equality would miss it and silently fill over observed rows),
     // and detect gaps by join-miss marker, NOT value nullness: an observed

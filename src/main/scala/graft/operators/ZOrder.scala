@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   * row-group/file skipping forever after. The curve quality degrades
   * gracefully: keys are clamped into the bits-wide grid, ties keep rows
   * together, and skew in one dimension only widens that dimension's
-  * stripes. ZOrderSpec quantifies the effect (box predicates touch ~¼ of
-  * z-ordered files vs ~all linearly-sorted ones on uniform data) and pins
-  * the bit-interleave against a reference implementation.
+  * stripes. ZOrderSpec quantifies the effect on uniform data: a
+  * quarter-per-axis 2-D box touches ~1/16 of z-ordered files, while a
+  * linear sort still prunes its OWN axis (~1/4 of files survive) but
+  * gets nothing from the second predicate — the gap widens with more
+  * files and more dimensions. The spec also pins the bit-interleave
+  * against a reference implementation.
   */
 object ZOrder {
 

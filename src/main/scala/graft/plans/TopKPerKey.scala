@@ -74,6 +74,11 @@ case class TopKPerKeyExec(
     val orderLocal = order
     val keysLocal = keys
     val attrs = child.output
+    // resolved on the DRIVER and captured by the closure: the documented
+    // -Dgraft.topk.maxKeysPerPartition remedy must work when set on the
+    // driver JVM — executors in a real cluster never see driver sysprops
+    val maxKeys =
+      java.lang.Long.getLong("graft.topk.maxKeysPerPartition", 4000000L)
     child.execute().mapPartitions { iter =>
       // generated comparator; "smaller" = earlier in the requested order,
       // i.e. would receive a smaller row_number
@@ -86,8 +91,6 @@ case class TopKPerKeyExec(
       // converts a silent executor OOM under extreme per-partition key
       // cardinality into an actionable error pointing at the Window
       // formulation (which spills) instead.
-      val maxKeys =
-        java.lang.Long.getLong("graft.topk.maxKeysPerPartition", 4000000L)
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       iter.foreach { row =>
         val heap = heaps.getOrElseUpdate(

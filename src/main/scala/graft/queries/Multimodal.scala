@@ -118,7 +118,15 @@ object Multimodal {
       .option("pathGlobFilter", "*.grft")
       .load(dir)
       .select(
-        regexp_extract(col("path"), "doc_(\\d+)\\.grft$", 1).cast("long").as("doc_id"),
+        // a .grft file outside the doc_<id>.grft naming contract fails
+        // LOUDLY by path (quarantine semantics, same as a corrupt header)
+        // instead of yielding a null id that NPEs namelessly downstream
+        when(regexp_extract(col("path"), "doc_(\\d+)\\.grft$", 1) === "",
+          raise_error(concat(
+            lit("not a doc_<id>.grft file (rename or exclude it): "), col("path")))
+            .cast("long"))
+          .otherwise(regexp_extract(col("path"), "doc_(\\d+)\\.grft$", 1).cast("long"))
+          .as("doc_id"),
         col("content").as("payload"))
 
   /** m36's decode pass over ANY (doc_id, payload) frame — shared by the

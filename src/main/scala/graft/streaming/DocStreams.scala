@@ -63,10 +63,13 @@ object DocStreams {
     *  - verdicts are MATERIALIZED (eager localCheckpoint + idempotent
     *    batch-id-keyed sink write) BEFORE the appends run, so a batch can
     *    never probe its own freshly appended signatures.
-    *  - replay safety: the verdict sink overwrites per batch id; a
-    *    replayed append can at worst duplicate index/store rows, which
-    *    admission tolerates by construction (candidate pairs are
-    *    distinct-ed; the shingle store read dedupes by doc_id).
+    *  - replay safety: the verdict sink overwrites per batch id, and a
+    *    replayed batch recomputes IDENTICAL verdicts even if a previous
+    *    attempt appended before crashing — admission excludes index rows
+    *    carrying the batch's own doc_ids and counts bucket sizes over
+    *    DISTINCT member docs, so neither self-probes nor duplicated rows
+    *    from a replayed append can flip a verdict or trip the mega-bucket
+    *    cap (pinned in PersistedIndexSpec).
     *  - the mega-bucket guard stays correct as the index grows because
     *    admission counts bucket sizes at probe time (PersistedIndexSpec).
     */

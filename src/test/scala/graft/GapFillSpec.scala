@@ -109,4 +109,22 @@ class GapFillSpec extends SparkTestBase {
     assert(out.filter(col("bucket").isin(65535L, 65536L)).count() == 2)
     assert(out.select(sum(col("n"))).head().getLong(0) == 2L)
   }
+
+  test("an IntegerType bucket keeps its type and survives int-wrapping spans") {
+    import spark.implicits._
+    // type preservation: the chunked long arithmetic must not widen the
+    // output schema (a union or write-back against the source would break)
+    val intDf = Seq(("a", 5, 1L), ("a", 8, 1L)).toDF("k", "bucket", "n")
+    val out = GapFill.gapFill(intDf, Seq("k"), "bucket", Map("n" -> lit(0L)))
+    assert(out.schema("bucket").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(out.orderBy("bucket").collect().map(_.getInt(1)).toSeq == Seq(5, 6, 7, 8))
+    // an int span that would wrap Int arithmetic (≈4e9) must hit the
+    // ceiling error loudly, not silently truncate the grid
+    val wide = Seq(("a", Int.MinValue + 10, 1L), ("a", Int.MaxValue - 10, 1L))
+      .toDF("k", "bucket", "n")
+    val ex = intercept[Exception](
+      GapFill.gapFill(wide, Seq("k"), "bucket", Map.empty).count())
+    assert(ex.getMessage != null && ex.getMessage.contains("span exceeds"),
+      s"wrapping span must fail the ceiling check, got: $ex")
+  }
 }

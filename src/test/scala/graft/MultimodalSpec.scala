@@ -108,6 +108,17 @@ class MultimodalSpec extends SparkTestBase {
       assert(causes(ex).exists(_.getMessage != null) &&
         causes(ex).flatMap(c => Option(c.getMessage)).exists(_.contains("magic mismatch")),
         s"expected the parse to name the corruption, got: $ex")
+
+      // a .grft file outside the doc_<id> naming contract fails by PATH,
+      // not with a nameless null-id NPE downstream
+      java.nio.file.Files.write(dir.resolve("image_7.grft"),
+        Multimodal.packPayload("fine too".getBytes(StandardCharsets.UTF_8)))
+      val ex2 = intercept[Exception] {
+        Multimodal.binaryFileIngest(spark, dir.toString).collect()
+      }
+      assert(causes(ex2).flatMap(c => Option(c.getMessage))
+          .exists(m => m.contains("doc_<id>.grft") && m.contains("image_7.grft")),
+        s"expected a loud naming-contract failure naming the file, got: $ex2")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.list(dir).iterator().asScala.foreach(java.nio.file.Files.delete)

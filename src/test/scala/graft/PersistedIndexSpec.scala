@@ -98,6 +98,55 @@ class PersistedIndexSpec extends SparkTestBase {
       s"20-member bucket must produce 20 verified dups and reject, got $ctrl")
   }
 
+  test("a crashed-and-replayed batch recomputes identical verdicts after its own append") {
+    // The self-maintaining stream's crash window: attempt 1 of a
+    // micro-batch appends its admitted docs' signatures AND shingles, then
+    // dies before the streaming checkpoint commits; attempt 2 re-runs the
+    // same batch against the grown index. Verdicts must be identical —
+    // admission excludes index rows carrying the batch's own ids, so the
+    // batch never probes what its earlier attempt appended.
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpusSh = Similarity.shingleDocs(docs.filter(col("doc_id") % 10 =!= 0))
+      .localCheckpoint()
+    val batchSh = Similarity.shingleDocs(docs.filter(col("doc_id") % 10 === 0))
+      .localCheckpoint()
+    val base = Files.createTempDirectory("graft_pidx_replay").toString
+    Similarity.writeBandIndex(corpusSh, "pidx_replay", s"$base/idx", overwrite = true)
+    Similarity.writeShingleStore(corpusSh, "pidx_replay_sh", s"$base/sh", overwrite = true)
+    def run() = verdicts(Similarity.admission(
+      batchSh,
+      Similarity.loadBandIndex(spark, "pidx_replay"),
+      Similarity.loadShingleStore(spark, "pidx_replay_sh")))
+    val attempt1 = run()
+    assert(attempt1.exists(_._4), "fixture needs at least one admitted doc")
+    val admittedIds = attempt1.filter(_._4).map(_._1)
+    val admittedSh = batchSh.filter(col("doc_id").isin(admittedIds: _*))
+    Similarity.writeBandIndex(admittedSh, "pidx_replay", s"$base/idx", overwrite = false)
+    Similarity.writeShingleStore(admittedSh, "pidx_replay_sh", s"$base/sh", overwrite = false)
+    val attempt2 = run()
+    assert(attempt2 == attempt1,
+      "a replayed batch must not probe its own appended signatures")
+  }
+
+  test("duplicated rows from a replayed append cannot trip the mega-bucket cap") {
+    import spark.implicits._
+    // 11 identical corpus docs → bucket size 11, within the cap. A replayed
+    // append duplicates every row; a raw row count would read 22 > 20,
+    // skip the bucket, and silently ADMIT a true near-dup. Distinct-doc
+    // counting must keep the bucket live.
+    val text = "pack my box with five dozen liquor jugs and more and more"
+    val corpus = (1L to 11L).map(i => (i, text)).toDF("doc_id", "text")
+    val sh = Similarity.shingleDocs(corpus).localCheckpoint()
+    val base = Files.createTempDirectory("graft_pidx_dup").toString
+    Similarity.writeBandIndex(sh, "pidx_dup", s"$base/idx", overwrite = true)
+    Similarity.writeBandIndex(sh, "pidx_dup", s"$base/idx", overwrite = false)
+    val probeSh = Similarity.shingleDocs(Seq((1000L, text)).toDF("doc_id", "text"))
+    val out = verdicts(Similarity.admission(
+      probeSh, Similarity.loadBandIndex(spark, "pidx_dup"), sh))
+    assert(out.head._2 == 11L && !out.head._4,
+      s"11 distinct docs (rows duplicated by replay) must still collide and reject, got $out")
+  }
+
   test("bucket-size count over the persisted index needs no Exchange") {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       .filter(col("doc_id") < 100)

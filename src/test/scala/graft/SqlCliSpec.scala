@@ -61,6 +61,7 @@ class SqlCliSpec extends SparkTestBase {
     assert(runCli("-sql")._1 == -1) // no dir
     assert(runCli("-sql", dir)._1 == -1) // no statements
     assert(runCli("-sql", dir, "-x", "nope")._1 == -1) // unknown flag
+    assert(runCli("-sql", dir, "-f", "/no/such/script.sql")._1 == -1) // unreadable -f
     assert(runCli("-sql", dir, "-e", "SELECT * FROM no_such_table")._1 == -999)
   }
 
