@@ -29,6 +29,12 @@ object Text {
   private val frPat = "\\b(le|les|des|est)\\b"
   private val zhPat = "[\\x{4e00}-\\x{9fff}]"
 
+  // Duplicated-span mining K (tokens) for t110/t111: a span must repeat at
+  // this length verbatim to count as duplicated text — ExactSubstr's
+  // threshold role. Declared BEFORE `all`: the oracle SQL strings below
+  // interpolate it at object init.
+  private val DupK = 8
+
   val all: Seq[Q] = Seq(
     // ----- Q23: per-language corpus stats -----
     Q(
@@ -824,5 +830,153 @@ object Text {
              |SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
              |FROM pp GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin),
     ),
+
+    // ----- t110: exact duplicated-span detection (ExactSubstr dedup) -----
+    // The exact-substring arm of training-data dedup (Lee et al., ACL'22
+    // "Deduplicating Training Data Makes Language Models Better"): find
+    // every maximal run of ≥K consecutive tokens that also appears in
+    // another document. The single-node formulation is a corpus-wide
+    // suffix array; the distributed re-expression is k-gram islands:
+    // every K-token window becomes a (doc, pos, gram) site, grams seen in
+    // ≥2 distinct docs mark their sites duplicated, and per-doc runs of
+    // consecutive duplicated sites merge into maximal spans via
+    // gaps-and-islands (pos − row_number is constant on a run). Output =
+    // one row per maximal span, exactly the byte ranges ExactSubstr cuts.
+    //
+    // 100-TB shape: the gram groupBy is the only corpus-sized shuffle —
+    // at scale the group key becomes xxhash64(gram) (a one-line swap; the
+    // string key is kept here so the oracle compare is collision-free by
+    // construction) and partial aggregation collapses each partition's
+    // repeats before the exchange. The islands window is keyed per doc
+    // (bounded by doc length, never a global sort), and the O(n·K) gram
+    // fan-out is map-side, pipelined into the shuffle write.
+    Q(
+      "t110_dup_spans",
+      (s, d) => {
+        dupSpans(Tables.documents(s, d), DupK)
+          .select(col("doc_id"), col("span_start"), col("span_end"),
+            (col("span_end") - col("span_start") + 1).as("span_tokens"))
+          .orderBy("doc_id", "span_start")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |pos AS (
+             |  SELECT doc_id, unnest(range(1, len(t) - $DupK + 2)) AS p, t
+             |  FROM toks WHERE len(t) >= $DupK),
+             |grams AS (
+             |  SELECT doc_id, p, array_to_string(t[p:p+${DupK - 1}], ' ') AS g FROM pos),
+             |dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1),
+             |sites AS (SELECT doc_id, p FROM grams JOIN dup USING (g)),
+             |isl AS (
+             |  SELECT doc_id, p,
+             |    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+             |  FROM sites),
+             |spans AS (
+             |  SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+             |    CAST(MAX(p) + ${DupK - 1} AS BIGINT) AS span_end
+             |  FROM isl GROUP BY doc_id, grp)
+             |SELECT doc_id, span_start, span_end,
+             |  CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens
+             |FROM spans ORDER BY doc_id, span_start""".stripMargin),
+    ),
+
+    // ----- t111: duplicated-span removal (cleaned-corpus emission) -----
+    // The actionable half of t110: strip every duplicated span from every
+    // document and emit the cleaned corpus — the report row carries an md5
+    // of the reconstructed text so the oracle certifies exact
+    // reconstruction without hauling document bodies through the compare
+    // (docs stripped to nothing keep '' — the caller's drop policy, not
+    // ours). Kept tokens re-assemble per doc via a sorted collect_list —
+    // bounded by doc length, the same per-key contract as every keyed
+    // window here; span coverage explodes only the duplicated token mass,
+    // which is the data being removed and therefore cannot exceed the
+    // corpus. Split-and-rejoin is lossless because spans cover whole
+    // tokens on the single-space tokenization both engines share.
+    Q(
+      "t111_dup_strip",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+        val tokx = toks
+          .select(col("doc_id"), posexplode(col("t")))
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("w"))
+        // spans are disjoint per doc by construction (merged islands), so
+        // coverage positions need no distinct
+        val covered = dupSpans(docs, DupK)
+          .select(col("doc_id"),
+            explode(sequence(col("span_start"), col("span_end"))).as("p"))
+        val kc = tokx.join(covered, Seq("doc_id", "p"), "left_anti")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_kept"),
+            md5(array_join(
+              transform(array_sort(collect_list(struct(col("p"), col("w")))), x => x("w")),
+              " ").cast("binary")).as("h"))
+        toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tok_before"))
+          .join(kc, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            col("n_tok_before"),
+            (col("n_tok_before") - coalesce(col("n_kept"), lit(0L))).as("n_tok_removed"),
+            coalesce(col("h"), lit("")).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |tokx AS (
+             |  SELECT doc_id, p, t[p] AS w FROM (
+             |    SELECT doc_id, unnest(range(1, len(t) + 1)) AS p, t FROM toks)),
+             |pos AS (
+             |  SELECT doc_id, unnest(range(1, len(t) - $DupK + 2)) AS p, t
+             |  FROM toks WHERE len(t) >= $DupK),
+             |grams AS (
+             |  SELECT doc_id, p, array_to_string(t[p:p+${DupK - 1}], ' ') AS g FROM pos),
+             |dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1),
+             |sites AS (SELECT doc_id, p FROM grams JOIN dup USING (g)),
+             |isl AS (
+             |  SELECT doc_id, p,
+             |    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+             |  FROM sites),
+             |spans AS (
+             |  SELECT doc_id, MIN(p) AS s, MAX(p) + ${DupK - 1} AS e
+             |  FROM isl GROUP BY doc_id, grp),
+             |covered AS (SELECT doc_id, unnest(range(s, e + 1)) AS p FROM spans),
+             |kept AS (
+             |  SELECT k.doc_id, k.p, k.w FROM tokx k
+             |  ANTI JOIN covered c ON k.doc_id = c.doc_id AND k.p = c.p),
+             |kc AS (
+             |  SELECT doc_id, COUNT(*) AS n_kept,
+             |    MD5(string_agg(w, ' ' ORDER BY p)) AS h
+             |  FROM kept GROUP BY doc_id)
+             |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tok_before,
+             |  CAST(len(t.t) - COALESCE(kc.n_kept, 0) AS BIGINT) AS n_tok_removed,
+             |  COALESCE(kc.h, '') AS clean_md5
+             |FROM toks t LEFT JOIN kc ON t.doc_id = kc.doc_id
+             |ORDER BY t.doc_id""".stripMargin),
+    ),
   )
+
+  /** Maximal cross-doc duplicated spans of ≥ [[DupK]] tokens, one row per
+    * span: (doc_id, span_start, span_end) in 1-based token coordinates.
+    * Shared by t110 (report) and t111 (removal). */
+  private def dupSpans(docs: org.apache.spark.sql.DataFrame, k: Int) = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val grams = toks
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(t) - ${k - 1}), p -> concat_ws(' ', slice(t, p, $k)))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("g"))
+    val dup = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("g")
+    val sites = grams.join(dup, "g").select("doc_id", "p")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    sites
+      .withColumn("grp", col("p") - row_number().over(w).cast("long"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("p")).as("span_start"), (max(col("p")) + (k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
 }
