@@ -104,6 +104,16 @@ object Graft {
       maxBucketsPerKey: Long = 10_000_000L): DataFrame =
     operators.GapFill.gapFill(df, keys, bucket, fills, maxBucketsPerKey)
 
+  /** Maximal cross-document duplicated token spans (exact-substring dedup,
+    * k-gram islands) — see [[graft.operators.DupSpans.find]]. */
+  def dupSpans(df: DataFrame, id: String, text: String, k: Int): DataFrame =
+    operators.DupSpans.find(df, id, text, k)
+
+  /** The cleaned corpus with duplicated spans removed — see
+    * [[graft.operators.DupSpans.strip]]. */
+  def dupStrip(df: DataFrame, id: String, text: String, k: Int): DataFrame =
+    operators.DupSpans.strip(df, id, text, k)
+
   /** Inject the graft_* SQL functions into a live session — see
     * [[GraftExtensions.register]] (builder-time sessions can use
     * `.withExtensions(new GraftExtensions)` instead). */

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact duplicated-span detection and removal — the exact-substring arm of
+  * training-data dedup (Lee et al., ACL'22 "Deduplicating Training Data
+  * Makes Language Models Better"): every maximal run of ≥ k consecutive
+  * tokens that also appears verbatim in another document is located
+  * ([[find]]) and strippable ([[strip]]).
+  *
+  * The single-node formulation is a corpus-wide suffix array; the
+  * distributed re-expression is k-gram islands. Every k-token window
+  * becomes a (doc, pos, gram) site; grams seen in ≥ minDocs distinct docs
+  * mark their sites duplicated; per-doc runs of consecutive duplicated
+  * sites merge into maximal spans via gaps-and-islands (pos − row_number
+  * is constant along a run).
+  *
+  * 100-TB shape: the gram groupBy is the only corpus-sized shuffle — at
+  * scale the group key becomes xxhash64(gram) (one-line swap; string keys
+  * keep the t110/t111 oracle compare collision-free by construction) and
+  * partial aggregation collapses per-partition repeats before the
+  * exchange. The islands window and the re-assembly in [[strip]] are keyed
+  * per doc (bounded by doc length, never a global sort), and span-coverage
+  * explode is bounded by the duplicated token mass — the data being
+  * removed, which cannot exceed the corpus.
+  *
+  * Tokenization contract: single-delimiter split (default one space);
+  * split-and-rejoin is lossless iff the text is single-delimiter
+  * separated. Pre-tokenized corpora can pass any delimiter their joiner
+  * uses.
+  */
+object DupSpans {
+
+  // resolution by exact name, never string-interpolated qualifiers — a
+  // column genuinely named "a.b" must keep working
+  private def q(c: String): Column = col(s"`${c.replace("`", "``")}`")
+
+  /** One row per maximal cross-document duplicated span:
+    * (id, span_start, span_end) in 1-based token coordinates, inclusive.
+    */
+  def find(
+      df: DataFrame,
+      id: String,
+      text: String,
+      k: Int,
+      minDocs: Int = 2,
+      delim: String = " "): DataFrame = {
+    require(k >= 2, s"duplicated-span k must be >= 2, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val toks = df.select(q(id).as("__id"), split(q(text), delim).as("__t"))
+    val grams = toks
+      .filter(size(col("__t")) >= k)
+      .select(col("__id"), posexplode(expr(
+        s"transform(sequence(1, size(__t) - ${k - 1}), p -> concat_ws('$delim', slice(__t, p, $k)))")))
+      .select(col("__id"), (col("pos") + 1).cast("long").as("p"), col("col").as("g"))
+    val dup = grams.groupBy(col("g"))
+      .agg(countDistinct(col("__id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("g")
+    val sites = grams.join(dup, "g").select("__id", "p")
+    val w = Window.partitionBy(col("__id")).orderBy(col("p"))
+    sites
+      .withColumn("grp", col("p") - row_number().over(w).cast("long"))
+      .groupBy(col("__id"), col("grp"))
+      .agg(min(col("p")).as("span_start"), (max(col("p")) + (k - 1)).as("span_end"))
+      .select(col("__id").as(id), col("span_start"), col("span_end"))
+  }
+
+  /** The cleaned corpus: duplicated spans removed from every document.
+    * Output columns: id (as named), text (as named — the reconstructed
+    * clean text, '' when everything was duplicated), n_tok_before,
+    * n_tok_kept. The caller owns the drop policy for emptied docs.
+    */
+  def strip(
+      df: DataFrame,
+      id: String,
+      text: String,
+      k: Int,
+      minDocs: Int = 2,
+      delim: String = " "): DataFrame = {
+    val toks = df.select(q(id).as("__id"), split(q(text), delim).as("__t"))
+    val tokx = toks
+      .select(col("__id"), posexplode(col("__t")))
+      .select(col("__id"), (col("pos") + 1).cast("long").as("p"), col("col").as("w"))
+    // spans are disjoint per doc by construction (merged islands), so
+    // coverage positions need no distinct
+    val covered = find(df, id, text, k, minDocs, delim)
+      .select(q(id).as("__id"), explode(sequence(col("span_start"), col("span_end"))).as("p"))
+    val kc = tokx.join(covered, Seq("__id", "p"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("n_tok_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("w")))), x => x("w")),
+          delim).as("__clean"))
+    toks.select(col("__id"), size(col("__t")).cast("long").as("n_tok_before"))
+      .join(kc, Seq("__id"), "left")
+      .select(
+        col("__id").as(id),
+        coalesce(col("__clean"), lit("")).as(text),
+        col("n_tok_before"),
+        coalesce(col("n_tok_kept"), lit(0L)).as("n_tok_kept"))
+  }
+}

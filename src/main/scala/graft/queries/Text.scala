@@ -853,7 +853,9 @@ object Text {
     Q(
       "t110_dup_spans",
       (s, d) => {
-        dupSpans(Tables.documents(s, d), DupK)
+        graft.operators.DupSpans
+          .find(Tables.documents(s, d).select(col("doc_id"), col("text")),
+            "doc_id", "text", DupK)
           .select(col("doc_id"), col("span_start"), col("span_end"),
             (col("span_end") - col("span_start") + 1).as("span_tokens"))
           .orderBy("doc_id", "span_start")
@@ -895,30 +897,15 @@ object Text {
     Q(
       "t111_dup_strip",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-        val tokx = toks
-          .select(col("doc_id"), posexplode(col("t")))
-          .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("w"))
-        // spans are disjoint per doc by construction (merged islands), so
-        // coverage positions need no distinct
-        val covered = dupSpans(docs, DupK)
-          .select(col("doc_id"),
-            explode(sequence(col("span_start"), col("span_end"))).as("p"))
-        val kc = tokx.join(covered, Seq("doc_id", "p"), "left_anti")
-          .groupBy(col("doc_id"))
-          .agg(
-            count(lit(1)).as("n_kept"),
-            md5(array_join(
-              transform(array_sort(collect_list(struct(col("p"), col("w")))), x => x("w")),
-              " ").cast("binary")).as("h"))
-        toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tok_before"))
-          .join(kc, Seq("doc_id"), "left")
+        graft.operators.DupSpans
+          .strip(Tables.documents(s, d).select(col("doc_id"), col("text")),
+            "doc_id", "text", DupK)
           .select(
             col("doc_id"),
             col("n_tok_before"),
-            (col("n_tok_before") - coalesce(col("n_kept"), lit(0L))).as("n_tok_removed"),
-            coalesce(col("h"), lit("")).as("clean_md5"))
+            (col("n_tok_before") - col("n_tok_kept")).as("n_tok_removed"),
+            when(col("n_tok_kept") === 0, lit(""))
+              .otherwise(md5(col("text").cast("binary"))).as("clean_md5"))
           .orderBy("doc_id")
       },
       Some(s"""WITH toks AS (
@@ -956,27 +943,4 @@ object Text {
     ),
   )
 
-  /** Maximal cross-doc duplicated spans of ≥ [[DupK]] tokens, one row per
-    * span: (doc_id, span_start, span_end) in 1-based token coordinates.
-    * Shared by t110 (report) and t111 (removal). */
-  private def dupSpans(docs: org.apache.spark.sql.DataFrame, k: Int) = {
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-    val grams = toks
-      .filter(size(col("t")) >= k)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(t) - ${k - 1}), p -> concat_ws(' ', slice(t, p, $k)))")))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("g"))
-    val dup = grams.groupBy(col("g"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1)
-      .select("g")
-    val sites = grams.join(dup, "g").select("doc_id", "p")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("p"))
-    sites
-      .withColumn("grp", col("p") - row_number().over(w).cast("long"))
-      .groupBy(col("doc_id"), col("grp"))
-      .agg(min(col("p")).as("span_start"), (max(col("p")) + (k - 1)).as("span_end"))
-      .select(col("doc_id"), col("span_start"), col("span_end"))
-  }
 }
