@@ -17,14 +17,20 @@ import org.apache.spark.sql.functions._
   * sites merge into maximal spans via gaps-and-islands (pos − row_number
   * is constant along a run).
   *
-  * 100-TB shape: the gram groupBy is the only corpus-sized shuffle — at
-  * scale the group key becomes xxhash64(gram) (one-line swap; string keys
-  * keep the t110/t111 oracle compare collision-free by construction) and
-  * partial aggregation collapses per-partition repeats before the
-  * exchange. The islands window and the re-assembly in [[strip]] are keyed
-  * per doc (bounded by doc length, never a global sort), and span-coverage
-  * explode is bounded by the duplicated token mass — the data being
-  * removed, which cannot exceed the corpus.
+  * 100-TB shape: the only corpus-sized shuffle carries 8-byte
+  * xxhash64(gram) keys, never the gram strings — duplicated hashes are
+  * found first, then the (small) candidate sites are re-derived map-side
+  * and verified on the FULL gram string before islands run. Exactness is
+  * unconditional in both directions: equal strings always share a hash
+  * (no true duplicate can be lost), and a cross-string hash collision only
+  * adds candidates the string-verify pass then removes. The candidate
+  * hash set joins back by broadcast when small; at heavy duplication it
+  * degrades to a shuffled join on the 8-byte key, which is still ~an
+  * order of magnitude lighter than shuffling k-token strings. The islands
+  * window and the re-assembly in [[strip]] are keyed per doc (bounded by
+  * doc length, never a global sort), and span-coverage explode is bounded
+  * by the duplicated token mass — the data being removed, which cannot
+  * exceed the corpus.
   *
   * Tokenization contract: single-delimiter split (default one space);
   * split-and-rejoin is lossless iff the text is single-delimiter
@@ -50,16 +56,33 @@ object DupSpans {
     require(k >= 2, s"duplicated-span k must be >= 2, got $k")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val toks = df.select(q(id).as("__id"), split(q(text), delim).as("__t"))
-    val grams = toks
+    // ONE corpus-sized explode, emitting only (id, pos, 8-byte hash) — the
+    // gram string is built, hashed, and discarded map-side, so neither the
+    // explode output nor the aggregation shuffle ever carries k-token text
+    val sitesH = toks
       .filter(size(col("__t")) >= k)
       .select(col("__id"), posexplode(expr(
-        s"transform(sequence(1, size(__t) - ${k - 1}), p -> concat_ws('$delim', slice(__t, p, $k)))")))
-      .select(col("__id"), (col("pos") + 1).cast("long").as("p"), col("col").as("g"))
-    val dup = grams.groupBy(col("g"))
+        s"transform(sequence(1, size(__t) - ${k - 1}), " +
+          s"p -> xxhash64(concat_ws('$delim', slice(__t, p, $k))))")))
+      .select(col("__id"), (col("pos") + 1).cast("long").as("p"), col("col").as("h"))
+    val dupH = sitesH.groupBy(col("h"))
+      .agg(countDistinct(col("__id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    // candidate sites are bounded by the duplicated mass; re-derive their
+    // gram strings by re-slicing just the documents that contain them, and
+    // verify on the FULL string so a cross-string hash collision cannot
+    // create a false span (equal strings always share a hash, so no true
+    // duplicate can be lost — exactness is unconditional both ways)
+    val candSites = sitesH.join(broadcast(dupH), Seq("h")).select(col("__id"), col("p"))
+    val cand = toks.join(broadcast(candSites), Seq("__id"))
+      .select(col("__id"), col("p"),
+        expr(s"concat_ws('$delim', slice(__t, CAST(p AS INT), $k))").as("g"))
+    val trueG = cand.groupBy(col("g"))
       .agg(countDistinct(col("__id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select("g")
-    val sites = grams.join(dup, "g").select("__id", "p")
+    val sites = cand.join(trueG, Seq("g")).select("__id", "p")
     val w = Window.partitionBy(col("__id")).orderBy(col("p"))
     sites
       .withColumn("grp", col("p") - row_number().over(w).cast("long"))
