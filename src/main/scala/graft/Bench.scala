@@ -167,8 +167,8 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total3,"unit":"sec","queries":$qsShort,"sf":${jstr(sfDir)},""" +
       s""""runs":$runs,"cpus":$cpus,"duckdb_total":${jms(duckTotal)},"total_ratio":$totalRatio3,""" +
-      s""""failed":$failedJson,"load_before":${jms(loadBefore)},"load_after":${jms(loadAfter)},""" +
-      s""""detail":"BENCH_DETAIL.json"}""")
+      s""""failed":$failedJson,"failed_n":${failed.size},"load_before":${jms(loadBefore)},""" +
+      s""""load_after":${jms(loadAfter)},"detail":"BENCH_DETAIL.json"}""")
     val detail =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":${jstr(sfDir)},""" +
       s""""runs":$runs,"cpus":$cpus,"queries":$qs,"spark_runs":$runsJson,"duckdb":$duckJson,""" +
@@ -177,5 +177,10 @@ object Bench {
     try Files.writeString(Paths.get("BENCH_DETAIL.json"), detail + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     spark.stop()
+    // a bench with failed queries must not look healthy (round-7 advice:
+    // rc:0 with 10 failures, and total_ratio computed over survivors only,
+    // masked a whole-family regression). The JSON line is already printed,
+    // so the nonzero exit costs nothing but makes the round un-green.
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

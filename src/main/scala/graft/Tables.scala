@@ -1,18 +1,36 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md / FIXTURES.md §1).
   *
-  * All tables are plain parquet; `events.ts` is physically INT64 TIMESTAMP(NANOS),
-  * which Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it
-  * with `spark.sql.legacy.parquet.nanosAsLong=true` (ts arrives as a raw ns Long)
-  * and expose both the raw `ts_ns` and a µs-truncated proper timestamp `ts_us`
-  * (`timestamp_micros(ts div 1000)`), which matches DuckDB's `CAST(ts AS
-  * TIMESTAMP)` ns→µs truncation on the oracle side.
+  * All tables are plain parquet. `events.ts` has shipped in two physical
+  * layouts across testdata generations: INT64 TIMESTAMP(NANOS) — which
+  * Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]) unless
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, under which it arrives as a
+  * raw ns Long — and plain TIMESTAMP(MICROS), which arrives as TimestampType.
+  * [[events]] normalizes both to the same two columns: the raw `ts_ns: Long`
+  * (epoch nanoseconds) and a µs proper timestamp `ts_us`. This matches
+  * DuckDB's `epoch_ns(ts)` on the oracle side, which returns epoch ns for
+  * both TIMESTAMP and TIMESTAMP_NS inputs.
   */
 object Tables {
+
+  /** Normalize a `ts` column of any shipped physical layout to epoch-ns
+    * Long. TIMESTAMP_NTZ (isAdjustedToUTC=false footers) casts through
+    * TimestampType first; every graft session pins
+    * `spark.sql.session.timeZone=UTC`, so the cast is epoch-exact and
+    * matches DuckDB's naive-timestamp `epoch_ns(ts)` on the oracle side. */
+  def tsNs(schema: StructType, tsCol: String = "ts"): Column =
+    schema(tsCol).dataType match {
+      case LongType         => col(tsCol)                           // nanosAsLong path
+      case TimestampType    => unix_micros(col(tsCol)) * lit(1000L) // µs timestamp path
+      case TimestampNTZType => unix_micros(col(tsCol).cast(TimestampType)) * lit(1000L)
+      case other => throw new IllegalStateException(
+        s"events.$tsCol has unsupported type $other (expected Long ns or Timestamp µs/NTZ)")
+    }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
@@ -27,11 +45,15 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** events with `ts_ns: Long` (raw) and `ts_us: Timestamp` (µs truncation). */
+  /** events with `ts_ns: Long` (raw epoch ns) and `ts_us: Timestamp` (µs). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
+    val raw = table(s, d, "events")
+    val cols = raw.columns.map {
+      case "ts" => tsNs(raw.schema).as("ts_ns")
+      case c    => col(c)
+    }
+    raw.select(cols.toIndexedSeq: _*)
       .withColumn("ts_us", timestamp_micros(expr("ts_ns div 1000")))
   }
 }

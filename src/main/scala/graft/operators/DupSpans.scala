@@ -32,16 +32,23 @@ import org.apache.spark.sql.functions._
   * by the duplicated token mass — the data being removed, which cannot
   * exceed the corpus.
   *
-  * Tokenization contract: single-delimiter split (default one space);
-  * split-and-rejoin is lossless iff the text is single-delimiter
-  * separated. Pre-tokenized corpora can pass any delimiter their joiner
-  * uses.
+  * Tokenization contract: single-delimiter LITERAL split (default one
+  * space) — the delimiter is never regex-interpreted and never
+  * string-interpolated into SQL, so regex metacharacters and quotes are
+  * valid delimiters; split-and-rejoin is lossless iff the text is
+  * single-delimiter separated. Pre-tokenized corpora can pass any
+  * delimiter their joiner uses.
   */
 object DupSpans {
 
   // resolution by exact name, never string-interpolated qualifiers — a
   // column genuinely named "a.b" must keep working
   private def q(c: String): Column = col(s"`${c.replace("`", "``")}`")
+
+  // split() regex-interprets its pattern; quote it so the delimiter is
+  // matched literally (concat_ws/array_join already take literal strings)
+  private def litSplit(c: Column, delim: String): Column =
+    split(c, java.util.regex.Pattern.quote(delim))
 
   /** One row per maximal cross-document duplicated span:
     * (id, span_start, span_end) in 1-based token coordinates, inclusive.
@@ -55,15 +62,15 @@ object DupSpans {
       delim: String = " "): DataFrame = {
     require(k >= 2, s"duplicated-span k must be >= 2, got $k")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val toks = df.select(q(id).as("__id"), split(q(text), delim).as("__t"))
+    val toks = df.select(q(id).as("__id"), litSplit(q(text), delim).as("__t"))
     // ONE corpus-sized explode, emitting only (id, pos, 8-byte hash) — the
     // gram string is built, hashed, and discarded map-side, so neither the
     // explode output nor the aggregation shuffle ever carries k-token text
     val sitesH = toks
       .filter(size(col("__t")) >= k)
-      .select(col("__id"), posexplode(expr(
-        s"transform(sequence(1, size(__t) - ${k - 1}), " +
-          s"p -> xxhash64(concat_ws('$delim', slice(__t, p, $k))))")))
+      .select(col("__id"), posexplode(
+        transform(sequence(lit(1), size(col("__t")) - (k - 1)),
+          p => xxhash64(concat_ws(delim, slice(col("__t"), p, lit(k)))))))
       .select(col("__id"), (col("pos") + 1).cast("long").as("p"), col("col").as("h"))
     val dupH = sitesH.groupBy(col("h"))
       .agg(countDistinct(col("__id")).as("nd"))
@@ -77,7 +84,7 @@ object DupSpans {
     val candSites = sitesH.join(broadcast(dupH), Seq("h")).select(col("__id"), col("p"))
     val cand = toks.join(broadcast(candSites), Seq("__id"))
       .select(col("__id"), col("p"),
-        expr(s"concat_ws('$delim', slice(__t, CAST(p AS INT), $k))").as("g"))
+        concat_ws(delim, slice(col("__t"), col("p").cast("int"), lit(k))).as("g"))
     val trueG = cand.groupBy(col("g"))
       .agg(countDistinct(col("__id")).as("nd"))
       .filter(col("nd") >= minDocs)
@@ -103,7 +110,7 @@ object DupSpans {
       k: Int,
       minDocs: Int = 2,
       delim: String = " "): DataFrame = {
-    val toks = df.select(q(id).as("__id"), split(q(text), delim).as("__t"))
+    val toks = df.select(q(id).as("__id"), litSplit(q(text), delim).as("__t"))
     val tokx = toks
       .select(col("__id"), posexplode(col("__t")))
       .select(col("__id"), (col("pos") + 1).cast("long").as("p"), col("col").as("w"))

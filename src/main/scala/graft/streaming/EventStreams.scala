@@ -19,14 +19,21 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events schema as read with nanosAsLong (ts = raw ns Long). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** On-disk events schema, inferred from the batch reader so the file
+    * stream tolerates both physical `ts` layouts (raw ns Long under
+    * nanosAsLong, or a plain µs timestamp — see [[graft.Tables.tsNs]]).
+    * readStream requires an explicit schema; inferring it from one batch
+    * footer read is the standard recipe and costs one metadata round-trip
+    * at query start, not per micro-batch. */
+  def eventsSchema(spark: SparkSession, dir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema
+  }
+
+  /** `(ts_ns, user_id, value)` projection off the raw events frame,
+    * normalizing either `ts` layout to epoch-ns Long. */
+  private def tsNsProjection(raw: DataFrame): DataFrame =
+    raw.select(graft.Tables.tsNs(raw.schema).as("ts_ns"), col("user_id"), col("value"))
 
   final case class Ev(event_id: Long, ts_ns: Long, user_id: Long, value: Double)
   final case class SessState(lastTs: Long, sessions: Long, events: Long)
@@ -49,15 +56,12 @@ object EventStreams {
       .select(col("user_id"), col("window.start").as("win_start"), col("n_events"), col("sum_value"))
 
   /** Streaming tumbling 1-hour window counts per user. */
-  def tumblingStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tumblingAgg(
+  def tumblingStream(spark: SparkSession, dir: String): DataFrame =
+    tumblingAgg(tsNsProjection(
       spark.readStream
-        .schema(eventsSchema)
+        .schema(eventsSchema(spark, dir))
         .option("pathGlobFilter", "events.parquet") // single-file source: stream the parent dir
-        .parquet(dir)
-        .select(col("ts").as("ts_ns"), col("user_id"), col("value")))
-  }
+        .parquet(dir)))
 
   /** The sliding (2 h window / 1 h slide) twin of [[tumblingAgg]] and batch
     * t95: each event lands in exactly 2 overlapping windows (constant
@@ -113,26 +117,20 @@ object EventStreams {
         col("sw.end").as("sess_end"), col("n_events"), col("sum_value"))
 
   /** Streaming native session windows over the events file stream. */
-  def sessionStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    sessionWindowAgg(
+  def sessionStream(spark: SparkSession, dir: String): DataFrame =
+    sessionWindowAgg(tsNsProjection(
       spark.readStream
-        .schema(eventsSchema)
+        .schema(eventsSchema(spark, dir))
         .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .select(col("ts").as("ts_ns"), col("user_id"), col("value")))
-  }
+        .parquet(dir)))
 
   /** Streaming sliding-window counts over the events file stream. */
-  def slidingStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    slidingAgg(
+  def slidingStream(spark: SparkSession, dir: String): DataFrame =
+    slidingAgg(tsNsProjection(
       spark.readStream
-        .schema(eventsSchema)
+        .schema(eventsSchema(spark, dir))
         .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .select(col("ts").as("ts_ns"), col("user_id"), col("value")))
-  }
+        .parquet(dir)))
 
   /** Per-user session counting with explicit keyed state — the streaming twin
     * of q19's lag + cumulative-sum. In batch mode Spark runs the same
@@ -265,8 +263,9 @@ object EventStreams {
   def eventsDataset(spark: SparkSession, dir: String): Dataset[Ev] = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
-      .select(col("event_id"), col("ts").as("ts_ns"), col("user_id"), col("value"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.select(col("event_id"), graft.Tables.tsNs(raw.schema).as("ts_ns"),
+        col("user_id"), col("value"))
       .as[Ev]
   }
 }
