@@ -1202,5 +1202,59 @@ object Extended {
              |  CAST(MIN(zv) AS BIGINT) AS zv_min, CAST(MAX(zv) AS BIGINT) AS zv_max
              |FROM z GROUP BY zblock ORDER BY zblock""".stripMargin),
     ),
+
+    // ----- t115: SCD type-2 history build (dimension versioning) -----
+    // Collapse each user's event_type stream into slowly-changing-dimension
+    // type-2 rows: one row per maximal run of equal event_type, carrying
+    // [valid_from, valid_to) bounds in epoch-ns, a version number, and a
+    // current-row flag — the standard warehouse dimension-history build.
+    // Expressed as gaps-and-islands: change flag (lag) → running sum =
+    // version id → per-version bounds → lead for the exclusive upper bound.
+    // Every window is keyed by user_id (partition bounded by one user's
+    // events — never a global sort); the final ORDER BY is presentation
+    // only. The user_id < 10 slice bounds test output; production runs drop
+    // the filter and the shape is unchanged.
+    Q(
+      "t115_scd2_history",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+        val vw = Window.partitionBy(col("user_id")).orderBy(col("ver"))
+        Tables.events(s, d)
+          .filter(col("user_id") < 10)
+          .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(w).isNull ||
+              lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+          .withColumn("ver",
+            sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("ver"), col("event_type"))
+          .agg(min(col("ts_ns")).as("valid_from"), count(lit(1)).as("n_events"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(vw))
+          .withColumn("is_current", col("valid_to").isNull)
+          .select(col("user_id"), col("ver"), col("event_type"), col("valid_from"),
+            col("valid_to"), col("is_current"), col("n_events"))
+          .orderBy("user_id", "ver")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type
+             |  FROM events WHERE user_id < 10),
+             |mk AS (
+             |  SELECT *, CASE WHEN LAG(event_type) OVER w IS NULL
+             |                   OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+             |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+             |vr AS (
+             |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver
+             |  FROM mk),
+             |g AS (
+             |  SELECT user_id, CAST(ver AS BIGINT) AS ver, event_type,
+             |    CAST(MIN(ts_ns) AS BIGINT) AS valid_from, COUNT(*) AS n_events
+             |  FROM vr GROUP BY 1, 2, 3)
+             |SELECT user_id, ver, event_type, valid_from,
+             |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY ver) AS valid_to,
+             |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY ver) IS NULL AS is_current,
+             |  CAST(n_events AS BIGINT) AS n_events
+             |FROM g ORDER BY user_id, ver""".stripMargin),
+    ),
   )
 }

@@ -941,6 +941,112 @@ object Text {
              |FROM toks t LEFT JOIN kc ON t.doc_id = kc.doc_id
              |ORDER BY t.doc_id""".stripMargin),
     ),
+
+    // ----- t113: unigram-LM quality scoring (perplexity filter) -----
+    // CCNet-style (Wenzek et al., LREC'20): train a unigram LM on the
+    // English slice, score EVERY document by its average per-token negative
+    // log-likelihood under that LM — high avg-NLL means far from the target
+    // distribution (wrong language, gibberish, boilerplate), the classic
+    // pre-training quality signal. Cross-engine numerics are integer-exact:
+    // each token's cost is quantized map-side to BIGINT micro-nats (ROUND
+    // happens once per distinct count value, never per float-summation
+    // order), the per-doc sum is an exact integer sum, and the mean is an
+    // integer div. 100-TB shape: the LM is a token-keyed partial-agg'd
+    // wordcount whose output is vocabulary-sized (≪ corpus) and broadcast
+    // into the scoring pass with the two scalar totals; the only
+    // corpus-sized shuffle is the per-doc re-agg keyed by doc_id.
+    // Documents with zero [a-z] tokens have no LM evidence and are absent
+    // from the output by contract (same in both engines).
+    Q(
+      "t113_lm_quality",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+        val vocab = toks.filter(col("lang") === "en")
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        val tv = vocab.agg(sum(col("cnt")).as("t"), count(lit(1)).as("v"))
+        toks.join(broadcast(vocab), Seq("w"), "left")
+          .crossJoin(broadcast(tv))
+          .select(col("doc_id"), expr(
+            "CAST(ROUND(-ln((COALESCE(cnt, 0) + 1) / CAST(t + v AS DOUBLE)) * 1000000, 0) AS BIGINT)")
+            .as("c"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"), expr("sum(c) div count(*)").as("avg_nll_micro"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+             |  FROM documents),
+             |vocab AS (SELECT w, COUNT(*) AS cnt FROM toks WHERE lang = 'en' GROUP BY w),
+             |tv AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t, COUNT(*) AS v FROM vocab),
+             |cost AS (
+             |  SELECT doc_id,
+             |    CAST(ROUND(-ln((COALESCE(cnt, 0) + 1) / CAST(t + v AS DOUBLE)) * 1000000, 0) AS BIGINT) AS c
+             |  FROM toks LEFT JOIN vocab USING (w) CROSS JOIN tv)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             |  CAST(SUM(c) // COUNT(*) AS BIGINT) AS avg_nll_micro
+             |FROM cost GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ----- t114: DSIR importance weights (hashed n-gram features) -----
+    // Data Selection via Importance Resampling (Xie et al., NeurIPS'23):
+    // hash unigram features into B=256 buckets, fit target (English slice)
+    // and raw (everything else) bucket distributions with add-1 smoothing,
+    // and score each document with the summed per-token log importance
+    // ratio ln p_tgt(b) − ln p_raw(b) — documents resembling the target
+    // slice get positive weight. The bucket hash is the repo's portable
+    // md5-prefix hash (t47's contract), identical in both engines. The two
+    // feature distributions are B-row aggregates — CONSTANT size, broadcast
+    // always, at any corpus scale — and per-bucket log-ratios are quantized
+    // once to BIGINT micro-nats (256 ROUNDs total), so the corpus pass is a
+    // map-side bucket→λ lookup plus an exact integer per-doc sum; the only
+    // corpus-sized shuffle is the per-doc agg keyed by doc_id.
+    Q(
+      "t114_dsir_weights",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+          .withColumn("b", expr(
+            "CAST(conv(substring(md5(CAST(w AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 256"))
+        val tgt = toks.filter(col("lang") === "en")
+          .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+        val raw = toks.filter(col("lang") =!= "en")
+          .groupBy(col("b")).agg(count(lit(1)).as("cr"))
+        val tots = tgt.agg(sum(col("ct")).as("tt")).crossJoin(raw.agg(sum(col("cr")).as("tr")))
+        val lam = tgt.join(raw, Seq("b"), "full_outer")
+          .crossJoin(tots)
+          .select(col("b"), expr(
+            """CAST(ROUND((ln((COALESCE(ct, 0) + 1) / CAST(tt + 256 AS DOUBLE))
+              |          - ln((COALESCE(cr, 0) + 1) / CAST(tr + 256 AS DOUBLE))) * 1000000, 0)
+              | AS BIGINT)""".stripMargin).as("lam"))
+        toks.join(broadcast(lam), Seq("b"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"), sum(col("lam")).as("logw_micro"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+             |  FROM documents),
+             |toks AS (
+             |  SELECT doc_id, lang,
+             |    CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % 256 AS b FROM tk),
+             |tgt AS (SELECT b, COUNT(*) AS ct FROM toks WHERE lang = 'en' GROUP BY b),
+             |rw  AS (SELECT b, COUNT(*) AS cr FROM toks WHERE lang <> 'en' GROUP BY b),
+             |tots AS (SELECT (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS tt,
+             |                (SELECT CAST(SUM(cr) AS BIGINT) FROM rw) AS tr),
+             |lam AS (
+             |  SELECT COALESCE(tgt.b, rw.b) AS b,
+             |    CAST(ROUND((ln((COALESCE(ct, 0) + 1) / CAST(tt + 256 AS DOUBLE))
+             |              - ln((COALESCE(cr, 0) + 1) / CAST(tr + 256 AS DOUBLE))) * 1000000, 0)
+             |     AS BIGINT) AS lam
+             |  FROM tgt FULL OUTER JOIN rw ON tgt.b = rw.b CROSS JOIN tots)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             |  CAST(SUM(lam) AS BIGINT) AS logw_micro
+             |FROM toks JOIN lam USING (b)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
   )
 
 }

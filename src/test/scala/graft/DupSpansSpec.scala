@@ -63,6 +63,22 @@ class DupSpansSpec extends SparkTestBase {
     assert(out.toSeq == Seq(("short doc", 2L), ("short doc", 2L)))
   }
 
+  test("regex-special delimiters are matched literally, not regex-interpreted") {
+    // '.' as delimiter: a regex-interpreted split("."​) matches every char
+    // and produces empty tokens; the literal split must tokenize on dots
+    // exactly like the space-delimited twin.
+    val shared = (1 to 10).map(i => s"dup$i")
+    val dotDf = docs(
+      (1L, ("alpha" +: "beta" +: shared :+ "gamma").mkString(".")),
+      (2L, ("x" +: shared :+ "y" :+ "z").mkString(".")))
+    val spans = DupSpans.find(dotDf, "doc_id", "text", k = 8, delim = ".")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.toSeq == Seq((1L, 3L, 12L), (2L, 2L, 11L)))
+    val stripped = DupSpans.strip(dotDf, "doc_id", "text", k = 8, delim = ".")
+      .orderBy("doc_id").collect().map(r => (r.getString(1), r.getLong(3)))
+    assert(stripped.toSeq == Seq(("alpha.beta.gamma", 3L), ("x.y.z", 3L)))
+  }
+
   test("column names containing dots resolve by exact name") {
     val df = docs((1L, "a b c"), (2L, "x y z"))
       .withColumnRenamed("doc_id", "doc.id").withColumnRenamed("text", "the.text")
