@@ -1047,6 +1047,100 @@ object Text {
              |FROM toks JOIN lam USING (b)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
+
+    // ----- t116: vocabulary mass coverage (tokenizer sizing profile) -----
+    // Per language: how many distinct words cover 90% of the token mass —
+    // the corpus-compressibility profile that sizes tokenizer vocabularies
+    // and flags boilerplate-heavy slices (tiny vocab90 = repetitive text).
+    // A word is inside vocab90 while the mass accumulated BEFORE it is
+    // under the threshold, counted with pure integer arithmetic
+    // (10·cum_before < 9·total — no float division anywhere). Shape: the
+    // corpus-sized work is one partial-agg'd wordcount; the windows run
+    // over VOCABULARY-sized partitions keyed by lang (≪ corpus, never a
+    // global sort over tokens).
+    Q(
+      "t116_vocab_coverage",
+      (s, d) => {
+        val freq = Tables.documents(s, d)
+          .select(col("lang"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+          .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+        val cw = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("cnt").desc, col("w"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val tw = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        freq
+          .withColumn("cum", sum(col("cnt")).over(cw))
+          .withColumn("tot", sum(col("cnt")).over(tw))
+          .groupBy(col("lang"))
+          .agg(
+            max(col("tot")).as("total_tokens"),
+            count(lit(1)).as("total_vocab"),
+            sum(when((col("cum") - col("cnt")) * 10 < col("tot") * 9, 1L).otherwise(0L))
+              .as("vocab90"))
+          .orderBy("lang")
+      },
+      Some("""WITH toks AS (
+             |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+             |  FROM documents),
+             |freq AS (SELECT lang, w, COUNT(*) AS cnt FROM toks GROUP BY lang, w),
+             |c AS (
+             |  SELECT lang, cnt,
+             |    SUM(cnt) OVER (PARTITION BY lang ORDER BY cnt DESC, w
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    SUM(cnt) OVER (PARTITION BY lang) AS tot
+             |  FROM freq)
+             |SELECT lang, CAST(MAX(tot) AS BIGINT) AS total_tokens,
+             |  CAST(COUNT(*) AS BIGINT) AS total_vocab,
+             |  CAST(SUM(CASE WHEN (cum - cnt) * 10 < tot * 9 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS vocab90
+             |FROM c GROUP BY lang ORDER BY lang""".stripMargin),
+    ),
+
+    // ----- t117: first-occurrence n-gram novelty (curation ordering) -----
+    // Score each document by the fraction of its distinct 8-grams that
+    // first appear in it (min doc_id over the corpus) — the novelty signal
+    // data-curation orderings use to de-prioritize derivative documents.
+    // The gram key is the portable md5 hex (identical in both engines, so
+    // the oracle gate is exact even under the astronomically-unlikely
+    // collision — a collision merges the same two grams on BOTH sides); a
+    // production run would swap in 8-byte xxhash64 keys exactly as
+    // DupSpans does. Shape: one corpus-sized explode → distinct (doc,
+    // gram) → gram-keyed min agg (partial-agg'd) → per-doc integer
+    // basis-point ratio; no window over the corpus, no driver state.
+    Q(
+      "t117_gram_novelty",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("t"))
+          .filter(size(col("t")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(t) - 7), i -> md5(CAST(concat_ws(' ', slice(t, i, 8)) AS BINARY)))")).as("h"))
+          .distinct()
+        val first = grams.groupBy(col("h")).agg(min(col("doc_id")).as("fd"))
+        grams.join(first, Seq("h"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("novel"))
+          .select(col("doc_id"), col("n_grams"), col("novel"),
+            expr("novel * 10000 div n_grams").as("novelty_bp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+             |pos AS (
+             |  SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+             |  FROM toks WHERE len(t) >= 8),
+             |g AS (
+             |  SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h FROM pos),
+             |f AS (SELECT h, MIN(doc_id) AS fd FROM g GROUP BY h)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             |  CAST(SUM(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+             |  CAST(SUM(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+             |    AS novelty_bp
+             |FROM g JOIN f USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
   )
 
 }

@@ -45,6 +45,41 @@ class LmScoringSpec extends SparkTestBase {
       s"importance weights must favor the target slice: en=$enMean vs other=$otherMean")
   }
 
+  test("t116: vocab90 is a valid prefix size and totals reconcile with the raw token count") {
+    val cov = build("t116_vocab_coverage").collect()
+    assert(cov.nonEmpty)
+    cov.foreach { r =>
+      val (total, vocab, v90) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(v90 >= 1L && v90 <= vocab, s"vocab90 $v90 outside [1, $vocab]")
+      assert(vocab <= total)
+    }
+    // total_tokens per lang equals a direct count of [a-z]+ tokens
+    val direct = Tables.documents(spark, sf)
+      .select(col("lang"), explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    cov.foreach(r => assert(r.getLong(1) == direct(r.getString(0))))
+  }
+
+  test("t117: the earliest document is fully novel, ratios are basis points, novelty is exclusive") {
+    val nov = build("t117_gram_novelty").cache()
+    try {
+      val first = nov.orderBy("doc_id").first
+      assert(first.getLong(3) == 10000L, "doc with the smallest id owns all its grams")
+      assert(nov.filter(col("novelty_bp") < 0 || col("novelty_bp") > 10000).count() == 0)
+      assert(nov.filter(col("novel") > col("n_grams")).count() == 0)
+      // every distinct gram is novel in exactly one document
+      val totalNovel = nov.agg(sum("novel")).first.getLong(0)
+      val distinctGrams = Tables.documents(spark, sf)
+        .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("t"))
+        .filter(size(col("t")) >= 8)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 7), i -> concat_ws(' ', slice(t, i, 8)))")).as("g"))
+        .distinct().count()
+      assert(totalNovel == distinctGrams)
+    } finally nov.unpersist()
+  }
+
   test("t115: versions chain — valid_to meets the next valid_from, one current row per user") {
     val h = build("t115_scd2_history").cache()
     try {
