@@ -1107,8 +1107,11 @@ object Text {
     // collision — a collision merges the same two grams on BOTH sides); a
     // production run would swap in 8-byte xxhash64 keys exactly as
     // DupSpans does. Shape: one corpus-sized explode → distinct (doc,
-    // gram) → gram-keyed min agg (partial-agg'd) → per-doc integer
-    // basis-point ratio; no window over the corpus, no driver state.
+    // gram), then TWO aggregations off it — per-doc gram counts and
+    // gram-keyed min-doc rolled up to per-doc novel counts — joined at
+    // document cardinality. The novel count comes straight off the
+    // min-agg (each gram is novel in exactly one doc), so no corpus-sized
+    // join back to the gram sites exists anywhere in the plan.
     Q(
       "t117_gram_novelty",
       (s, d) => {
@@ -1118,13 +1121,17 @@ object Text {
           .select(col("doc_id"), explode(expr(
             "transform(sequence(1, size(t) - 7), i -> md5(CAST(concat_ws(' ', slice(t, i, 8)) AS BINARY)))")).as("h"))
           .distinct()
-        val first = grams.groupBy(col("h")).agg(min(col("doc_id")).as("fd"))
-        grams.join(first, Seq("h"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("novel"))
-          .select(col("doc_id"), col("n_grams"), col("novel"),
-            expr("novel * 10000 div n_grams").as("novelty_bp"))
+          // both aggregations below consume the distinct gram sites; the
+          // checkpoint materializes the explode+distinct once (t30-t32's
+          // shared-subtree pattern) instead of running it per consumer
+          .localCheckpoint()
+        val perDoc = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        val novel = grams.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("novel"))
+        perDoc.join(novel, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("novel"), lit(0L)).as("novel"),
+            expr("coalesce(novel, 0L) * 10000 div n_grams").as("novelty_bp"))
           .orderBy("doc_id")
       },
       Some("""WITH toks AS (
