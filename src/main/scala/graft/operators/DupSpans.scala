@@ -102,6 +102,15 @@ object DupSpans {
     * Output columns: id (as named), text (as named — the reconstructed
     * clean text, '' when everything was duplicated), n_tok_before,
     * n_tok_kept. The caller owns the drop policy for emptied docs.
+    *
+    * Reassembly never shuffles tokens: the span list (small — bounded by
+    * the duplicated region count) is collected per doc and joined back at
+    * DOCUMENT cardinality, and tokens are dropped in place with an
+    * indexed higher-order filter over the still-intact token array. The
+    * earlier formulation (posexplode every token → anti-join coverage →
+    * collect_list + array_sort per doc) shuffled the whole corpus through
+    * the reassembly; this one's only corpus-sized work is the map-side
+    * lambda, and per-token cost is O(spans-in-doc) with spans disjoint.
     */
   def strip(
       df: DataFrame,
@@ -111,26 +120,19 @@ object DupSpans {
       minDocs: Int = 2,
       delim: String = " "): DataFrame = {
     val toks = df.select(q(id).as("__id"), litSplit(q(text), delim).as("__t"))
-    val tokx = toks
-      .select(col("__id"), posexplode(col("__t")))
-      .select(col("__id"), (col("pos") + 1).cast("long").as("p"), col("col").as("w"))
-    // spans are disjoint per doc by construction (merged islands), so
-    // coverage positions need no distinct
-    val covered = find(df, id, text, k, minDocs, delim)
-      .select(q(id).as("__id"), explode(sequence(col("span_start"), col("span_end"))).as("p"))
-    val kc = tokx.join(covered, Seq("__id", "p"), "left_anti")
-      .groupBy(col("__id"))
-      .agg(
-        count(lit(1)).as("n_tok_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("p"), col("w")))), x => x("w")),
-          delim).as("__clean"))
-    toks.select(col("__id"), size(col("__t")).cast("long").as("n_tok_before"))
-      .join(kc, Seq("__id"), "left")
+    // per-doc span list: disjoint [s, e] runs in 1-based token coordinates
+    val spans = find(df, id, text, k, minDocs, delim)
+      .groupBy(q(id).as("__id"))
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e"))).as("__sp"))
+    toks.join(spans, Seq("__id"), "left")
+      .withColumn("__kept",
+        when(col("__sp").isNull, col("__t")).otherwise(
+          filter(col("__t"), (_, i) =>
+            !exists(col("__sp"), p => (i + 1).cast("long") >= p("s") && (i + 1).cast("long") <= p("e")))))
       .select(
         col("__id").as(id),
-        coalesce(col("__clean"), lit("")).as(text),
-        col("n_tok_before"),
-        coalesce(col("n_tok_kept"), lit(0L)).as("n_tok_kept"))
+        array_join(col("__kept"), delim).as(text),
+        size(col("__t")).cast("long").as("n_tok_before"),
+        size(col("__kept")).cast("long").as("n_tok_kept"))
   }
 }
