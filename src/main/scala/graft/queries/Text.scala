@@ -960,19 +960,11 @@ object Text {
     Q(
       "t113_lm_quality",
       (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"),
-            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
-        val vocab = toks.filter(col("lang") === "en")
-          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-        val tv = vocab.agg(sum(col("cnt")).as("t"), count(lit(1)).as("v"))
-        toks.join(broadcast(vocab), Seq("w"), "left")
-          .crossJoin(broadcast(tv))
-          .select(col("doc_id"), expr(
-            "CAST(ROUND(-ln((COALESCE(cnt, 0) + 1) / CAST(t + v AS DOUBLE)) * 1000000, 0) AS BIGINT)")
-            .as("c"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_tok"), expr("sum(c) div count(*)").as("avg_nll_micro"))
+        val docs = Tables.documents(s, d)
+        val lm = graft.operators.LmScore.vocab(
+          graft.operators.LmScore.tokens(docs.filter(col("lang") === "en"), "doc_id", "text"))
+        graft.operators.LmScore
+          .score(docs, "doc_id", "text", lm, graft.operators.LmScore.totals(lm))
           .orderBy("doc_id")
       },
       Some("""WITH toks AS (

@@ -99,4 +99,29 @@ object DocStreams {
       .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append())
       .start()
+
+  /** Streaming LM-quality scoring — the live twin of batch t113: each
+    * micro-batch of (doc_id, text) documents is scored against a STATIC
+    * fitted unigram LM (vocab + totals, resolved once by the caller — in
+    * production a persisted vocabulary table refreshed out-of-band) with
+    * the exact batch computation ([[graft.operators.LmScore.score]]).
+    * Because each verdict is a per-document function of (doc, static LM),
+    * the union of micro-batch outputs equals the one-shot batch scoring of
+    * the union — proven in StreamingSpec against the t113 builder itself.
+    * Sink is batch-id-keyed parquet (idempotent under replay, same
+    * contract as [[admissionStream]]). */
+  def qualityScoreStream(
+      docs: DataFrame,
+      vocab: DataFrame,
+      totals: DataFrame,
+      path: String,
+      ckpt: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.LmScore.score(batch, "doc_id", "text", vocab, totals)
+          .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
 }

@@ -421,4 +421,43 @@ class StreamingSpec extends SparkTestBase {
       .select("doc_id").distinct().as[Long].collect().toSet
     assert(storeDocs == idxDocs, s"shingle store must track the index: $storeDocs")
   }
+
+  test("streaming LM-quality scoring over micro-batches equals one-shot batch t113") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.LmScore
+    import graft.streaming.DocStreams
+
+    val docs = Tables.documents(spark, dir)
+    // static LM fitted once on the English slice (the t113 contract)
+    val lm = LmScore.vocab(
+      LmScore.tokens(docs.filter(col("lang") === "en"), "doc_id", "text")).localCheckpoint()
+    val tv = LmScore.totals(lm).localCheckpoint()
+
+    val allDocs = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val out = java.nio.file.Files.createTempDirectory("graft_lm_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lm_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = DocStreams.qualityScoreStream(
+      input.toDS().toDF("doc_id", "text"), lm, tv, out, ckpt)
+    try {
+      // three micro-batches: scores must not depend on the batch split
+      val (b1, rest) = allDocs.splitAt(allDocs.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "n_tok", "avg_nll_micro").collect().map(key).toSet
+    val oneShot = SparkEntry.queries("t113_lm_quality")(spark, dir)
+      .collect().map(key).toSet
+    assert(streamed == oneShot,
+      s"streamed scores diverge from batch: ${streamed.diff(oneShot).take(3)} / ${oneShot.diff(streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
 }
