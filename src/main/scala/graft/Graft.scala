@@ -114,6 +114,18 @@ object Graft {
   def dupStrip(df: DataFrame, id: String, text: String, k: Int): DataFrame =
     operators.DupSpans.strip(df, id, text, k)
 
+  /** Fit a unigram LM on `train` and score `docs` by average per-token
+    * negative log-likelihood in integer micro-nats (CCNet-style quality
+    * filtering) — see [[graft.operators.LmScore]]. */
+  def lmQualityScore(
+      docs: DataFrame,
+      train: DataFrame,
+      id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val lm = operators.LmScore.vocab(operators.LmScore.tokens(train, id, text))
+    operators.LmScore.score(docs, id, text, lm, operators.LmScore.totals(lm))
+  }
+
   /** Inject the graft_* SQL functions into a live session — see
     * [[GraftExtensions.register]] (builder-time sessions can use
     * `.withExtensions(new GraftExtensions)` instead). */

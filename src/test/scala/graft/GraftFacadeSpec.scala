@@ -40,6 +40,17 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(math.abs(cs - 1.0) < 1e-9)
   }
 
+  test("lmQualityScore scores any (id, text) frame against any training slice") {
+    import spark.implicits._
+    val train = Seq((1L, "the quick brown fox"), (2L, "the lazy dog")).toDF("doc_id", "text")
+    val docs = Seq((10L, "the the the"), (11L, "zebra xylophone quux")).toDF("doc_id", "text")
+    val out = Graft.lmQualityScore(docs, train).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(10L)._1 == 3L && out(11L)._1 == 3L)
+    // in-vocabulary repetition must score far more likely than all-OOV text
+    assert(out(10L)._2 < out(11L)._2)
+  }
+
   test("copy() end-to-end through the facade") {
     val base = Paths.get("target/fixtures", "facade-" + System.nanoTime()).toAbsolutePath
     val src = base.resolve("src")
