@@ -199,6 +199,46 @@ object EventStreams {
       }
   }
 
+  final case class TypeEv(user_id: Long, ts_ns: Long, event_id: Long, event_type: String)
+  final case class Scd2State(curType: String, validFrom: Long, ver: Long, nEvents: Long)
+  final case class Scd2Closed(user_id: Long, ver: Long, event_type: String,
+      valid_from: Long, valid_to: Long, n_events: Long)
+
+  /** Live SCD type-2 maintenance — the streaming twin of batch t115: each
+    * user's keyed state holds the OPEN dimension version (current type,
+    * valid_from, version counter, event count); when an arriving event
+    * changes the type, the closed version row is emitted with its
+    * [valid_from, valid_to) bounds and the state rolls forward. Emitted
+    * rows are append-only and final (a version closes exactly once), which
+    * is what makes this expressible in Append mode; the open version lives
+    * only in state until its closing event arrives. Events are sorted
+    * within each micro-batch; cross-batch order is the source's contract
+    * (same as [[sessionCounts]] — a replayable log delivers per-key
+    * in-order). StreamingSpec proves the emitted closed rows equal batch
+    * t115's closed rows regardless of the micro-batch split. */
+  def scd2Stream(spark: SparkSession, events: Dataset[TypeEv]): Dataset[Scd2Closed] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Closed](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[TypeEv], state: GroupState[Scd2State]) =>
+          val sorted = evs.toArray.sortBy(e => (e.ts_ns, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            if (st == null)
+              st = Scd2State(e.event_type, e.ts_ns, 1L, 1L)
+            else if (e.event_type != st.curType) {
+              out += Scd2Closed(user, st.ver, st.curType, st.validFrom, e.ts_ns, st.nEvents)
+              st = Scd2State(e.event_type, e.ts_ns, st.ver + 1L, 1L)
+            } else st = st.copy(nEvents = st.nEvents + 1L)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming ingest dedup — the streaming twin of exact dedup (q24/t34)
     * for at-least-once sources that replay events on recovery. State is
     * bounded by the watermark: an event_id is remembered only until the

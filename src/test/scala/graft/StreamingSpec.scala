@@ -422,6 +422,46 @@ class StreamingSpec extends SparkTestBase {
     assert(storeDocs == idxDocs, s"shingle store must track the index: $storeDocs")
   }
 
+  test("streaming SCD2 maintenance emits exactly batch t115's closed versions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val evs = Tables.events(spark, dir).filter(col("user_id") < 10)
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .orderBy("ts_ns", "event_id")
+      .as[EventStreams.TypeEv].collect()
+    assert(evs.nonEmpty)
+
+    val input = MemoryStream[EventStreams.TypeEv]
+    val stream = EventStreams.scd2Stream(spark, input.toDS())
+    val q = stream.writeStream
+      .format("memory").queryName("scd2_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // three in-order micro-batches with splits landing mid-run
+      val (b1, rest) = evs.splitAt(evs.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val streamed = spark.sql(
+      "SELECT user_id, ver, event_type, valid_from, valid_to, n_events FROM scd2_test")
+      .collect().map(key).toSet
+    val batchClosed = SparkEntry.queries("t115_scd2_history")(spark, dir)
+      .filter(col("valid_to").isNotNull)
+      .select("user_id", "ver", "event_type", "valid_from", "valid_to", "n_events")
+      .collect().map(key).toSet
+    assert(streamed == batchClosed,
+      s"diverged: ${streamed.diff(batchClosed).take(3)} / ${batchClosed.diff(streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming LM-quality scoring over micro-batches equals one-shot batch t113") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
