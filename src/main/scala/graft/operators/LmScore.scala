@@ -44,6 +44,13 @@ object LmScore {
   def totals(vocabDf: DataFrame): DataFrame =
     vocabDf.agg(sum(col("cnt")).as("t"), count(lit(1)).as("v"))
 
+  /** Incremental LM maintenance: merging fitted vocabularies equals
+    * refitting on the concatenated corpora (counts add) — so a production
+    * LM updates from per-partition/per-day vocab deltas without ever
+    * re-reading old text. Proven merge==refit in LmScoringSpec. */
+  def mergeVocabs(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("w")).agg(sum(col("cnt")).as("cnt"))
+
   /** Score `docs` against a fitted LM: (id, n_tok, avg_nll_micro) with the
     * mean NLL in integer micro-nats. OOV tokens smooth to 1/(t+v). */
   def score(

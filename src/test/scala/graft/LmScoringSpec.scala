@@ -45,6 +45,29 @@ class LmScoringSpec extends SparkTestBase {
       s"importance weights must favor the target slice: en=$enMean vs other=$otherMean")
   }
 
+  test("LM numerics are partition-invariant and vocab merge equals refit") {
+    import graft.operators.LmScore
+    val docs = Tables.documents(spark, sf)
+    val en = docs.filter(col("lang") === "en")
+    // merge == refit: counts add across corpus slices
+    val half1 = en.filter(col("doc_id") % 2 === 0)
+    val half2 = en.filter(col("doc_id") % 2 =!= 0)
+    val merged = LmScore.mergeVocabs(
+      LmScore.vocab(LmScore.tokens(half1, "doc_id", "text")),
+      LmScore.vocab(LmScore.tokens(half2, "doc_id", "text")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val refit = LmScore.vocab(LmScore.tokens(en, "doc_id", "text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == refit)
+    // integer micro-nat scores are exactly partition-count independent
+    val lm = LmScore.vocab(LmScore.tokens(en, "doc_id", "text")).localCheckpoint()
+    val tv = LmScore.totals(lm).localCheckpoint()
+    def scores(d: org.apache.spark.sql.DataFrame) =
+      LmScore.score(d, "doc_id", "text", lm, tv)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(scores(docs.repartition(1)) == scores(docs.repartition(13)))
+  }
+
   test("t116: vocab90 is a valid prefix size and totals reconcile with the raw token count") {
     val cov = build("t116_vocab_coverage").collect()
     assert(cov.nonEmpty)
