@@ -43,7 +43,23 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** embeddings with `embedding` normalized to ARRAY<FLOAT> — the type the
+    * codegen'd similarity kernels (functions.SimExprs) bind to. Guards the
+    * same class of generator drift that hit events.ts in round 8: a future
+    * float64 re-generation degrades to one map-side cast instead of
+    * breaking every ANN/dedup query. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val raw = table(s, d, "embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => raw
+      case _: ArrayType =>
+        raw.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case other => throw new IllegalStateException(
+        s"embeddings.embedding has unsupported type $other (expected ARRAY<FLOAT>)")
+    }
+  }
 
   /** events with `ts_ns: Long` (raw epoch ns) and `ts_us: Timestamp` (µs). */
   def events(s: SparkSession, d: String): DataFrame = {

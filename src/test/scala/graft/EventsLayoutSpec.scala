@@ -43,6 +43,19 @@ class EventsLayoutSpec extends SparkTestBase {
     assert(asLong.map(_._2) == instantsNs)
   }
 
+  test("a float64 embeddings re-generation casts down to ARRAY<FLOAT>, not a break") {
+    val dir = Files.createTempDirectory("graft_emblayout").toString
+    Seq((1L, Seq(1.0, 0.5), 0), (2L, Seq(0.25, -1.0), 1))
+      .toDF("vec_id", "embedding", "label") // Seq[Double] → list<double> on disk
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val loaded = Tables.embeddings(spark, dir)
+    assert(loaded.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    val v = loaded.orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).toSeq)
+    assert(v.toSeq == Seq(Seq(1.0f, 0.5f), Seq(0.25f, -1.0f)))
+  }
+
   test("an unsupported ts type fails loudly, not with silent garbage") {
     val err = intercept[IllegalStateException] {
       Tables.tsNs(org.apache.spark.sql.types.StructType(Seq(
