@@ -114,6 +114,16 @@ object Graft {
   def dupStrip(df: DataFrame, id: String, text: String, k: Int): DataFrame =
     operators.DupSpans.strip(df, id, text, k)
 
+  /** SCD type-2 dimension history on any (key, attribute, time) frame —
+    * see [[graft.operators.Scd2.history]]. */
+  def scd2History(
+      df: DataFrame,
+      keys: Seq[String],
+      attr: String,
+      time: String,
+      tieBreak: Seq[String] = Nil): DataFrame =
+    operators.Scd2.history(df, keys, attr, time, tieBreak)
+
   /** Fit a unigram LM on `train` and score `docs` by average per-token
     * negative log-likelihood in integer micro-nats (CCNet-style quality
     * filtering) — see [[graft.operators.LmScore]]. */

@@ -1216,25 +1216,13 @@ object Extended {
     // the filter and the shape is unchanged.
     Q(
       "t115_scd2_history",
-      (s, d) => {
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
-        val vw = Window.partitionBy(col("user_id")).orderBy(col("ver"))
-        Tables.events(s, d)
-          .filter(col("user_id") < 10)
-          .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
-          .withColumn("chg",
-            when(lag(col("event_type"), 1).over(w).isNull ||
-              lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
-          .withColumn("ver",
-            sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy(col("user_id"), col("ver"), col("event_type"))
-          .agg(min(col("ts_ns")).as("valid_from"), count(lit(1)).as("n_events"))
-          .withColumn("valid_to", lead(col("valid_from"), 1).over(vw))
-          .withColumn("is_current", col("valid_to").isNull)
-          .select(col("user_id"), col("ver"), col("event_type"), col("valid_from"),
-            col("valid_to"), col("is_current"), col("n_events"))
-          .orderBy("user_id", "ver")
-      },
+      (s, d) =>
+        graft.operators.Scd2
+          .history(
+            Tables.events(s, d).filter(col("user_id") < 10),
+            keys = Seq("user_id"), attr = "event_type",
+            time = "ts_ns", tieBreak = Seq("event_id"))
+          .orderBy("user_id", "ver"),
       Some("""WITH ev AS (
              |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type
              |  FROM events WHERE user_id < 10),
