@@ -136,6 +136,17 @@ object Graft {
     operators.LmScore.score(docs, id, text, lm, operators.LmScore.totals(lm))
   }
 
+  /** DSIR importance weights: fit hashed-feature target/raw distributions
+    * and score `docs` — see [[graft.operators.Dsir.weights]]. */
+  def dsirWeights(
+      docs: DataFrame,
+      target: DataFrame,
+      raw: DataFrame,
+      id: String = "doc_id",
+      text: String = "text",
+      buckets: Int = 256): DataFrame =
+    operators.Dsir.weights(docs, target, raw, id, text, buckets)
+
   /** Inject the graft_* SQL functions into a live session — see
     * [[GraftExtensions.register]] (builder-time sessions can use
     * `.withExtensions(new GraftExtensions)` instead). */

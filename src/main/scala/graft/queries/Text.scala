@@ -997,25 +997,11 @@ object Text {
     Q(
       "t114_dsir_weights",
       (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"),
-            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
-          .withColumn("b", expr(
-            "CAST(conv(substring(md5(CAST(w AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 256"))
-        val tgt = toks.filter(col("lang") === "en")
-          .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-        val raw = toks.filter(col("lang") =!= "en")
-          .groupBy(col("b")).agg(count(lit(1)).as("cr"))
-        val tots = tgt.agg(sum(col("ct")).as("tt")).crossJoin(raw.agg(sum(col("cr")).as("tr")))
-        val lam = tgt.join(raw, Seq("b"), "full_outer")
-          .crossJoin(tots)
-          .select(col("b"), expr(
-            """CAST(ROUND((ln((COALESCE(ct, 0) + 1) / CAST(tt + 256 AS DOUBLE))
-              |          - ln((COALESCE(cr, 0) + 1) / CAST(tr + 256 AS DOUBLE))) * 1000000, 0)
-              | AS BIGINT)""".stripMargin).as("lam"))
-        toks.join(broadcast(lam), Seq("b"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_tok"), sum(col("lam")).as("logw_micro"))
+        val docs = Tables.documents(s, d)
+        graft.operators.Dsir
+          .weights(docs,
+            target = docs.filter(col("lang") === "en"),
+            raw = docs.filter(col("lang") =!= "en"))
           .orderBy("doc_id")
       },
       Some("""WITH tk AS (
