@@ -1126,6 +1126,79 @@ object Text {
              |    AS novelty_bp
              |FROM g JOIN f USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
+
+    // ----- t118: composed curation decision (the scorers as a pipeline) -----
+    // The distribution-based scorers composed into one admission DAG, the
+    // way a curation run actually uses them: per document, LM avg-NLL
+    // (t113 arm) and DSIR importance weight (t114 arm) joined at document
+    // cardinality, a keep rule over fixed integer thresholds (length floor
+    // ≥ 30 tokens, NLL below 9.5 nats, non-negative importance), and a
+    // per-language admission report with exact kept-token accounting. Both
+    // scorer arms reuse the verified operators; the join and rollup are
+    // doc-cardinality — composition adds no corpus-sized stage beyond the
+    // arms themselves.
+    Q(
+      "t118_curation_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val lm = graft.operators.LmScore.vocab(
+          graft.operators.LmScore.tokens(docs.filter(col("lang") === "en"), "doc_id", "text"))
+        val nll = graft.operators.LmScore
+          .score(docs, "doc_id", "text", lm, graft.operators.LmScore.totals(lm))
+        val dsir = graft.operators.Dsir
+          .weights(docs,
+            target = docs.filter(col("lang") === "en"),
+            raw = docs.filter(col("lang") =!= "en"))
+          .select(col("doc_id"), col("logw_micro"))
+        nll.join(dsir, Seq("doc_id"))
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .withColumn("keep",
+            col("n_tok") >= 30L && col("avg_nll_micro") < 9500000L && col("logw_micro") >= 0L)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+            sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("kept_tokens"))
+          .orderBy("lang")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+             |  FROM documents),
+             |vocab AS (SELECT w, COUNT(*) AS cnt FROM toks WHERE lang = 'en' GROUP BY w),
+             |tv AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t, COUNT(*) AS v FROM vocab),
+             |cost AS (
+             |  SELECT doc_id,
+             |    CAST(ROUND(-ln((COALESCE(cnt, 0) + 1) / CAST(t + v AS DOUBLE)) * 1000000, 0) AS BIGINT) AS c
+             |  FROM toks LEFT JOIN vocab USING (w) CROSS JOIN tv),
+             |nll AS (
+             |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             |    CAST(SUM(c) // COUNT(*) AS BIGINT) AS avg_nll_micro
+             |  FROM cost GROUP BY doc_id),
+             |bt AS (
+             |  SELECT doc_id, lang,
+             |    CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % 256 AS b FROM toks),
+             |tgt AS (SELECT b, COUNT(*) AS ct FROM bt WHERE lang = 'en' GROUP BY b),
+             |rw  AS (SELECT b, COUNT(*) AS cr FROM bt WHERE lang <> 'en' GROUP BY b),
+             |tots AS (SELECT (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS tt,
+             |                (SELECT CAST(SUM(cr) AS BIGINT) FROM rw) AS tr),
+             |lam AS (
+             |  SELECT COALESCE(tgt.b, rw.b) AS b,
+             |    CAST(ROUND((ln((COALESCE(ct, 0) + 1) / CAST(tt + 256 AS DOUBLE))
+             |              - ln((COALESCE(cr, 0) + 1) / CAST(tr + 256 AS DOUBLE))) * 1000000, 0)
+             |     AS BIGINT) AS lam
+             |  FROM tgt FULL OUTER JOIN rw ON tgt.b = rw.b CROSS JOIN tots),
+             |dsir AS (
+             |  SELECT doc_id, CAST(SUM(lam) AS BIGINT) AS logw_micro
+             |  FROM bt JOIN lam USING (b) GROUP BY doc_id),
+             |dec AS (
+             |  SELECT d.lang, n.n_tok,
+             |    (n.n_tok >= 30 AND n.avg_nll_micro < 9500000 AND ds.logw_micro >= 0) AS keep
+             |  FROM nll n JOIN dsir ds USING (doc_id) JOIN documents d USING (doc_id))
+             |SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+             |  CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+             |FROM dec GROUP BY lang ORDER BY lang""".stripMargin),
+    ),
   )
 
 }
