@@ -1199,6 +1199,62 @@ object Text {
              |  CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
              |FROM dec GROUP BY lang ORDER BY lang""".stripMargin),
     ),
+
+    // ----- t119: frequency-ranked token-id encoding (tokenize-to-ids) -----
+    // The step between vocabulary fitting (t116) and sequence packing
+    // (t69): assign every word its dense id by frequency rank (ties by
+    // word) and re-emit each document as its ordered id sequence — the
+    // report row carries an md5 of the comma-joined ids so the oracle
+    // certifies the exact sequence without hauling arrays through the
+    // compare. The global rank deliberately avoids the single-partition
+    // `Window.orderBy` funnel: ids come from the q20/t41 two-pass scheme
+    // (range-partition the vocab by (cnt DESC, w), count per partition,
+    // fold #partitions longs on the driver, broadcast offsets, number
+    // locally) — exact global row numbers with no vocabulary-sized stage
+    // on one task. Encoding is then a token→id join (AQE broadcasts a
+    // small vocab; a web-scale vocab degrades to a shuffled join keyed on
+    // the word) and a per-doc re-assembly bounded by doc length.
+    Q(
+      "t119_token_ids",
+      (s, d) => {
+        import s.implicits._
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")))
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("w"))
+        val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+          .select(col("cnt"), col("w")).as[(Long, String)]
+        val parts = s.sparkContext.defaultParallelism
+        val ranged = vocab.repartitionByRange(parts, col("cnt").desc, col("w"))
+          .sortWithinPartitions(col("cnt").desc, col("w"))
+          .localCheckpoint() // second pass must see the SAME partitioning
+        val partCounts = ranged.mapPartitions(it => Iterator.single(it.size.toLong)).collect()
+        val offsets = partCounts.scanLeft(0L)(_ + _)
+        val bOff = s.sparkContext.broadcast(offsets)
+        val ids = ranged.mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var n = bOff.value(pid)
+          it.map { case (_, w) => n += 1; (w, n) }
+        }.toDF("w", "id")
+        tok.join(ids, Seq("w"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"),
+            expr("md5(CAST(array_join(transform(array_sort(collect_list(struct(p, id))), " +
+              "x -> CAST(x.id AS STRING)), ',') AS BINARY))").as("ids_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+             |tok AS (
+             |  SELECT doc_id, p, t[p] AS w
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM tk)),
+             |vocab AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+             |ids AS (
+             |  SELECT w, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS id FROM vocab)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY p)) AS ids_md5
+             |FROM tok JOIN ids USING (w)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
   )
 
 }
