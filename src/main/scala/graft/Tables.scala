@@ -19,15 +19,22 @@ import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, Times
 object Tables {
 
   /** Normalize a `ts` column of any shipped physical layout to epoch-ns
-    * Long. TIMESTAMP_NTZ (isAdjustedToUTC=false footers) casts through
-    * TimestampType first; every graft session pins
-    * `spark.sql.session.timeZone=UTC`, so the cast is epoch-exact and
-    * matches DuckDB's naive-timestamp `epoch_ns(ts)` on the oracle side. */
+    * Long. TIMESTAMP_NTZ (isAdjustedToUTC=false footers) is interpreted as
+    * UTC wall time INDEPENDENT of spark.sql.session.timeZone: the naive
+    * value is first shifted into the session zone (convert_timezone) so
+    * the session-zoned cast lands on the UTC-interpreted epoch — matching
+    * DuckDB's naive-timestamp `epoch_ns(ts)` on the oracle side for any
+    * caller session, not just the repo's own UTC-pinned entrypoints. (The
+    * round-trip is exact except for wall times falling inside the session
+    * zone's DST transition hour; UTC sessions have none.) */
   def tsNs(schema: StructType, tsCol: String = "ts"): Column =
     schema(tsCol).dataType match {
       case LongType         => col(tsCol)                           // nanosAsLong path
       case TimestampType    => unix_micros(col(tsCol)) * lit(1000L) // µs timestamp path
-      case TimestampNTZType => unix_micros(col(tsCol).cast(TimestampType)) * lit(1000L)
+      case TimestampNTZType =>
+        unix_micros(
+          convert_timezone(lit("UTC"), expr("current_timezone()"), col(tsCol))
+            .cast(TimestampType)) * lit(1000L)
       case other => throw new IllegalStateException(
         s"events.$tsCol has unsupported type $other (expected Long ns or Timestamp µs/NTZ)")
     }

@@ -24,12 +24,19 @@ object Dsir {
         s"CAST(conv(substring(md5(CAST(w AS BINARY)), 1, 8), 16, 10) AS BIGINT) % $b"))
 
   /** Per-bucket λ = round(1e6 · (ln p_tgt − ln p_raw)) from two bucketed
-    * token frames; buckets absent on one side smooth to 1/(total+B). */
+    * token frames, defined over ALL B buckets — a bucket unseen in both
+    * slices still gets its add-1 smoothed λ, so scoring never drops
+    * out-of-domain tokens (score joins on this table). Empty slices
+    * coalesce their totals to 0 rather than nulling every λ. */
   def lambdaTable(target: DataFrame, raw: DataFrame, b: Int): DataFrame = {
+    val spark = target.sparkSession
     val tgt = target.groupBy(col("b")).agg(count(lit(1)).as("ct"))
     val rw = raw.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tots = tgt.agg(sum(col("ct")).as("tt")).crossJoin(rw.agg(sum(col("cr")).as("tr")))
-    tgt.join(rw, Seq("b"), "full_outer")
+    val tots = tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"))
+      .crossJoin(rw.agg(coalesce(sum(col("cr")), lit(0L)).as("tr")))
+    spark.range(b).select(col("id").as("b"))
+      .join(tgt, Seq("b"), "left")
+      .join(rw, Seq("b"), "left")
       .crossJoin(tots)
       .select(col("b"), expr(
         s"""CAST(ROUND((ln((COALESCE(ct, 0) + 1) / CAST(tt + $b AS DOUBLE))

@@ -35,25 +35,37 @@ object Scd2 {
       time: String,
       tieBreak: Seq[String] = Nil): DataFrame = {
     require(keys.nonEmpty, "scd2 needs at least one key column")
+    // internal working columns are __-prefixed; user key/tie-break columns
+    // keep their names through the projection, so they must not collide
+    // with the internals or the emitted history columns
+    val reserved = Set("__attr", "__t", "__chg", "__ver",
+      "ver", "valid_from", "valid_to", "is_current", "n_events")
+    val clash = (keys ++ tieBreak).filter(reserved)
+    require(clash.isEmpty, s"scd2 key/tieBreak columns collide with output columns: ${clash.mkString(", ")}")
     val keyCols = keys.map(q)
     // ordering refers to the POST-projection names (__t plus the tie-break
     // columns, which keep their own names)
     val order = col("__t") +: tieBreak.map(q)
     val w = Window.partitionBy(keyCols: _*).orderBy(order: _*)
-    val vw = Window.partitionBy(keyCols: _*).orderBy(col("ver"))
+    val vw = Window.partitionBy(keyCols: _*).orderBy(col("__ver"))
     df
       .select((keys.map(k => q(k).as(k)) :+ q(attr).as("__attr") :+ q(time).as("__t"))
         ++ tieBreak.map(c => q(c).as(c)): _*)
-      .withColumn("chg",
-        when(lag(col("__attr"), 1).over(w).isNull ||
-          lag(col("__attr"), 1).over(w) =!= col("__attr"), 1L).otherwise(0L))
-      .withColumn("ver",
-        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(keyCols :+ col("ver") :+ col("__attr"): _*)
+      // null-SAFE change test: a non-null→null (or null→non-null)
+      // transition must open a new version — `=!=` returns NULL there and
+      // would fold a null run into its predecessor, duplicating versions.
+      // The explicit first-row test keeps a LEADING null run at version 1
+      // (lag's null default would otherwise look like a null→null no-op).
+      .withColumn("__chg",
+        when(row_number().over(w) === 1 ||
+          !(lag(col("__attr"), 1).over(w) <=> col("__attr")), 1L).otherwise(0L))
+      .withColumn("__ver",
+        sum(col("__chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(keyCols :+ col("__ver") :+ col("__attr"): _*)
       .agg(min(col("__t")).as("valid_from"), count(lit(1)).as("n_events"))
       .withColumn("valid_to", lead(col("valid_from"), 1).over(vw))
       .withColumn("is_current", col("valid_to").isNull)
-      .select(keyCols ++ Seq(col("ver"), col("__attr").as(attr), col("valid_from"),
+      .select(keyCols ++ Seq(col("__ver").as("ver"), col("__attr").as(attr), col("valid_from"),
         col("valid_to"), col("is_current"), col("n_events")): _*)
   }
 }

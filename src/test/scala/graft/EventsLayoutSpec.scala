@@ -18,18 +18,23 @@ class EventsLayoutSpec extends SparkTestBase {
   private val instantsNs = Seq(
     0L, 1000L, 1755100000000000000L, 812345678901234000L)
 
-  private def writeAndLoad(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
-      : Seq[(Long, Long, java.sql.Timestamp)] = {
+  private def write(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String = {
     val base = instantsNs.zipWithIndex
       .map { case (ns, i) => (i.toLong, ns, i.toLong, s"t$i", 1.0, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val dir = Files.createTempDirectory("graft_evlayout").toString
     mk(base).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def load(dir: String): Seq[(Long, Long, java.sql.Timestamp)] =
     Tables.events(spark, dir)
       .select(col("event_id"), col("ts_ns"), col("ts_us"))
       .orderBy("event_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSeq
-  }
+
+  private def writeAndLoad(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : Seq[(Long, Long, java.sql.Timestamp)] = load(write(mk))
 
   test("Long-ns, Timestamp-µs, and Timestamp-NTZ layouts normalize identically") {
     val asLong = writeAndLoad(identity) // ts stays BIGINT → the raw-ns path
@@ -41,6 +46,19 @@ class EventsLayoutSpec extends SparkTestBase {
     assert(asLong == asNtz, "NTZ layout diverges from raw-ns layout")
     // and the values really are the planted instants
     assert(asLong.map(_._2) == instantsNs)
+  }
+
+  test("NTZ normalization is session-timezone independent") {
+    // the file carries UTC wall times (written under the repo's UTC pin —
+    // the generator contract); a library caller READING without that pin
+    // must still get the same epochs (review finding: the plain
+    // NTZ→timestamp cast silently shifted by the session's UTC offset)
+    val dir = write(df =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")))
+    withConf("spark.sql.session.timeZone" -> "America/New_York") {
+      assert(load(dir).map(_._2) == instantsNs,
+        "NTZ epoch values must not depend on spark.sql.session.timeZone")
+    }
   }
 
   test("a float64 embeddings re-generation casts down to ARRAY<FLOAT>, not a break") {

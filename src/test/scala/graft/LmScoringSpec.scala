@@ -103,6 +103,44 @@ class LmScoringSpec extends SparkTestBase {
     } finally nov.unpersist()
   }
 
+  test("Scd2 opens a new version on null transitions and rejects colliding column names") {
+    import spark.implicits._
+    import graft.operators.Scd2
+    val df = Seq((1L, Option("a"), 1L), (1L, Option.empty[String], 2L), (1L, Option("a"), 3L))
+      .toDF("k", "a", "t")
+    val h = Scd2.history(df, Seq("k"), "a", "t").orderBy("ver").collect()
+    // three versions (a → null → a), intervals tiling at the transitions
+    assert(h.map(r => Option(r.get(2))).toSeq == Seq(Some("a"), None, Some("a")))
+    assert(h.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    assert(h.map(r => (r.getLong(3), Option(r.get(4)))).toSeq ==
+      Seq((1L, Some(2L)), (2L, Some(3L)), (3L, None)))
+    // a LEADING null run is version 1, not version 0
+    val lead0 = Scd2.history(
+      Seq((1L, Option.empty[String], 1L), (1L, Option("b"), 2L)).toDF("k", "a", "t"),
+      Seq("k"), "a", "t").orderBy("ver").collect()
+    assert(lead0.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    // attr/time columns are renamed into __-internals, so only key and
+    // tie-break names can collide with the working/output columns
+    val err = intercept[IllegalArgumentException] {
+      Scd2.history(df.withColumn("ver", lit(1L)), Seq("k"), "a", "t", tieBreak = Seq("ver"))
+    }
+    assert(err.getMessage.contains("collide"))
+  }
+
+  test("Dsir keeps out-of-domain tokens and survives an empty slice") {
+    import spark.implicits._
+    import graft.operators.Dsir
+    val target = Seq((1L, "aa bb")).toDF("doc_id", "text")
+    val raw = Seq((2L, "cc dd")).toDF("doc_id", "text")
+    val docs = Seq((3L, "zz qq ww")).toDF("doc_id", "text") // buckets unseen in both slices
+    val out = Dsir.weights(docs, target, raw).collect()
+    assert(out.length == 1, "out-of-domain doc must not vanish")
+    assert(out(0).getLong(1) == 3L, "all tokens count toward n_tok")
+    assert(!out(0).isNullAt(2), "smoothed lambda applies to unseen buckets")
+    val out2 = Dsir.weights(docs, target, raw.filter(lit(false))).collect()
+    assert(out2.length == 1 && !out2(0).isNullAt(2), "empty raw slice must not null the weights")
+  }
+
   test("t115: versions chain — valid_to meets the next valid_from, one current row per user") {
     val h = build("t115_scd2_history").cache()
     try {
