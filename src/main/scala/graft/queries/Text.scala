@@ -1255,6 +1255,69 @@ object Text {
              |FROM tok JOIN ids USING (w)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
+
+    // ----- t120: global concat-and-chunk packing (pretraining samples) -----
+    // The OTHER packing flavor next to t69's per-source token bins: the
+    // whole corpus concatenated in doc_id order and cut into fixed
+    // 512-token training samples whose boundaries cross documents — the
+    // actual pretraining sample-boundary computation. Per chunk: how many
+    // docs contribute, the exact token fill (512 everywhere but the tail),
+    // and the contributing doc-id range. Global offsets come from the
+    // q20/t41 two-pass scheme at DOCUMENT cardinality (range-partition by
+    // doc_id, fold #partitions longs on the driver, broadcast) — no
+    // corpus- or doc-sized single-partition stage; the chunk explode is
+    // bounded by each doc's own chunk span (n/512 + 2).
+    Q(
+      "t120_pack_chunks",
+      (s, d) => {
+        import s.implicits._
+        val C = 512L
+        val nt = Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("CAST(regexp_count(lower(text), '[a-z]+') AS BIGINT)").as("n"))
+          .filter(col("n") > 0L)
+          .as[(Long, Long)]
+        val parts = s.sparkContext.defaultParallelism
+        val ranged = nt.repartitionByRange(parts, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .localCheckpoint()
+        val partTotals = ranged.mapPartitions(it => Iterator.single(it.foldLeft(0L)(_ + _._2))).collect()
+        val offsets = partTotals.scanLeft(0L)(_ + _)
+        val bOff = s.sparkContext.broadcast(offsets)
+        ranged.mapPartitions { it =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            var cum = bOff.value(pid)
+            it.map { case (id, n) => cum += n; (id, n, cum - n) }
+          }
+          .toDF("doc_id", "n", "off")
+          .select(col("doc_id"), col("n"), col("off"),
+            explode(sequence(expr(s"off div $C"), expr(s"(off + n - 1) div $C"))).as("chunk"))
+          .groupBy(col("chunk"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(least(expr(s"(chunk + 1) * $C"), col("off") + col("n")) -
+              greatest(expr(s"chunk * $C"), col("off"))).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("chunk")
+      },
+      Some("""WITH nt AS (
+             |  SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n
+             |  FROM documents
+             |  WHERE len(regexp_extract_all(lower(text), '[a-z]+')) > 0),
+             |o AS (
+             |  SELECT doc_id, n,
+             |    CAST(SUM(n) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS off
+             |  FROM nt),
+             |ch AS (
+             |  SELECT doc_id, n, off, unnest(range(off // 512, (off + n - 1) // 512 + 1)) AS c
+             |  FROM o)
+             |SELECT CAST(c AS BIGINT) AS chunk, COUNT(*) AS n_docs,
+             |  CAST(SUM(LEAST((c + 1) * 512, off + n) - GREATEST(c * 512, off)) AS BIGINT) AS n_tokens,
+             |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+             |FROM ch GROUP BY c ORDER BY chunk""".stripMargin),
+    ),
   )
 
 }

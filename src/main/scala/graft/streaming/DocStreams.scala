@@ -124,4 +124,25 @@ object DocStreams {
       .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append())
       .start()
+
+  /** Streaming DSIR weighting — [[qualityScoreStream]]'s importance-
+    * resampling sibling: micro-batches score against a PRE-FITTED λ table
+    * ([[graft.operators.Dsir.lambdaTable]], refreshed out-of-band like the
+    * LM vocabulary) with the exact batch computation, same per-document
+    * purity ⇒ micro-batch union == one-shot batch (StreamingSpec). */
+  def dsirWeightStream(
+      docs: DataFrame,
+      lambda: DataFrame,
+      buckets: Int,
+      path: String,
+      ckpt: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dsir
+          .score(graft.operators.Dsir.bucketed(batch, "doc_id", "text", buckets), "doc_id", lambda)
+          .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
 }

@@ -462,6 +462,42 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming DSIR weighting over micro-batches equals one-shot batch t114") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dsir
+    import graft.streaming.DocStreams
+
+    val docs = Tables.documents(spark, dir)
+    val lam = Dsir.lambdaTable(
+      Dsir.bucketed(docs.filter(col("lang") === "en"), "doc_id", "text", 256),
+      Dsir.bucketed(docs.filter(col("lang") =!= "en"), "doc_id", "text", 256),
+      256).localCheckpoint()
+
+    val allDocs = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val out = java.nio.file.Files.createTempDirectory("graft_dsir_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dsir_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = DocStreams.dsirWeightStream(
+      input.toDS().toDF("doc_id", "text"), lam, 256, out, ckpt)
+    try {
+      val (b1, b2) = allDocs.splitAt(allDocs.length / 2)
+      Seq(b1, b2).foreach { b =>
+        input.addData(b.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "n_tok", "logw_micro").collect().map(key).toSet
+    val oneShot = SparkEntry.queries("t114_dsir_weights")(spark, dir)
+      .collect().map(key).toSet
+    assert(streamed == oneShot)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming LM-quality scoring over micro-batches equals one-shot batch t113") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
