@@ -397,14 +397,11 @@ object Relational {
       (s, d) => {
         // Global cumulative sum WITHOUT a single-partition window (the r1/r2
         // formulation used Window.orderBy with no partitionBy — every row
-        // through one task). Two-pass range-partitioned prefix sum, the same
-        // scheme as graft.plan.Planner.assignBucketsScalable:
-        //   1. range-partition by the traversal key, sort within partitions;
-        //   2. one pass for per-partition totals → driver folds #partitions
-        //      longs into start offsets (trivially small), broadcasts them;
-        //   3. each partition derives exact global cumsums locally.
-        // Weights are exact integer cents, so the distributed sum is
-        // bit-identical to the oracle's sequential window.
+        // through one task): operators.PrefixSum.runningBefore, the shared
+        // two-pass range-partitioned scheme (same as
+        // graft.plan.Planner.assignBucketsScalable). Weights are exact
+        // integer cents, so the distributed sum is bit-identical to the
+        // oracle's sequential window.
         import s.implicits._
         val li = Tables.lineitem(s, d)
           .select(
@@ -412,26 +409,11 @@ object Relational {
             col("l_orderkey").cast("long").as("k1"),
             col("l_linenumber").cast("long").as("k2"))
           .as[(Long, Long, Long)]
-        val parts = s.sparkContext.defaultParallelism
-        // The checkpointed blocks must survive into the RETURNED plan (the
-        // second mapPartitions pass reads them), so this build can't
-        // unpersist them itself; Bench/Verify sweep getPersistentRDDs after
-        // each query's action. localCheckpoint also trades lineage for
-        // speed: block loss fails the query instead of recomputing.
-        val ranged = li.repartitionByRange(parts, col("k1"), col("k2"))
-          .sortWithinPartitions("k1", "k2")
-          .localCheckpoint()
-        val partTotals = ranged
-          .mapPartitions(it => Iterator.single(it.foldLeft(0L)(_ + _._1)))
-          .collect()
-        val offsets = partTotals.scanLeft(0L)(_ + _)
-        val target = offsets.last / 32 + 1
-        val bOff = s.sparkContext.broadcast(offsets)
-        ranged
-          .mapPartitions { it =>
-            val pid = org.apache.spark.TaskContext.getPartitionId()
-            var cum = bOff.value(pid)
-            it.map { case (c, _, _) => cum += c; (math.max(cum - 1, 0L) / target, c) }
+        graft.operators.PrefixSum
+          .runningBefore(li, s.sparkContext.defaultParallelism, Seq(col("k1"), col("k2")))(_._1) {
+            case ((c, _, _), before, total) =>
+              val target = total / 32 + 1
+              (math.max(before + c - 1, 0L) / target, c)
           }
           .toDF("bucket", "c")
           .groupBy(col("bucket"))

@@ -1223,18 +1223,12 @@ object Text {
           .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("w"))
         val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
           .select(col("cnt"), col("w")).as[(Long, String)]
-        val parts = s.sparkContext.defaultParallelism
-        val ranged = vocab.repartitionByRange(parts, col("cnt").desc, col("w"))
-          .sortWithinPartitions(col("cnt").desc, col("w"))
-          .localCheckpoint() // second pass must see the SAME partitioning
-        val partCounts = ranged.mapPartitions(it => Iterator.single(it.size.toLong)).collect()
-        val offsets = partCounts.scanLeft(0L)(_ + _)
-        val bOff = s.sparkContext.broadcast(offsets)
-        val ids = ranged.mapPartitions { it =>
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          var n = bOff.value(pid)
-          it.map { case (_, w) => n += 1; (w, n) }
-        }.toDF("w", "id")
+        val ids = graft.operators.PrefixSum
+          .runningBefore(vocab, s.sparkContext.defaultParallelism,
+            Seq(col("cnt").desc, col("w")))(_ => 1L) {
+            case ((_, w), before, _) => (w, before + 1)
+          }
+          .toDF("w", "id")
         tok.join(ids, Seq("w"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_tok"),
@@ -1277,17 +1271,9 @@ object Text {
             expr("CAST(regexp_count(lower(text), '[a-z]+') AS BIGINT)").as("n"))
           .filter(col("n") > 0L)
           .as[(Long, Long)]
-        val parts = s.sparkContext.defaultParallelism
-        val ranged = nt.repartitionByRange(parts, col("doc_id"))
-          .sortWithinPartitions("doc_id")
-          .localCheckpoint()
-        val partTotals = ranged.mapPartitions(it => Iterator.single(it.foldLeft(0L)(_ + _._2))).collect()
-        val offsets = partTotals.scanLeft(0L)(_ + _)
-        val bOff = s.sparkContext.broadcast(offsets)
-        ranged.mapPartitions { it =>
-            val pid = org.apache.spark.TaskContext.getPartitionId()
-            var cum = bOff.value(pid)
-            it.map { case (id, n) => cum += n; (id, n, cum - n) }
+        graft.operators.PrefixSum
+          .runningBefore(nt, s.sparkContext.defaultParallelism, Seq(col("doc_id")))(_._2) {
+            case ((id, n), before, _) => (id, n, before)
           }
           .toDF("doc_id", "n", "off")
           .select(col("doc_id"), col("n"), col("off"),

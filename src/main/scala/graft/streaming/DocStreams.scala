@@ -135,7 +135,14 @@ object DocStreams {
       lambda: DataFrame,
       buckets: Int,
       path: String,
-      ckpt: String): StreamingQuery =
+      ckpt: String): StreamingQuery = {
+    // lambdaTable emits exactly b rows by construction; a `buckets` that
+    // disagrees with the fitted b would silently drop every token hashing
+    // past the table (inner join) for the stream's whole lifetime — fail
+    // at start instead. One count() on the static table, once.
+    val fitted = lambda.count()
+    require(fitted == buckets.toLong,
+      s"lambda table was fitted with $fitted buckets but the stream is configured with $buckets")
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Dsir
@@ -145,4 +152,5 @@ object DocStreams {
       .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append())
       .start()
+  }
 }
