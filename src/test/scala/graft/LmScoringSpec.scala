@@ -68,6 +68,38 @@ class LmScoringSpec extends SparkTestBase {
     assert(scores(docs.repartition(1)) == scores(docs.repartition(13)))
   }
 
+  test("LmScore matches a sequential driver-side fold exactly on random corpora") {
+    import scala.util.Random
+    import spark.implicits._
+    import graft.operators.LmScore
+    val rnd = new Random(20260816L)
+    val vocabWords = Vector("aa", "bb", "cc", "dd", "ee")
+    for (trial <- 1 to 3) {
+      val mkDoc = () => Array.fill(rnd.nextInt(20) + 1)(vocabWords(rnd.nextInt(vocabWords.length)))
+      val train = (0 until 10).map(i => (i.toLong, mkDoc().mkString(" ")))
+      val docs = (100 until 120).map(i => (i.toLong, (mkDoc() ++ Array.fill(rnd.nextInt(3))("zzz")).mkString(" ")))
+      val trainDf = train.toDF("doc_id", "text")
+      val docsDf = docs.toDF("doc_id", "text")
+      val lm = LmScore.vocab(LmScore.tokens(trainDf, "doc_id", "text"))
+      val got = LmScore.score(docsDf, "doc_id", "text", lm, LmScore.totals(lm))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // driver reference: same tokenization, same add-1 smoothing, same
+      // JVM Math.log and rounding — equality is exact, not approximate
+      val counts = train.flatMap(_._2.split(" ")).groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+      val t = counts.values.sum
+      val v = counts.size.toLong
+      val want = docs.map { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val cs = toks.map { w =>
+          val p = (counts.getOrElse(w, 0L) + 1).toDouble / (t + v).toDouble
+          math.round(-math.log(p) * 1000000.0)
+        }
+        id -> ((toks.length.toLong, cs.sum / toks.length))
+      }.toMap
+      assert(got == want, s"trial $trial diverged")
+    }
+  }
+
   test("t116: vocab90 is a valid prefix size and totals reconcile with the raw token count") {
     val cov = build("t116_vocab_coverage").collect()
     assert(cov.nonEmpty)
