@@ -1304,6 +1304,80 @@ object Text {
              |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
              |FROM ch GROUP BY c ORDER BY chunk""".stripMargin),
     ),
+
+    // ----- t121: dedup-then-pack (cross-family pipeline composition) -----
+    // The dedup and packing families composed the way a curation run chains
+    // them: strip every cross-document duplicated span (t111's operator),
+    // then cut the CLEANED corpus into 512-token training samples (t120's
+    // scheme over n_tok_kept). Emptied documents drop out before packing;
+    // sample boundaries shift versus t120 exactly by the removed
+    // duplicated mass. No new corpus-sized stage beyond the two verified
+    // arms — the packing side runs at document cardinality.
+    Q(
+      "t121_dedup_pack",
+      (s, d) => {
+        import s.implicits._
+        val C = 512L
+        val kept = graft.operators.DupSpans
+          .strip(Tables.documents(s, d).select(col("doc_id"), col("text")),
+            "doc_id", "text", DupK)
+          .select(col("doc_id"), col("n_tok_kept").as("n"))
+          .filter(col("n") > 0L)
+          .as[(Long, Long)]
+        graft.operators.PrefixSum
+          .runningBefore(kept, s.sparkContext.defaultParallelism, Seq(col("doc_id")))(_._2) {
+            case ((id, n), before, _) => (id, n, before)
+          }
+          .toDF("doc_id", "n", "off")
+          .select(col("doc_id"), col("n"), col("off"),
+            explode(sequence(expr(s"off div $C"), expr(s"(off + n - 1) div $C"))).as("chunk"))
+          .groupBy(col("chunk"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(least(expr(s"(chunk + 1) * $C"), col("off") + col("n")) -
+              greatest(expr(s"chunk * $C"), col("off"))).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("chunk")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |tokx AS (
+             |  SELECT doc_id, p, t[p] AS w FROM (
+             |    SELECT doc_id, unnest(range(1, len(t) + 1)) AS p, t FROM toks)),
+             |pos AS (
+             |  SELECT doc_id, unnest(range(1, len(t) - $DupK + 2)) AS p, t
+             |  FROM toks WHERE len(t) >= $DupK),
+             |grams AS (
+             |  SELECT doc_id, p, array_to_string(t[p:p+${DupK - 1}], ' ') AS g FROM pos),
+             |dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1),
+             |sites AS (SELECT doc_id, p FROM grams JOIN dup USING (g)),
+             |isl AS (
+             |  SELECT doc_id, p,
+             |    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+             |  FROM sites),
+             |spans AS (
+             |  SELECT doc_id, MIN(p) AS s, MAX(p) + ${DupK - 1} AS e
+             |  FROM isl GROUP BY doc_id, grp),
+             |covered AS (SELECT doc_id, unnest(range(s, e + 1)) AS p FROM spans),
+             |kept AS (
+             |  SELECT k.doc_id, k.p FROM tokx k
+             |  ANTI JOIN covered c ON k.doc_id = c.doc_id AND k.p = c.p),
+             |nt AS (
+             |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM kept GROUP BY doc_id),
+             |o AS (
+             |  SELECT doc_id, n,
+             |    CAST(SUM(n) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS off
+             |  FROM nt),
+             |ch AS (
+             |  SELECT doc_id, n, off, unnest(range(off // 512, (off + n - 1) // 512 + 1)) AS c
+             |  FROM o)
+             |SELECT CAST(c AS BIGINT) AS chunk, COUNT(*) AS n_docs,
+             |  CAST(SUM(LEAST((c + 1) * 512, off + n) - GREATEST(c * 512, off)) AS BIGINT) AS n_tokens,
+             |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+             |FROM ch GROUP BY c ORDER BY chunk""".stripMargin),
+    ),
   )
 
 }
