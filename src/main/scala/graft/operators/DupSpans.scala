@@ -24,9 +24,12 @@ import org.apache.spark.sql.functions._
   * unconditional in both directions: equal strings always share a hash
   * (no true duplicate can be lost), and a cross-string hash collision only
   * adds candidates the string-verify pass then removes. The candidate
-  * hash set joins back by broadcast when small; at heavy duplication it
-  * degrades to a shuffled join on the 8-byte key, which is still ~an
-  * order of magnitude lighter than shuffling k-token strings. The islands
+  * joins carry NO broadcast hint: both sides are bounded only by the
+  * duplicated token mass (tens of percent of a real web corpus), so the
+  * plan must be free to degrade to a shuffled join on the 8-byte key —
+  * AQE broadcasts when the runtime size is actually under the threshold
+  * and shuffles otherwise, which is still ~an order of magnitude lighter
+  * than shuffling k-token strings. The islands
   * window and the re-assembly in [[strip]] are keyed per doc (bounded by
   * doc length, never a global sort), and span-coverage explode is bounded
   * by the duplicated token mass — the data being removed, which cannot
@@ -80,9 +83,12 @@ object DupSpans {
     // gram strings by re-slicing just the documents that contain them, and
     // verify on the FULL string so a cross-string hash collision cannot
     // create a false span (equal strings always share a hash, so no true
-    // duplicate can be lost — exactness is unconditional both ways)
-    val candSites = sitesH.join(broadcast(dupH), Seq("h")).select(col("__id"), col("p"))
-    val cand = toks.join(broadcast(candSites), Seq("__id"))
+    // duplicate can be lost — exactness is unconditional both ways).
+    // No broadcast hint on either join: the duplicated mass is unbounded
+    // (a heavily-duplicated corpus makes dupH/candSites corpus-scale), so
+    // the choice belongs to AQE's runtime size check, not a forced hint.
+    val candSites = sitesH.join(dupH, Seq("h")).select(col("__id"), col("p"))
+    val cand = toks.join(candSites, Seq("__id"))
       .select(col("__id"), col("p"),
         concat_ws(delim, slice(col("__t"), col("p").cast("int"), lit(k))).as("g"))
     val trueG = cand.groupBy(col("g"))

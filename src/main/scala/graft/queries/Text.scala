@@ -843,13 +843,16 @@ object Text {
     // gaps-and-islands (pos − row_number is constant on a run). Output =
     // one row per maximal span, exactly the byte ranges ExactSubstr cuts.
     //
-    // 100-TB shape: the gram groupBy is the only corpus-sized shuffle —
-    // at scale the group key becomes xxhash64(gram) (a one-line swap; the
-    // string key is kept here so the oracle compare is collision-free by
-    // construction) and partial aggregation collapses each partition's
-    // repeats before the exchange. The islands window is keyed per doc
-    // (bounded by doc length, never a global sort), and the O(n·K) gram
-    // fan-out is map-side, pipelined into the shuffle write.
+    // 100-TB shape: the only corpus-sized shuffle carries 8-byte
+    // xxhash64(gram) keys, never the K-token strings — duplicated hashes
+    // are found first, then the (duplicated-mass-bounded) candidate sites
+    // re-derive their gram strings map-side and are verified on the FULL
+    // string, so a cross-string hash collision cannot create a false span
+    // and exactness is unconditional both ways. The candidate joins carry
+    // no broadcast hint (AQE broadcasts small sides, shuffles at heavy
+    // duplication). The islands window is keyed per doc (bounded by doc
+    // length, never a global sort), and the O(n·K) hash fan-out is
+    // map-side, pipelined into the shuffle write.
     Q(
       "t110_dup_spans",
       (s, d) => {
@@ -888,12 +891,13 @@ object Text {
     // of the reconstructed text so the oracle certifies exact
     // reconstruction without hauling document bodies through the compare
     // (docs stripped to nothing keep '' — the caller's drop policy, not
-    // ours). Kept tokens re-assemble per doc via a sorted collect_list —
-    // bounded by doc length, the same per-key contract as every keyed
-    // window here; span coverage explodes only the duplicated token mass,
-    // which is the data being removed and therefore cannot exceed the
-    // corpus. Split-and-rejoin is lossless because spans cover whole
-    // tokens on the single-space tokenization both engines share.
+    // ours). Reassembly never shuffles tokens: the per-doc span list
+    // (bounded by the duplicated region count) joins back at DOCUMENT
+    // cardinality and tokens are dropped in place with an indexed
+    // higher-order filter over the still-intact token array — the only
+    // corpus-sized work is that map-side lambda. Split-and-rejoin is
+    // lossless because spans cover whole tokens on the single-space
+    // tokenization both engines share.
     Q(
       "t111_dup_strip",
       (s, d) => {

@@ -79,6 +79,44 @@ class DupSpansSpec extends SparkTestBase {
     assert(stripped.toSeq == Seq(("alpha.beta.gamma", 3L), ("x.y.z", 3L)))
   }
 
+  test("candidate joins degrade to shuffled joins when broadcast is unavailable") {
+    // Heavy duplication: every doc shares the same run, so the candidate
+    // side is corpus-scale. The operator's scale contract is that the
+    // candidate joins DEGRADE to shuffled 8-byte-key joins rather than
+    // forcing a broadcast of the duplicated mass — a forced broadcast()
+    // hint would override the threshold and OOM the driver at 100 TB.
+    // Disabling broadcast entirely simulates "candidate side too big":
+    // with the hint gone the planner must fall back to a shuffled join.
+    val shared = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val df = docs((1L to 40L).map(i => (i, s"pre$i $shared post$i")): _*)
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val spans = DupSpans.find(df, "doc_id", "text", k = 8)
+      val rows = spans.orderBy("doc_id").collect()
+      assert(rows.length == 40 && rows.forall(r => r.getLong(1) == 2L && r.getLong(2) == 13L))
+      val plan = spans.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), s"forced broadcast survived:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled join fallback:\n$plan")
+    }
+  }
+
+  test("small candidate sides still broadcast under AQE's runtime size check") {
+    // The fast path is not lost by dropping the hints: when the duplicated
+    // mass actually is small, AQE's runtime size check picks broadcast.
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val df = docs(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"x $shared y z"),
+      (3L, "nothing shared here at all beyond eight tokens easily"))
+    val spans = DupSpans.find(df, "doc_id", "text", k = 8)
+    spans.collect()
+    val plan = spans.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected AQE to broadcast the small candidate side:\n$plan")
+  }
+
   test("column names containing dots resolve by exact name") {
     val df = docs((1L, "a b c"), (2L, "x y z"))
       .withColumnRenamed("doc_id", "doc.id").withColumnRenamed("text", "the.text")
