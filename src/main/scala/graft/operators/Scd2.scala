@@ -37,11 +37,14 @@ object Scd2 {
     require(keys.nonEmpty, "scd2 needs at least one key column")
     // internal working columns are __-prefixed; user key/tie-break columns
     // keep their names through the projection, so they must not collide
-    // with the internals or the emitted history columns
-    val reserved = Set("__attr", "__t", "__chg", "__ver",
-      "ver", "valid_from", "valid_to", "is_current", "n_events")
-    val clash = (keys ++ tieBreak).filter(reserved)
-    require(clash.isEmpty, s"scd2 key/tieBreak columns collide with output columns: ${clash.mkString(", ")}")
+    // with the internals or the emitted history columns. The attr column
+    // is renamed into __attr internally (so the __-internals are safe) but
+    // re-emitted under its own name next to the history columns — an attr
+    // named like one of them would silently yield a duplicate-named output.
+    val outNames = Set("ver", "valid_from", "valid_to", "is_current", "n_events")
+    val reserved = Set("__attr", "__t", "__chg", "__ver") ++ outNames
+    val clash = (keys ++ tieBreak).filter(reserved) ++ Seq(attr).filter(outNames)
+    require(clash.isEmpty, s"scd2 key/tieBreak/attr columns collide with output columns: ${clash.mkString(", ")}")
     val keyCols = keys.map(q)
     // ordering refers to the POST-projection names (__t plus the tie-break
     // columns, which keep their own names)

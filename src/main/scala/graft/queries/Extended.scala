@@ -1227,8 +1227,9 @@ object Extended {
              |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type
              |  FROM events WHERE user_id < 10),
              |mk AS (
-             |  SELECT *, CASE WHEN LAG(event_type) OVER w IS NULL
-             |                   OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+             |  SELECT *, CASE WHEN ROW_NUMBER() OVER w = 1
+             |                   OR LAG(event_type) OVER w IS DISTINCT FROM event_type
+             |                 THEN 1 ELSE 0 END AS chg
              |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
              |vr AS (
              |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id

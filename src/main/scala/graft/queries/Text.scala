@@ -1018,12 +1018,14 @@ object Text {
              |rw  AS (SELECT b, COUNT(*) AS cr FROM toks WHERE lang <> 'en' GROUP BY b),
              |tots AS (SELECT (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS tt,
              |                (SELECT CAST(SUM(cr) AS BIGINT) FROM rw) AS tr),
+             |bs AS (SELECT unnest(range(256)) AS b),
              |lam AS (
-             |  SELECT COALESCE(tgt.b, rw.b) AS b,
+             |  SELECT bs.b,
              |    CAST(ROUND((ln((COALESCE(ct, 0) + 1) / CAST(tt + 256 AS DOUBLE))
              |              - ln((COALESCE(cr, 0) + 1) / CAST(tr + 256 AS DOUBLE))) * 1000000, 0)
              |     AS BIGINT) AS lam
-             |  FROM tgt FULL OUTER JOIN rw ON tgt.b = rw.b CROSS JOIN tots)
+             |  FROM bs LEFT JOIN tgt ON bs.b = tgt.b LEFT JOIN rw ON bs.b = rw.b
+             |  CROSS JOIN tots)
              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
              |  CAST(SUM(lam) AS BIGINT) AS logw_micro
              |FROM toks JOIN lam USING (b)
@@ -1185,12 +1187,14 @@ object Text {
              |rw  AS (SELECT b, COUNT(*) AS cr FROM bt WHERE lang <> 'en' GROUP BY b),
              |tots AS (SELECT (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS tt,
              |                (SELECT CAST(SUM(cr) AS BIGINT) FROM rw) AS tr),
+             |bs AS (SELECT unnest(range(256)) AS b),
              |lam AS (
-             |  SELECT COALESCE(tgt.b, rw.b) AS b,
+             |  SELECT bs.b,
              |    CAST(ROUND((ln((COALESCE(ct, 0) + 1) / CAST(tt + 256 AS DOUBLE))
              |              - ln((COALESCE(cr, 0) + 1) / CAST(tr + 256 AS DOUBLE))) * 1000000, 0)
              |     AS BIGINT) AS lam
-             |  FROM tgt FULL OUTER JOIN rw ON tgt.b = rw.b CROSS JOIN tots),
+             |  FROM bs LEFT JOIN tgt ON bs.b = tgt.b LEFT JOIN rw ON bs.b = rw.b
+             |  CROSS JOIN tots),
              |dsir AS (
              |  SELECT doc_id, CAST(SUM(lam) AS BIGINT) AS logw_micro
              |  FROM bt JOIN lam USING (b) GROUP BY doc_id),

@@ -34,6 +34,19 @@ class Scd2PropertySpec extends SparkTestBase {
       }
     }.toSet
 
+  test("an attr column named like a history output column is rejected, not shadowed") {
+    // "ver"/"valid_from"/... as the tracked attribute would re-emit under
+    // its own name NEXT TO the history column of the same name — two
+    // identically-named output columns. The guard must catch attr too,
+    // not just keys/tieBreak.
+    import spark.implicits._
+    val df = Seq((1L, "a", 10L)).toDF("k", "ver", "t")
+    val e = intercept[IllegalArgumentException] {
+      Scd2.history(df, Seq("k"), "ver", "t")
+    }
+    assert(e.getMessage.contains("ver"))
+  }
+
   test("Scd2.history matches the sequential reference on random keyed streams") {
     val rnd = new Random(20260814L)
     for (trial <- 1 to 5) {
