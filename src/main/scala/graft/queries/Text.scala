@@ -35,6 +35,11 @@ object Text {
   // interpolate it at object init.
   private val DupK = 8
 
+  // BPE merge rounds for t122 — enough that later rounds see merged
+  // multi-char symbols competing with raw characters (the part iteration
+  // 0 can't exercise), small enough that the unrolled oracle stays sane.
+  private val BpeSteps = 8
+
   val all: Seq[Q] = Seq(
     // ----- Q23: per-language corpus stats -----
     Q(
@@ -1385,6 +1390,33 @@ object Text {
              |  CAST(SUM(LEAST((c + 1) * 512, off + n) - GREATEST(c * 512, off)) AS BIGINT) AS n_tokens,
              |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
              |FROM ch GROUP BY c ORDER BY chunk""".stripMargin),
+    ),
+
+    // ----- t122: iterative BPE merge training (the full greedy loop) -----
+    // t105 is "BPE iteration 0"; this is the loop an actual tokenizer
+    // training run executes: count weighted adjacent pairs over the
+    // vocabulary, merge the argmax pair everywhere (leftmost-greedy,
+    // non-overlapping), recount, repeat — here for 8 rounds. Output is
+    // the merge table a tokenizer ships. Scale shape (see operators/Bpe):
+    // the corpus-sized pass is the word-count only; every round is a
+    // vocabulary-sized pair count + a TakeOrdered(1) argmax + a map-side
+    // fold re-segmentation, with per-round state checkpointed flat. The
+    // oracle unrolls the same 8 rounds as chained CTEs with a
+    // list_reduce fold, pinning the tie-break (count DESC, lhs, rhs) and
+    // the greedy-merge semantics in both engines by construction.
+    Q(
+      "t122_bpe_train",
+      (s, d) => {
+        val wf = Tables.documents(s, d)
+          .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        graft.operators.Bpe.train(s, wf, "w", "freq", steps = BpeSteps)
+      },
+      Some(graft.operators.Bpe.oracleSql(
+        BpeSteps,
+        """SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+          |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+          |  GROUP BY w""".stripMargin)),
     ),
   )
 

@@ -1,0 +1,105 @@
+package graft
+
+import scala.util.Random
+
+import graft.operators.Bpe
+
+/** Randomized equivalence for the iterative BPE trainer: Bpe.train vs a
+  * driver-side sequential reference (the textbook single-node greedy loop),
+  * on vocabularies drawn from a tiny alphabet so merge chains, ties, and
+  * multi-char-symbol re-merges arise naturally. Seeded, so failures
+  * reproduce. Plus planted fixtures pinning the leftmost-greedy
+  * non-overlap contract and the deterministic tie-break.
+  */
+class BpeSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  /** Textbook sequential BPE over a (word, freq) map: segment each word
+    * into chars after the '_' marker, then repeatedly count adjacent
+    * pairs, merge the (count DESC, lhs, rhs) argmax leftmost-greedily,
+    * and record the rule. */
+  private def reference(
+      wf: Map[String, Long], steps: Int): Seq[(Long, String, String, String, Long)] = {
+    var words: Map[Vector[String], Long] =
+      wf.groupMapReduce { case (w, _) => ("_" + w).map(_.toString).toVector }(_._2)(_ + _)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= steps && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (s, f) =>
+        s.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        out += ((step.toLong, a, b, a + b, cnt))
+        words = words.groupMapReduce { case (s, _) => applyMerge(s, a, b) }(_._2)(_ + _)
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Leftmost-greedy non-overlapping merge of (a, b) -> a+b. */
+  private def applyMerge(s: Vector[String], a: String, b: String): Vector[String] =
+    s.tail.foldLeft(Vector(s.head)) { (acc, x) =>
+      if (acc.last == a && x == b) acc.init :+ (a + b) else acc :+ x
+    }
+
+  private def run(wf: Map[String, Long], steps: Int) =
+    Bpe.train(spark, wf.toSeq.toDF("w", "freq"), "w", "freq", steps)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+
+  test("train matches the sequential reference on random vocabularies") {
+    val rnd = new Random(20260814L)
+    for (trial <- 1 to 5) {
+      val nWords = rnd.nextInt(40) + 10
+      val wf = (0 until nWords).map { _ =>
+        val len = rnd.nextInt(6) + 1
+        val w = (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+        w -> (rnd.nextInt(9) + 1).toLong
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      val steps = rnd.nextInt(6) + 3
+      val got = run(wf, steps)
+      val want = reference(wf, steps)
+      assert(got == want, s"trial $trial diverged:\n got=$got\nwant=$want")
+      assert(want.nonEmpty, s"trial $trial vacuous: no merges learned")
+    }
+  }
+
+  test("merge application is leftmost-greedy and never re-merges overlaps") {
+    // 'aaaa' (segmented _ a a a a) under merge (a,a): leftmost pairs give
+    // [_, aa, aa], NOT [_, aa, a, a]-with-late-merge or an overlapping
+    // [_, aaa, a]. Train 2 steps: step 1 must be (a,a); step 2's counts
+    // then see 'aa' symbols — ('aa','aa') from the aaaa-word.
+    val wf = Map("aaaa" -> 10L, "aa" -> 1L)
+    val got = run(wf, 2)
+    val want = reference(wf, 2)
+    assert(got == want)
+    assert(got.head._2 == "a" && got.head._3 == "a" && got.head._5 == 31L,
+      s"step 1 should merge (a,a) with count 3*10+1=31: $got")
+  }
+
+  test("argmax ties break by (lhs, rhs) lexicographically in both engines") {
+    // 'ab' and 'ba' with equal freq: pairs (_,a)=5, (a,b)=5, (_,b)=5,
+    // (b,a)=5 — all tied; the rule must pick (_,a) by name order.
+    val got = run(Map("ab" -> 5L, "ba" -> 5L), 1)
+    assert(got == reference(Map("ab" -> 5L, "ba" -> 5L), 1))
+    assert(got.head._2 == "_" && got.head._3 == "a", s"tie-break diverged: $got")
+  }
+
+  test("training stops early when every word collapses to one symbol") {
+    // single word 'ab' segments to [_, a, b]: merges (_,a)->(_a) then
+    // (_a,b)->(_ab), after which no pairs remain — requesting 10 steps
+    // must return exactly 2 rows.
+    val got = run(Map("ab" -> 2L), 10)
+    assert(got == reference(Map("ab" -> 2L), 10))
+    assert(got.size == 2, s"expected exhaustion after 2 merges: $got")
+  }
+}
