@@ -20,6 +20,14 @@ import graft.queries.Similarity
   * functions of (batch doc, static index), the union of per-micro-batch
   * outputs equals the one-shot batch admission of the union — proven in
   * StreamingSpec against Similarity.admission itself.
+  *
+  * Operational note: the self-maintaining loop appends a file per bucket
+  * per micro-batch, so at streaming cadence the index accumulates small
+  * files without bound. [[Similarity.compactBandIndex]] is the periodic
+  * rewrite for exactly this — distinct surviving rows, same bucketing,
+  * one file per bucket, optional retention predicate — probe-equivalent
+  * by PersistedIndexSpec's compaction proofs; run it between batches (or
+  * against a quiesced index snapshot) and flip table names.
   */
 object DocStreams {
 

@@ -147,6 +147,81 @@ class PersistedIndexSpec extends SparkTestBase {
       s"11 distinct docs (rows duplicated by replay) must still collide and reject, got $out")
   }
 
+  test("compaction is probe-equivalent, purges replay duplicates, and shrinks to 8 files") {
+    import spark.implicits._
+    def parquetFiles(path: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).count(_.getName.endsWith(".parquet"))
+    }
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpusSh = Similarity.shingleDocs(docs.filter(col("doc_id") % 10 =!= 0))
+      .localCheckpoint()
+    val batchSh = Similarity.shingleDocs(docs.filter(col("doc_id") % 10 === 0))
+      .localCheckpoint()
+    val base = Files.createTempDirectory("graft_pidx_compact").toString
+
+    // simulate the streaming cadence: 4 appends (one doubled — a replay)
+    val quarters = (0 to 3).map(q => corpusSh.filter(col("doc_id") % 4 === q))
+    Similarity.writeBandIndex(quarters(0), "pidx_cmp", s"$base/idx", overwrite = true)
+    quarters.drop(1).foreach(qs =>
+      Similarity.writeBandIndex(qs, "pidx_cmp", s"$base/idx", overwrite = false))
+    Similarity.writeBandIndex(quarters(2), "pidx_cmp", s"$base/idx", overwrite = false)
+
+    def run(table: String, sh: org.apache.spark.sql.DataFrame) = verdicts(
+      Similarity.admission(batchSh, Similarity.loadBandIndex(spark, table), sh))
+    val before = run("pidx_cmp", corpusSh)
+
+    Similarity.compactBandIndex(spark, "pidx_cmp", "pidx_cmp_v2", s"$base/idx_v2")
+    val after = run("pidx_cmp_v2", corpusSh)
+    assert(before.nonEmpty && after == before,
+      "compaction changed admission verdicts")
+
+    // replay-duplicated rows are gone: compacted rows are exactly the
+    // distinct one-shot rows
+    val want = Similarity.bandIndex(corpusSh).distinct().count()
+    assert(spark.table("pidx_cmp_v2").count() == want,
+      "compaction must leave exactly the distinct index rows")
+
+    // the file pile-up actually shrinks: 5 bucketed writes left ≥ 5 files
+    // per live bucket path-wide; the rewrite emits one file per bucket
+    val nBefore = parquetFiles(s"$base/idx")
+    val nAfter = parquetFiles(s"$base/idx_v2")
+    assert(nAfter == 8, s"expected one file per bucket after compaction, got $nAfter")
+    assert(nAfter < nBefore, s"compaction must shrink files: $nBefore -> $nAfter")
+
+    // bucketing survives the rewrite: bucket-size counts still no-Exchange
+    val counts = Similarity.loadBandIndex(spark, "pidx_cmp_v2")
+      .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("bsize"))
+    counts.collect()
+    assert(!counts.queryExecution.executedPlan.toString.contains("Exchange"),
+      "compacted table lost its bucketing")
+  }
+
+  test("compaction retention evicts tombstoned docs like a from-scratch rebuild") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpusSh = Similarity.shingleDocs(docs.filter(col("doc_id") % 10 =!= 0))
+      .localCheckpoint()
+    val batchSh = Similarity.shingleDocs(docs.filter(col("doc_id") % 10 === 0))
+      .localCheckpoint()
+    val base = Files.createTempDirectory("graft_pidx_retain").toString
+    Similarity.writeBandIndex(corpusSh, "pidx_ret", s"$base/idx", overwrite = true)
+
+    // tombstone the even corpus docs, compact with the retention predicate
+    Similarity.compactBandIndex(spark, "pidx_ret", "pidx_ret_v2", s"$base/idx_v2",
+      retain = col("doc_id2") % 2 === 1)
+    val surviving = corpusSh.filter(col("doc_id") % 2 === 1)
+    val got = verdicts(Similarity.admission(
+      batchSh, Similarity.loadBandIndex(spark, "pidx_ret_v2"), surviving))
+
+    // reference: an index built from scratch over only the surviving docs
+    Similarity.writeBandIndex(surviving, "pidx_ret_ref", s"$base/ref", overwrite = true)
+    val want = verdicts(Similarity.admission(
+      batchSh, Similarity.loadBandIndex(spark, "pidx_ret_ref"), surviving))
+    assert(got == want,
+      "retention compaction diverges from a from-scratch rebuild over survivors")
+  }
+
   test("bucket-size count over the persisted index needs no Exchange") {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       .filter(col("doc_id") < 100)
