@@ -77,15 +77,8 @@ object Bpe {
       else {
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((step.toLong, a, b, a + b, cnt))
-        val applyMerge: (Column, Column) => Column = (acc, x) =>
-          when(element_at(acc, -1) === lit(a) && x === lit(b),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-            .otherwise(concat(acc, array(x)))
         val next = cur
-          .withColumn("s", aggregate(
-            slice(col("s"), lit(2), size(col("s")) - 1),
-            array(element_at(col("s"), 1)),
-            applyMerge))
+          .withColumn("s", applyMergeFold(col("s"), a, b))
           .localCheckpoint()
         cur.unpersist()
         cur = next
@@ -94,6 +87,48 @@ object Bpe {
     cur.unpersist()
     import spark.implicits._
     merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** One leftmost-greedy non-overlapping merge pass of (a, b) → a+b over a
+    * symbol-array column — the shared merge kernel of [[train]] (per-round
+    * re-segmentation) and [[encodeVocab]] (rule application at encode time).
+    * A codegen'd array fold: the accumulator's last symbol merging with the
+    * next one means a just-merged symbol never immediately re-merges. */
+  private def applyMergeFold(s: Column, a: String, b: String): Column =
+    aggregate(
+      slice(s, lit(2), size(s) - 1),
+      array(element_at(s, 1)),
+      (acc, x) =>
+        when(element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Encode a VOCABULARY of distinct words with a learned merge table:
+    * segment each word into '_'-prefixed characters, then apply each
+    * (lhs, rhs) rule in learned order via [[applyMergeFold]]. Returns the
+    * input columns plus `pieces` (the subword array) and `n_pieces`.
+    *
+    * This is the scale half of corpus encoding: the fold chain runs once
+    * per DISTINCT word (vocabulary-sized, heavy-tailed Zipf ⇒ tiny next to
+    * the token stream), and the corpus-sized step is then a plain
+    * hash join of the token stream against this frame — AQE broadcasts it
+    * when the vocabulary is small, degrades to a shuffled join otherwise.
+    * All rules ride into one projection as literals (the merge table is
+    * model-sized, the degenerate broadcast), so the whole encode is
+    * map-side with zero extra shuffles.
+    */
+  def encodeVocab(vocab: DataFrame, word: String, merges: Seq[(String, String)]): DataFrame = {
+    val chars = expr(
+      s"transform(sequence(1, length(concat('_', `$word`))), i -> substring(concat('_', `$word`), i, 1))")
+    // One projection per rule, NOT a single folded expression: applyMergeFold
+    // references its input ~3× (head, tail slice, size), so nesting rule k+1
+    // around rule k's tree grows ~3^rules — a 20 MiB codegen blob by rule 8.
+    // As separate aliases the non-cheap multi-referenced fold is kept
+    // un-inlined by CollapseProject and the plan stays linear in the rule
+    // count.
+    var df = vocab.withColumn("pieces", chars)
+    for ((a, b) <- merges) df = df.withColumn("pieces", applyMergeFold(col("pieces"), a, b))
+    df.withColumn("n_pieces", size(col("pieces")).cast("long"))
   }
 
   /** The DuckDB oracle for [[train]]: `steps` unrolled CTE rounds, each
@@ -105,13 +140,47 @@ object Bpe {
     * tie-break stay pinned to the Spark side by construction.
     */
   def oracleSql(steps: Int, wordFreqSql: String): String = {
+    val arms = (0 until steps).map { i =>
+      s"""SELECT CAST(${i + 1} AS BIGINT) AS step, a AS lhs, b AS rhs,
+         |  a || b AS merged, cnt AS pair_count FROM b$i""".stripMargin
+    }
+    chainSql(steps, wordFreqSql, resegmentLast = false) +
+      "\n" + arms.mkString("\nUNION ALL\n") + "\nORDER BY step"
+  }
+
+  /** The DuckDB oracle for corpus encoding with [[encodeVocab]] over merges
+    * learned by [[train]] on the same vocabulary: re-derives the merge
+    * rules with the identical unrolled chain (so the rules match the Spark
+    * side by construction), applies all `steps` rules to the vocabulary,
+    * then joins the per-document token stream (`docTokensSql`, emitting
+    * (doc_id, w)) against the encoded vocabulary and aggregates per doc.
+    * Fertility = subword pieces per word, the tokenizer-eval metric.
+    */
+  def encodeOracleSql(steps: Int, wordFreqSql: String, docTokensSql: String): String =
+    chainSql(steps, wordFreqSql, resegmentLast = true) +
+      s""",
+         |enc AS (SELECT w, CAST(len(s) AS BIGINT) AS np FROM w$steps),
+         |tok AS ($docTokensSql)
+         |SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(enc.np) AS BIGINT) AS n_pieces,
+         |  ROUND(SUM(enc.np) * 1.0 / COUNT(*), 4) AS fertility
+         |FROM tok JOIN enc ON tok.w = enc.w
+         |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin
+
+  /** Shared unrolled-CTE chain: w0..w{steps-1} vocabulary states (plus
+    * w{steps} when `resegmentLast` — encoding needs the post-final-rule
+    * segmentation that training never materializes), each with its pair
+    * count p$i and deterministic argmax b$i. Carries the raw word `w`
+    * through every round so encode-side callers can join back to the
+    * token stream; chr(30) separates symbols in the fold and cannot occur
+    * in the [a-z_] symbol alphabet. */
+  private def chainSql(steps: Int, wordFreqSql: String, resegmentLast: Boolean): String = {
     val sb = new StringBuilder
     sb.append(s"""WITH wf AS ($wordFreqSql),
-                 |sy AS (SELECT '_' || w AS sym, freq FROM wf),
                  |w0 AS (
-                 |  SELECT freq, list_transform(range(1, length(sym) + 1),
-                 |                              i -> substring(sym, i, 1)) AS s
-                 |  FROM sy)""".stripMargin)
+                 |  SELECT w, freq, list_transform(range(1, length('_' || w) + 1),
+                 |                                 i -> substring('_' || w, i, 1)) AS s
+                 |  FROM wf)""".stripMargin)
     for (i <- 0 until steps) {
       sb.append(s""",
                    |p$i AS (
@@ -122,19 +191,14 @@ object Bpe {
                    |  GROUP BY 1, 2),
                    |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)"""
         .stripMargin)
-      if (i < steps - 1)
+      if (i < steps - 1 || resegmentLast)
         sb.append(s""",
                      |w${i + 1} AS (
-                     |  SELECT freq, string_split(list_reduce(s, (acc, x) ->
+                     |  SELECT w, freq, string_split(list_reduce(s, (acc, x) ->
                      |    CASE WHEN regexp_extract(acc, '[a-z_]*$$') = m.a AND x = m.b
                      |         THEN acc || x ELSE acc || chr(30) || x END), chr(30)) AS s
                      |  FROM w$i CROSS JOIN b$i m)""".stripMargin)
     }
-    val arms = (0 until steps).map { i =>
-      s"""SELECT CAST(${i + 1} AS BIGINT) AS step, a AS lhs, b AS rhs,
-         |  a || b AS merged, cnt AS pair_count FROM b$i""".stripMargin
-    }
-    sb.append("\n" + arms.mkString("\nUNION ALL\n") + "\nORDER BY step")
     sb.toString
   }
 }

@@ -1418,6 +1418,96 @@ object Text {
           |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
           |  GROUP BY w""".stripMargin)),
     ),
+
+    // ----- BPE corpus encoding (train → ENCODE → pack) -----
+    // The deployment half of t122: learn the merge table, then encode the
+    // corpus with it and report per-document subword counts + fertility
+    // (pieces per word — the standard tokenizer-eval metric). Scale shape
+    // (see operators/Bpe.encodeVocab): the merge-fold chain runs once per
+    // DISTINCT word — vocabulary-sized, tiny next to the token stream
+    // under a Zipf corpus — and the corpus-sized step is a plain hash
+    // join of the exploded token stream against the encoded vocabulary
+    // (AQE broadcasts it when small, shuffles on the word key otherwise),
+    // followed by a doc-keyed partial agg. The merge table itself is
+    // model-sized and rides into one projection as literals. The oracle
+    // re-derives the SAME merges with t122's unrolled chain, so rule
+    // drift between engines is impossible by construction.
+    Q(
+      "t123_bpe_encode",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+        val wf = toks.groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq"))
+        val merges = graft.operators.Bpe.train(s, wf, "w", "freq", steps = BpeSteps)
+          .select(col("lhs"), col("rhs")).collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        val enc = graft.operators.Bpe.encodeVocab(wf.select(col("w")), "w", merges)
+          .select(col("w"), col("n_pieces"))
+        toks.join(enc, "w")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_pieces"))
+          .select(col("doc_id"), col("n_words"), col("n_pieces"),
+            round(col("n_pieces") * 1.0 / col("n_words"), 4).as("fertility"))
+          .orderBy("doc_id")
+      },
+      Some(graft.operators.Bpe.encodeOracleSql(
+        BpeSteps,
+        """SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+          |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+          |  GROUP BY w""".stripMargin,
+        """SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          |  FROM documents""".stripMargin)),
+    ),
+
+    // ----- temperature-based source mixing (α = 0.5) -----
+    // The mixture-reweighting step of a multi-source training run
+    // (multilingual-LM style temperature sampling): source s is drawn with
+    // p_s ∝ n_s^α instead of its natural token share, upweighting the tail
+    // sources. α is pinned to 0.5 because sqrt is the one power IEEE-754
+    // requires correctly rounded — both engines produce bit-identical
+    // per-source weights (pow(x, 0.7) would be libm-dependent). The weight
+    // is then scaled to integer micro-units per source (the LmScore
+    // integer-micro-nats trick) so the normalizing SUM is an
+    // order-independent integer sum under Spark's partial aggregation.
+    // One corpus-sized pass (source-keyed partial agg), then a
+    // handful-of-rows scalar cross-join — nothing here grows with docs.
+    Q(
+      "t124_mix_temperature",
+      (s, d) => {
+        val cells = Tables.documents(s, d)
+          .select(col("source"),
+            regexp_count(col("text"), lit("\\S+")).cast("long").as("toks"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+          .withColumn("w_micro",
+            round(sqrt(col("tokens")) * 1e6).cast("long"))
+        val tot = cells.agg(sum(col("tokens")).as("tt"), sum(col("w_micro")).as("tw"))
+        cells.crossJoin(broadcast(tot))
+          .select(
+            col("source"), col("n_docs"), col("tokens"),
+            round(col("tokens") * 1.0 / col("tt"), 4).as("nat_share"),
+            round(col("w_micro") * 1.0 / col("tw"), 4).as("temp_share"),
+            round((col("w_micro") * 1.0 / col("tw")) / (col("tokens") * 1.0 / col("tt")), 4)
+              .as("resample_factor"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (
+             |  SELECT source, COUNT(*) AS n_docs,
+             |    CAST(SUM(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS BIGINT) AS tokens
+             |  FROM documents GROUP BY source),
+             |w AS (
+             |  SELECT source, n_docs, tokens,
+             |    CAST(ROUND(sqrt(tokens) * 1e6) AS BIGINT) AS w_micro
+             |  FROM c),
+             |t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tt,
+             |             CAST(SUM(w_micro) AS BIGINT) AS tw FROM w)
+             |SELECT source, n_docs, tokens,
+             |  ROUND(tokens * 1.0 / tt, 4) AS nat_share,
+             |  ROUND(w_micro * 1.0 / tw, 4) AS temp_share,
+             |  ROUND((w_micro * 1.0 / tw) / (tokens * 1.0 / tt), 4) AS resample_factor
+             |FROM w CROSS JOIN t ORDER BY source""".stripMargin),
+    ),
   )
 
 }

@@ -94,6 +94,32 @@ class BpeSpec extends SparkTestBase {
     assert(got.head._2 == "_" && got.head._3 == "a", s"tie-break diverged: $got")
   }
 
+  test("encodeVocab matches a driver-side rule application on random vocabularies") {
+    val rnd = new Random(20260814L ^ 0x9e3779b9L)
+    for (trial <- 1 to 5) {
+      val nWords = rnd.nextInt(40) + 10
+      val wf = (0 until nWords).map { _ =>
+        val len = rnd.nextInt(6) + 1
+        val w = (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+        w -> (rnd.nextInt(9) + 1).toLong
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      val merges = reference(wf, rnd.nextInt(6) + 3).map(m => (m._2, m._3))
+      val got = Bpe.encodeVocab(wf.keys.toSeq.toDF("w"), "w", merges)
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toVector)
+        .toMap
+      wf.keys.foreach { w =>
+        val want = merges.foldLeft(("_" + w).map(_.toString).toVector) {
+          case (s, (a, b)) => applyMerge(s, a, b)
+        }
+        assert(got(w) == want, s"trial $trial, word '$w': got=${got(w)} want=$want")
+        // merges only concatenate adjacent symbols, so the encoding must
+        // reassemble losslessly — the invariant a packer downstream relies on
+        assert(got(w).mkString == "_" + w, s"lossy encode of '$w': ${got(w)}")
+      }
+    }
+  }
+
   test("training stops early when every word collapses to one symbol") {
     // single word 'ab' segments to [_, a, b]: merges (_,a)->(_a) then
     // (_a,b)->(_ab), after which no pairs remain — requesting 10 steps
