@@ -65,6 +65,7 @@ object GraftExtensions {
     fixed("graft_minhash_sig", 1)(a => MinHashSig(a.head)),
     fixed("graft_simhash64", 1)(a => SimHash64(a.head)),
     fixed("graft_cosine_sim", 2)(a => CosineSim(a.head, a(1))),
+    fixed("graft_dot", 2)(a => DotProduct(a.head, a(1))),
     fixed("graft_srp_bucket", 2)(a =>
       SrpBucket(a.head, intLit(a(1), "graft_srp_bucket"))),
     fixed("graft_l2_norm", 1)(a => L2Norm(a.head)),

@@ -145,6 +145,37 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sequential-fold dot product of two equal-element-type vector arrays, in
+  * double — the codegen'd replacement for `aggregate(zip_with(...))`,
+  * which Spark evaluates on the interpreted HOF path. Fold order matches
+  * DuckDB's `list_sum(list_transform(...))` bit for bit (PcaPower's
+  * zero-tolerance oracle contract). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with SimKitCall {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVecArray(left.dataType) && left.dataType == right.dataType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expects two array<float> or two array<double> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  private def fn: String = left.dataType match {
+    case ArrayType(FloatType, _) => "dotF"
+    case _ => "dotD"
+  }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (fn == "dotF") SimKit.dotF(x, y) else SimKit.dotD(x, y)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$kit.$fn($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** L2 norm of a float vector; NULL on a NULL input OR any NULL element —
   * the reporting variant for vector health checks (t54), where [[CosineSim]]
   * deliberately raises instead.

@@ -227,6 +227,44 @@ object SimKit {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Sequential-index-order dot product of two float vectors (same edge
+    * contract as the cosine kernels: raise on ragged/null-element).
+    * Left-fold order is bit-identical to DuckDB's
+    * `list_sum(list_transform(...))` — the property the PCA power
+    * iteration's zero-tolerance oracle rests on. */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val an = a.numElements()
+    val bn = b.numElements()
+    if (an != bn)
+      throw new IllegalArgumentException(s"dot: ragged vectors ($an vs $bn elements)")
+    var dot = 0.0
+    var i = 0
+    while (i < an) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(s"dot: null element at index $i")
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  /** Same dot kernel (and same edge contract) for double arrays. */
+  def dotD(a: ArrayData, b: ArrayData): Double = {
+    val an = a.numElements()
+    val bn = b.numElements()
+    if (an != bn)
+      throw new IllegalArgumentException(s"dot: ragged vectors ($an vs $bn elements)")
+    var dot = 0.0
+    var i = 0
+    while (i < an) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(s"dot: null element at index $i")
+      dot += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    dot
+  }
+
   /** Same kernel (and same edge contract) for double arrays. */
   def cosineD(a: ArrayData, b: ArrayData): Double = {
     val an = a.numElements()

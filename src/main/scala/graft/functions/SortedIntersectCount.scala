@@ -93,6 +93,9 @@ object ArrayFns {
   def cosineSim(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       CosineSim(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def dotProduct(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def srpBucket(emb: Column, nBits: Int): Column =
     GraftColumnBridge.column(SrpBucket(GraftColumnBridge.expression(emb), nBits))
   def l2Norm(emb: Column): Column =

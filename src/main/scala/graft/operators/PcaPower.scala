@@ -40,10 +40,13 @@ object PcaPower {
       .localCheckpoint()
     var v = Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.0)
     for (_ <- 1 to iters) {
-      val vArr: Column = array(v.map(lit(_)): _*)
+      val vArr: Column = array(v.map(lit(_)): _*).cast("array<double>")
+      // codegen'd sequential-fold kernel, NOT aggregate(zip_with(...)):
+      // HOFs evaluate on Spark's interpreted path, and the hot loop here
+      // runs once per row per round. Fold order is unchanged (left, index
+      // ascending), so the oracle equivalence is unaffected.
       val withDot = e.withColumn("dot",
-        aggregate(zip_with(col("x"), vArr, (a, b) => a * b),
-          lit(0.0).cast("double"), (acc, p) => acc + p))
+        graft.functions.ArrayFns.dotProduct(col("x"), vArr))
       val aggs = (1 to dim).map(j =>
         sum(expr(s"CAST(ROUND(dot * element_at(x, $j) * 1e6) AS BIGINT)")).as(s"s$j"))
       val row = withDot.agg(aggs.head, aggs.tail: _*).head()

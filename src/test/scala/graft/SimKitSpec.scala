@@ -45,6 +45,28 @@ class SimKitSpec extends SparkTestBase {
     assert(got == dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
+  test("dot product matches the sequential fold in both element widths") {
+    import spark.implicits._
+    val a = Seq(0.5, -1.25, 2.0)
+    val b = Seq(1.5, 0.25, -0.75)
+    val gotD = Seq((a, b)).toDF("a", "b")
+      .select(ArrayFns.dotProduct(col("a"), col("b")).as("d"))
+      .head().getDouble(0)
+    assert(gotD == a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y })
+    val af = a.map(_.toFloat)
+    val bf = b.map(_.toFloat)
+    val gotF = Seq((af, bf)).toDF("a", "b")
+      .select(ArrayFns.dotProduct(col("a"), col("b")).as("d"))
+      .head().getDouble(0)
+    assert(gotF == af.zip(bf).foldLeft(0.0) {
+      case (s, (x, y)) => s + x.toDouble * y.toDouble })
+    val e = intercept[Throwable] {
+      Seq((a, Seq(1.0, 2.0))).toDF("a", "b")
+        .select(ArrayFns.dotProduct(col("a"), col("b"))).head()
+    }
+    assert(rootMessage(e).contains("ragged"))
+  }
+
   test("zero-norm vector yields NaN (0/0), matching both engines") {
     assert(cosF(Seq(Some(0f), Some(0f)), Seq(Some(1f), Some(2f))).isNaN)
   }
