@@ -1508,6 +1508,46 @@ object Text {
              |  ROUND((w_micro * 1.0 / tw) / (tokens * 1.0 / tt), 4) AS resample_factor
              |FROM w CROSS JOIN t ORDER BY source""".stripMargin),
     ),
+
+    // ----- t127: deterministic epoch shuffle + round-robin sharding -----
+    // The training-order layout step: before a run, the corpus gets a
+    // seeded global permutation (so epochs differ but reruns reproduce)
+    // and the permuted stream is dealt round-robin into N shards —
+    // balanced to ±1 document by construction and hash-mixed within each
+    // shard. The shuffle key is a 60-bit md5 prefix of seed:doc_id
+    // (identical arithmetic in DuckDB, so the permutation is
+    // cross-engine exact); the global position comes from the q20/t119
+    // two-pass prefix-sum scheme — range-partition by (key, doc_id),
+    // fold #partitions Longs on the driver, number locally — so there is
+    // NO single-partition ORDER BY funnel anywhere, the exact trap a
+    // naive ROW_NUMBER() OVER (ORDER BY hash) falls into at 100 TB.
+    Q(
+      "t127_epoch_shuffle",
+      (s, d) => {
+        import s.implicits._
+        val nShards = 8
+        val keyed = Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("cast(conv(substring(md5(cast(concat('ep1:', cast(doc_id as string)) as binary)), 1, 15), 16, 10) as bigint)")
+              .as("hk"))
+          .select(col("doc_id"), col("hk")).as[(Long, Long)]
+        graft.operators.PrefixSum
+          .runningBefore(keyed, s.sparkContext.defaultParallelism,
+            Seq(col("hk"), col("doc_id")))(_ => 1L) {
+            case ((id, _), rank, _) => (id, rank % nShards, rank / nShards)
+          }
+          .toDF("doc_id", "shard", "pos_in_shard")
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substring(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+             |  FROM documents),
+             |r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY hk, doc_id) - 1 AS rk FROM h)
+             |SELECT doc_id, CAST(rk % 8 AS BIGINT) AS shard,
+             |  CAST(rk // 8 AS BIGINT) AS pos_in_shard
+             |FROM r ORDER BY doc_id""".stripMargin),
+    ),
   )
 
 }
