@@ -89,6 +89,23 @@ object Bpe {
     merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
   }
 
+  /** Persist a learned merge table — the artifact a tokenizer ships. One
+    * file: the table is model-sized (one row per merge rule) by
+    * definition, so a single-file parquet is the right layout for the
+    * thing every encode job will broadcast-read. */
+  def saveMerges(merges: DataFrame, path: String): Unit =
+    merges.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a shipped merge table back as the rule list [[encodeVocab]]
+    * consumes, in learned (step) order. */
+  def loadMerges(spark: SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path)
+      .orderBy(col("step"))
+      .select(col("lhs"), col("rhs"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSeq
+
   /** One leftmost-greedy non-overlapping merge pass of (a, b) → a+b over a
     * symbol-array column — the shared merge kernel of [[train]] (per-round
     * re-segmentation) and [[encodeVocab]] (rule application at encode time).

@@ -120,6 +120,22 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("a shipped merge table round-trips through parquet and encodes identically") {
+    val wf = Map("abab" -> 9L, "aba" -> 4L, "bb" -> 2L)
+    val trained = Bpe.train(spark, wf.toSeq.toDF("w", "freq"), "w", "freq", steps = 4)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-ship").toString
+    Bpe.saveMerges(trained, s"$dir/merges")
+    val loaded = Bpe.loadMerges(spark, s"$dir/merges")
+    val direct = trained.collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(loaded == direct, s"rule order must survive the round-trip: $loaded vs $direct")
+    val vocab = wf.keys.toSeq.toDF("w")
+    val a = Bpe.encodeVocab(vocab, "w", direct)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val b = Bpe.encodeVocab(vocab, "w", loaded)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(a == b, "encode with shipped rules diverged from in-memory rules")
+  }
+
   test("training stops early when every word collapses to one symbol") {
     // single word 'ab' segments to [_, a, b]: merges (_,a)->(_a) then
     // (_a,b)->(_ab), after which no pairs remain — requesting 10 steps
