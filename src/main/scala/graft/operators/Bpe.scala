@@ -135,8 +135,9 @@ object Bpe {
     * map-side with zero extra shuffles.
     */
   def encodeVocab(vocab: DataFrame, word: String, merges: Seq[(String, String)]): DataFrame = {
+    val escaped = s"`${word.replace("`", "``")}`"
     val chars = expr(
-      s"transform(sequence(1, length(concat('_', `$word`))), i -> substring(concat('_', `$word`), i, 1))")
+      s"transform(sequence(1, length(concat('_', $escaped))), i -> substring(concat('_', $escaped), i, 1))")
     // One projection per rule, NOT a single folded expression: applyMergeFold
     // references its input ~3× (head, tail slice, size), so nesting rule k+1
     // around rule k's tree grows ~3^rules — a 20 MiB codegen blob by rule 8.
@@ -209,12 +210,19 @@ object Bpe {
                    |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)"""
         .stripMargin)
       if (i < steps - 1 || resegmentLast)
+        // LEFT JOIN ON TRUE, not CROSS JOIN: when training exhausts early
+        // (b$i empty — every word a single symbol), the vocabulary rows
+        // must SURVIVE with a no-op re-segmentation (m.a IS NULL guard),
+        // exactly like the Spark side's early stop — a CROSS JOIN with an
+        // empty b$i would silently empty every later w$k and, for encode
+        // callers, the whole result.
         sb.append(s""",
                      |w${i + 1} AS (
                      |  SELECT w, freq, string_split(list_reduce(s, (acc, x) ->
-                     |    CASE WHEN regexp_extract(acc, '[a-z_]*$$') = m.a AND x = m.b
+                     |    CASE WHEN m.a IS NOT NULL
+                     |              AND regexp_extract(acc, '[a-z_]*$$') = m.a AND x = m.b
                      |         THEN acc || x ELSE acc || chr(30) || x END), chr(30)) AS s
-                     |  FROM w$i CROSS JOIN b$i m)""".stripMargin)
+                     |  FROM w$i LEFT JOIN b$i m ON TRUE)""".stripMargin)
     }
     sb.toString
   }

@@ -39,8 +39,9 @@ object Containment {
       tau: Double): DataFrame = {
     require(k >= 1 && dfCap >= 2, s"need k >= 1 and dfCap >= 2, got k=$k dfCap=$dfCap")
     val idc: Column = col(s"`${id.replace("`", "``")}`")
+    val txt: Column = col(s"`${text.replace("`", "``")}`")
     val grams = docs
-      .select(idc.as("doc_id"), split(col(text), " ").as("t"))
+      .select(idc.as("doc_id"), split(txt, " ").as("t"))
       .filter(size(col("t")) >= k)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(t) - ${k - 1}), p -> array_join(slice(t, p, $k), ' '))"))

@@ -61,7 +61,15 @@ object PcaPower {
   /** The DuckDB oracle: `iters` unrolled rounds of the identical
     * dot → micro-unit quantized sums → ORDER BY j norm → renormalize
     * sequence, over `CAST(embedding AS DOUBLE[])`. Generated so the
-    * iteration count and quantization stay pinned to the Spark side. */
+    * iteration count and quantization stay pinned to the Spark side.
+    *
+    * Precondition: a NON-DEGENERATE corpus (at least one vector with a
+    * nonzero first component, so every round's sums are nonzero). The
+    * bit-identical-by-induction argument holds only there: on an empty or
+    * all-zero corpus [[topComponent]] keeps the previous iterate (a
+    * robustness fallback), while this SQL's empty/zero sums collapse to
+    * an empty result or a 0-division — a semantic divergence that cannot
+    * arise on real embedding data but would on a pathological fixture. */
   def oracleSql(dim: Int, iters: Int, embSql: String): String = {
     val sb = new StringBuilder
     sb.append(s"""WITH e AS ($embSql),

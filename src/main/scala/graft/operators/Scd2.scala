@@ -43,7 +43,12 @@ object Scd2 {
     // named like one of them would silently yield a duplicate-named output.
     val outNames = Set("ver", "valid_from", "valid_to", "is_current", "n_events")
     val reserved = Set("__attr", "__t", "__chg", "__ver") ++ outNames
-    val clash = (keys ++ tieBreak).filter(reserved) ++ Seq(attr).filter(outNames)
+    // attr also collides with a KEY name: keys keep their own names in the
+    // output and attr is re-emitted under its own name, so attr == key
+    // would produce two identically-named output columns just like an
+    // attr named `ver` would.
+    val clash = (keys ++ tieBreak).filter(reserved) ++
+      Seq(attr).filter(a => outNames(a) || keys.contains(a))
     require(clash.isEmpty, s"scd2 key/tieBreak/attr columns collide with output columns: ${clash.mkString(", ")}")
     val keyCols = keys.map(q)
     // ordering refers to the POST-projection names (__t plus the tie-break

@@ -1435,10 +1435,16 @@ object Text {
     Q(
       "t123_bpe_encode",
       (s, d) => {
+        // localCheckpoint both reused frames: toks feeds the vocabulary AND
+        // the final join (two corpus explodes otherwise), and wf feeds
+        // train AND encodeVocab (two corpus-sized aggregations otherwise)
+        // — the same consumed-N-times materialization SemDeDup uses.
         val toks = Tables.documents(s, d)
           .select(col("doc_id"),
             explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+          .localCheckpoint()
         val wf = toks.groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq"))
+          .localCheckpoint()
         val merges = graft.operators.Bpe.train(s, wf, "w", "freq", steps = BpeSteps)
           .select(col("lhs"), col("rhs")).collect()
           .map(r => (r.getString(0), r.getString(1))).toSeq

@@ -143,5 +143,13 @@ class BpeSpec extends SparkTestBase {
     val got = run(Map("ab" -> 2L), 10)
     assert(got == reference(Map("ab" -> 2L), 10))
     assert(got.size == 2, s"expected exhaustion after 2 merges: $got")
+    // encoding with the exhausted (shorter-than-requested) rule list must
+    // collapse every word to one piece — the Spark twin of the oracle's
+    // LEFT JOIN fallback, which keeps vocabulary rows alive through the
+    // merge-less rounds instead of emptying them
+    val enc = Bpe.encodeVocab(Seq("ab").toDF("w"), "w", got.map(m => (m._2, m._3)))
+      .collect()
+    assert(enc.length == 1 && enc(0).getLong(2) == 1L,
+      s"'ab' must encode to the single merged symbol: ${enc.toSeq}")
   }
 }

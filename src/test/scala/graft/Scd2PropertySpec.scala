@@ -45,6 +45,12 @@ class Scd2PropertySpec extends SparkTestBase {
       Scd2.history(df, Seq("k"), "ver", "t")
     }
     assert(e.getMessage.contains("ver"))
+    // attr == key collides the same way: keys keep their names in the
+    // output and attr re-emits under its own
+    val e2 = intercept[IllegalArgumentException] {
+      Scd2.history(Seq((1L, 10L)).toDF("k", "t"), Seq("k"), "k", "t")
+    }
+    assert(e2.getMessage.contains("k"))
   }
 
   test("Scd2.history matches the sequential reference on random keyed streams") {
