@@ -55,30 +55,38 @@ object AsofJoin {
       strict: Boolean = false,
       forward: Boolean = false,
       tolerance: Option[Column] = None): DataFrame = {
+    val q = (c: String) => col(s"`${c.replace("`", "``")}`")
     val payloadCols = build.columns.filterNot(c => keys.contains(c) || c == buildTime)
     require(payloadCols.nonEmpty, "build side carries no payload columns")
     val collisions = payloadCols.toSet.intersect(probe.columns.toSet)
     require(collisions.isEmpty,
       s"build payload columns collide with probe columns: ${collisions.mkString(", ")} — " +
         "rename one side before joining (the output would carry ambiguous duplicates)")
-    val keyCols: Seq[Column] = keys.map(col)
+    val keyCols: Seq[Column] = keys.map(q)
 
     // the matched build time rides inside the payload struct so tolerance
     // can compare it against the probe time after the window pass.
     // NULL build times are dropped up front: a row with no time can never be
     // an as-of match, but NULLS FIRST/LAST ordering would otherwise let its
     // payload seed (or terminate) the running last() and fabricate matches.
-    val b = build.where(col(buildTime).isNotNull).select(
-      keyCols ++ Seq(
-        col(buildTime).as("__t"),
-        struct(col(buildTime).as("__bt") +: payloadCols.map(col): _*).as("__pay"),
-        lit(0).as("__side")): _*)
+    // NULL build KEYS are dropped for the same reason: equi-join/ASOF
+    // semantics never match NULL keys, but the window's partitionBy groups
+    // the NULL-key build and probe rows into ONE partition and would
+    // fabricate matches between them. (A null-keyed PROBE row stays — its
+    // partition then holds no build rows, so it gets the null payload an
+    // equi-join would give it.)
+    val b = keys.foldLeft(build.where(q(buildTime).isNotNull))((d, k) => d.where(q(k).isNotNull))
+      .select(
+        keyCols ++ Seq(
+          q(buildTime).as("__t"),
+          struct(q(buildTime).as("__bt") +: payloadCols.map(q): _*).as("__pay"),
+          lit(0).as("__side")): _*)
     val payType = b.schema("__pay").dataType
 
-    val probeStruct = struct(probe.columns.map(col): _*)
+    val probeStruct = struct(probe.columns.map(q): _*)
     val p = probe.select(
       keyCols ++ Seq(
-        col(probeTime).as("__t"),
+        q(probeTime).as("__t"),
         lit(null).cast(payType).as("__pay"),
         lit(1).as("__side"),
         probeStruct.as("__probe")): _*)
@@ -111,6 +119,8 @@ object AsofJoin {
         matched.withColumn("__m", when(dist <= tol, col("__m")))
       case None => matched
     }
-    gated.select(col("__probe.*") +: payloadCols.map(c => col(s"__m.$c").as(c)): _*)
+    // getField, not col("__m.$c"): a payload column genuinely named "a.b"
+    // must resolve as one struct field, not a nested path
+    gated.select(col("__probe.*") +: payloadCols.map(c => col("__m").getField(c).as(c)): _*)
   }
 }

@@ -53,12 +53,16 @@ object Bpe {
       steps: Int): DataFrame = {
     require(steps >= 1, s"bpe needs at least one merge step, got $steps")
     val q = (c: String) => col(s"`${c.replace("`", "``")}`")
-    var cur = wordFreq
+    // per-round state is checkpointed flat; superseded rounds are freed via
+    // the shared tracker — Dataset.unpersist() is a no-op on checkpoint
+    // blocks, and a long merge run (real tokenizers: thousands of rounds)
+    // would otherwise pin one vocabulary copy per round
+    val tracker = new CkTracker(wordFreq)
+    var (cur, curIds) = tracker.ck(wordFreq
       .select(q(freq).cast("long").as("freq"),
         concat(lit("_"), q(word)).as("sym"))
       .select(col("freq"), expr(
-        "transform(sequence(1, length(sym)), i -> substring(sym, i, 1))").as("s"))
-      .localCheckpoint()
+        "transform(sequence(1, length(sym)), i -> substring(sym, i, 1))").as("s")))
     val merges = ArrayBuffer.empty[(Long, String, String, String, Long)]
     var exhausted = false
     for (step <- 1 to steps if !exhausted) {
@@ -77,14 +81,13 @@ object Bpe {
       else {
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((step.toLong, a, b, a + b, cnt))
-        val next = cur
-          .withColumn("s", applyMergeFold(col("s"), a, b))
-          .localCheckpoint()
-        cur.unpersist()
+        val (next, nextIds) = tracker.ck(cur.withColumn("s", applyMergeFold(col("s"), a, b)))
+        tracker.free(curIds)
         cur = next
+        curIds = nextIds
       }
     }
-    cur.unpersist()
+    tracker.free(curIds)
     import spark.implicits._
     merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
   }

@@ -46,24 +46,11 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** localCheckpoint + remember which persistent RDD blocks the call
-    * created, so superseded rounds can be freed eagerly. Attribution is a
-    * before/after diff of the context's persistent-RDD ids — exact for the
-    * sequential calls inside one operator run (a concurrent query
-    * checkpointing in the same session could be misattributed; the
-    * Verify/Bench harnesses run queries sequentially). */
-  private final class CkTracker(df0: DataFrame) {
-    private val sc = df0.sparkSession.sparkContext
-    def ck(df: DataFrame): (DataFrame, Seq[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint() // eager: blocks exist on return
-      (out, (sc.getPersistentRDDs.keySet -- before).toSeq)
-    }
-    def free(ids: Seq[Int]): Unit = {
-      val live = sc.getPersistentRDDs
-      ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
-    }
-  }
+  // per-round checkpoint bookkeeping is the shared operators.CkTracker:
+  // attribution is a before/after diff of the context's persistent-RDD
+  // ids — exact for the sequential calls inside one operator run (a
+  // concurrent query checkpointing in the same session could be
+  // misattributed; the Verify/Bench harnesses run queries sequentially)
 
   /** Large-star/small-star alternation to a fixpoint (SoCC'14).
     *

@@ -34,10 +34,13 @@ object PcaPower {
     * a non-degenerate corpus) keeps the previous iterate. */
   def topComponent(emb: DataFrame, vecCol: String, dim: Int, iters: Int): Array[Double] = {
     require(dim >= 1 && iters >= 1, s"need dim >= 1 and iters >= 1, got dim=$dim iters=$iters")
-    val e = emb
+    // checkpoint via the shared tracker so the corpus-sized block is freed
+    // on return — Dataset.unpersist() is a no-op on checkpoint blocks, and
+    // repeated library calls would otherwise pin one corpus copy each
+    val tracker = new CkTracker(emb)
+    val (e, eIds) = tracker.ck(emb
       .select(col(s"`${vecCol.replace("`", "``")}`").cast("array<double>").as("x"))
-      .filter(col("x").isNotNull)
-      .localCheckpoint()
+      .filter(col("x").isNotNull))
     var v = Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.0)
     for (_ <- 1 to iters) {
       val vArr: Column = array(v.map(lit(_)): _*).cast("array<double>")
@@ -54,7 +57,7 @@ object PcaPower {
       val norm = math.sqrt(s.foldLeft(0.0)((a, q) => a + q.toDouble * q.toDouble))
       if (norm > 0.0) v = s.map(_.toDouble / norm)
     }
-    e.unpersist()
+    tracker.free(eIds)
     v
   }
 

@@ -56,8 +56,15 @@ object ZOrder {
   def gridKey(colName: String, minV: Long, maxV: Long, bits: Int): Column = {
     require(maxV >= minV, s"empty range [$minV, $maxV]")
     val cells = (1L << bits) - 1L
+    val escaped = s"`${colName.replace("`", "``")}`"
+    // the multiply runs in DECIMAL(38,0): (c − min) can span the full Long
+    // range and cells is up to 2^31, so a Long product wraps at wide value
+    // ranges (a year of epoch-micros × 2^31 ≈ 6.6e22) and the Morton curve
+    // would silently degenerate; 38 decimal digits hold the exact product
+    // (< 2e28) and `div` stays an exact integral divide.
     if (maxV == minV) lit(0L)
-    else expr(s"CAST((`$colName` - ($minV)) * $cells div ${maxV - minV} AS BIGINT)")
+    else expr(s"CAST(CAST(($escaped - ($minV)) AS DECIMAL(38,0)) * $cells" +
+      s" div ${maxV - minV} AS BIGINT)")
   }
 
   /** Write `df` z-ordered on two integer-like columns: one range shuffle on
@@ -68,6 +75,11 @@ object ZOrder {
   def writeZOrdered(
       df: DataFrame, dimA: Column, dimB: Column, bits: Int,
       numFiles: Int, path: String): Unit = {
+    // the working column must not shadow user data: withColumn would
+    // overwrite a real __zv and drop() would then delete it from the
+    // written dataset with no error (same guard as SaltedJoin/GapFill)
+    require(!df.columns.contains("__zv"),
+      "writeZOrdered uses a working column named __zv; rename the input's __zv column")
     val keyed = df.withColumn("__zv", zValue(dimA, dimB, bits))
     keyed
       .repartitionByRange(numFiles, col("__zv"))

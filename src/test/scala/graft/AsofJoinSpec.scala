@@ -117,4 +117,18 @@ class AsofJoinSpec extends SparkTestBase {
       .collect().map(r => r.getAs[String]("id") -> Option(r.getAs[Any]("px"))).toMap
     assert(tol1("e") === None && tol1("c") === None && tol1("b") === Some(30.0))
   }
+
+  test("null join keys never match — equi-join semantics, not null-grouping") {
+    // a null-key quote and a null-key trade share a window partition; the
+    // join must NOT pair them (SQL equi-joins and DuckDB ASOF never match
+    // NULL keys). The null-key trade survives with a null payload.
+    val q = Seq((Option(1), 3L, 30.0), (Option.empty[Int], 1L, 999.0))
+      .toDF("k", "t", "px")
+    val t = Seq((Option(1), 5L, "x"), (Option.empty[Int], 5L, "y"))
+      .toDF("k", "t", "id")
+    val got = AsofJoin.asof(t, q, Seq("k"), "t", "t")
+      .collect().map(r => r.getAs[String]("id") -> Option(r.getAs[Any]("px"))).toMap
+    assert(got === Map("x" -> Some(30.0), "y" -> None),
+      s"null keys must not cross-match: $got")
+  }
 }

@@ -120,6 +120,16 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("train frees every per-round checkpoint on return") {
+    // Dataset.unpersist() is a no-op on localCheckpoint blocks; the loop
+    // must free them via the RDD-id tracker or a long merge run pins one
+    // vocabulary copy per round
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    run(Map("abab" -> 5L, "ab" -> 2L, "ba" -> 1L), 6)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"train leaked checkpoint RDDs: $leaked")
+  }
+
   test("a shipped merge table round-trips through parquet and encodes identically") {
     val wf = Map("abab" -> 9L, "aba" -> 4L, "bb" -> 2L)
     val trained = Bpe.train(spark, wf.toSeq.toDF("w", "freq"), "w", "freq", steps = 4)

@@ -69,6 +69,14 @@ class PcaPowerSpec extends SparkTestBase {
     assert(math.abs(norm - 1.0) < 1e-9, s"result must be unit-norm, got $norm")
   }
 
+  test("topComponent frees its corpus checkpoint on return") {
+    val df = Seq.fill(50)(Tuple1(Array(1.0f, 0.5f, 0.25f))).toDF("embedding")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    PcaPower.topComponent(df, "embedding", dim = 3, iters = 3)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"topComponent leaked checkpoint RDDs: $leaked")
+  }
+
   test("null vectors are ignored and a degenerate corpus keeps the start iterate") {
     val df = Seq(Option(Array(0.0f, 0.0f)), None, Option(Array(0.0f, 0.0f))).toDF("embedding")
     val v = PcaPower.topComponent(df, "embedding", dim = 2, iters = 3)

@@ -45,6 +45,28 @@ class ZOrderSpec extends SparkTestBase {
     assert(out(1) == 127L, "midpoint lands mid-grid (integer div)")
   }
 
+  test("gridKey survives year-of-epoch-micros ranges without Long overflow") {
+    // range ≈ 3.2e13 × cells 2^31−1 ≈ 6.6e22 — wraps a Long multiply; the
+    // DECIMAL(38,0) product must keep the affine map exact at both ends
+    val lo = 1704067200000000L                 // 2024-01-01 in epoch-micros
+    val hi = lo + 365L * 24 * 3600 * 1000000L  // one year later
+    val cells = (1L << 31) - 1L
+    val out = Seq(lo, (lo + hi) / 2, hi).toDF("v")
+      .select(ZOrder.gridKey("v", lo, hi, 31).as("g")).collect().map(_.getLong(0))
+    assert(out(0) == 0L && out(2) == cells, s"range ends must hit grid ends: ${out.toSeq}")
+    assert(out(1) >= cells / 2 - 1 && out(1) <= cells / 2 + 1,
+      s"midpoint must land mid-grid, not on a wrapped value: ${out.toSeq}")
+  }
+
+  test("writeZOrdered rejects an input that already has a __zv column") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder-guard").toString
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.writeZOrdered(Seq((1L, 2L, 3L)).toDF("a", "b", "__zv"),
+        col("a"), col("b"), bits = 4, numFiles = 1, path = s"$dir/out")
+    }
+    assert(e.getMessage.contains("__zv"))
+  }
+
   test("a 2-D box predicate touches ~¼ of z-ordered files but ~all linear ones") {
     // uniform 64×64 lattice over (x, y) ∈ [0, 256)², like
     // (user, time-bucket) after gridKey normalization
