@@ -39,6 +39,16 @@ private[graft] trait SimKitCall { self: Expression =>
     case ArrayType(FloatType | DoubleType, _) => true
     case _ => false
   }
+
+  /** Element types match, IGNORING containsNull: strict ArrayType equality
+    * would reject e.g. a parquet column (containsNull = true) against a
+    * builder literal (false) with an error message naming two identical
+    * `array<float>`s — nullability is a per-element runtime concern the
+    * kernels handle themselves (raise or null per their contracts). */
+  protected final def sameElemType(l: DataType, r: DataType): Boolean = (l, r) match {
+    case (ArrayType(a, _), ArrayType(b, _)) => a == b
+    case _ => false
+  }
 }
 
 /** Distinct sorted char-3-gram shingle hashes of a (lowercased) string. */
@@ -124,19 +134,20 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
-    if (isVecArray(left.dataType) && left.dataType == right.dataType)
+    if (isVecArray(left.dataType) && sameElemType(left.dataType, right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"expects two array<float> or two array<double> inputs, got " +
         s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
-  private def fn: String = left.dataType match {
-    case ArrayType(FloatType, _) => "cosineF"
-    case _ => "cosineD"
+  private lazy val isFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
+  private def fn: String = if (isFloat) "cosineF" else "cosineD"
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    if (fn == "cosineF") SimKit.cosineF(x, y) else SimKit.cosineD(x, y)
+    if (isFloat) SimKit.cosineF(x, y) else SimKit.cosineD(x, y)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"$kit.$fn($a, $b)")
@@ -155,19 +166,20 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
-    if (isVecArray(left.dataType) && left.dataType == right.dataType)
+    if (isVecArray(left.dataType) && sameElemType(left.dataType, right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"expects two array<float> or two array<double> inputs, got " +
         s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
-  private def fn: String = left.dataType match {
-    case ArrayType(FloatType, _) => "dotF"
-    case _ => "dotD"
+  private lazy val isFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
+  private def fn: String = if (isFloat) "dotF" else "dotD"
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    if (fn == "dotF") SimKit.dotF(x, y) else SimKit.dotD(x, y)
+    if (isFloat) SimKit.dotF(x, y) else SimKit.dotD(x, y)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"$kit.$fn($a, $b)")

@@ -324,6 +324,16 @@ object SimKit {
     * the sequential dot product with plane j is ≥ 0. `nBits` ≤ [[SrpBits]]. */
   def srpBucket(emb: ArrayData, nBits: Int): Long = {
     val n = math.min(emb.numElements(), SrpDims)
+    // raise-on-malformed like the cosine/dot kernels: a null element would
+    // otherwise NPE on the Generic path or silently read 0.0f on the
+    // Unsafe path — a representation-dependent bucket is worse than a
+    // loud failure
+    var i0 = 0
+    while (i0 < n) {
+      if (emb.isNullAt(i0))
+        throw new IllegalArgumentException(s"srpBucket: null element at index $i0")
+      i0 += 1
+    }
     var bucket = 0L
     var j = 0
     while (j < nBits) {

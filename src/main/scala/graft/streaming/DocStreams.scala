@@ -47,8 +47,12 @@ object DocStreams {
       ckpt: String): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val verdicts =
-          Similarity.admission(Similarity.shingleDocs(batch), index, corpusShingles)
+        // localCheckpoint: admission references the shingled batch from
+        // both its probe arm (minhash banding) and its verify arm (exact
+        // Jaccard), and without the barrier the per-trigram md5 shingling
+        // re-executes per subtree — the dominant per-batch CPU, doubled
+        val verdicts = Similarity.admission(
+          Similarity.shingleDocs(batch).localCheckpoint(), index, corpusShingles)
         verdicts.write.mode("overwrite").parquet(s"$path/batch=$batchId")
       }
       .option("checkpointLocation", ckpt)
@@ -93,10 +97,20 @@ object DocStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val batchSh = Similarity.shingleDocs(batch).localCheckpoint()
-        val verdicts = Similarity.admission(
-            batchSh,
-            Similarity.loadBandIndex(spark, indexTable),
-            Similarity.loadShingleStore(spark, shingleTable))
+        // cold start: before the first append the index/store tables don't
+        // exist (writeBandIndex creates them later in this very batch), so
+        // probe empty same-schema frames instead of dying on
+        // TABLE_OR_VIEW_NOT_FOUND — batch 0 of an empty corpus admits
+        // everything, which IS the correct verdict against an empty index
+        val idx =
+          if (spark.catalog.tableExists(indexTable))
+            Similarity.loadBandIndex(spark, indexTable)
+          else Similarity.bandIndex(batchSh).limit(0)
+        val store =
+          if (spark.catalog.tableExists(shingleTable))
+            Similarity.loadShingleStore(spark, shingleTable)
+          else batchSh.select(col("doc_id"), col("shingles")).limit(0)
+        val verdicts = Similarity.admission(batchSh, idx, store)
           .localCheckpoint() // eager: pin verdicts before the index grows
         verdicts.write.mode("overwrite").parquet(s"$path/batch=$batchId")
         val admittedSh = batchSh.join(

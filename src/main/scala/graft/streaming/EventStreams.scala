@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
@@ -26,14 +26,47 @@ object EventStreams {
     * footer read is the standard recipe and costs one metadata round-trip
     * at query start, not per micro-batch. */
   def eventsSchema(spark: SparkSession, dir: String): StructType = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosConf(spark)
     spark.read.parquet(s"$dir/events.parquet").schema
   }
+
+  /** SESSION-WIDE side effect, on purpose: the TIMESTAMP(NANOS) physical
+    * layout is unreadable without the legacy flag, so the events readers
+    * flip it before touching the file. Flipping it affects every later
+    * parquet read of a NANOS file in the session (they return raw Longs
+    * instead of failing), which is exactly what `Tables.tsNs` — the ONLY
+    * sanctioned way to read `ts` — is built to normalize; set it at
+    * session construction (Verify/Bench do) to make the dependency
+    * explicit. Kept in one place so the two reader entry points can't
+    * drift. */
+  private def ensureNanosConf(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** `(ts_ns, user_id, value)` projection off the raw events frame,
     * normalizing either `ts` layout to epoch-ns Long. */
   private def tsNsProjection(raw: DataFrame): DataFrame =
     raw.select(graft.Tables.tsNs(raw.schema).as("ts_ns"), col("user_id"), col("value"))
+
+  /** ns → µs event time + the standard 2 h lateness watermark — the shared
+    * prologue of every windowed agg here; ONE definition so the watermark
+    * delay cannot silently diverge between operators. */
+  private def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("ts_us", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts_us", "2 hours")
+
+  /** Deterministic money sum (integer-cents, order-independent under
+    * partial aggregation) — shared by the three windowed aggs. */
+  private def sumCents: Column =
+    round(sum(round(col("value") * 100, 0).cast("long")).cast("double") / 100.0, 4)
+      .as("sum_value")
+
+  /** The events file stream: explicit schema (readStream requires one) +
+    * single-file glob — shared by the three *Stream entry points. */
+  private def eventsFileStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema(spark, dir))
+      .option("pathGlobFilter", "events.parquet") // single-file source: stream the parent dir
+      .parquet(dir)
 
   final case class Ev(event_id: Long, ts_ns: Long, user_id: Long, value: Double)
   final case class SessState(lastTs: Long, sessions: Long, events: Long)
@@ -47,21 +80,16 @@ object EventStreams {
     * watermark is Spark's documented no-op, so the same function is its own
     * batch oracle. */
   def tumblingAgg(events: DataFrame): DataFrame =
-    events
-      .withColumn("ts_us", timestamp_micros(expr("ts_ns div 1000")))
-      .withWatermark("ts_us", "2 hours")
+    withEventTime(events)
       .groupBy(col("user_id"), window(col("ts_us"), "1 hour"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(round(col("value") * 100, 0).cast("long")).cast("double") / 100.0, 4).as("sum_value"))
+        sumCents)
       .select(col("user_id"), col("window.start").as("win_start"), col("n_events"), col("sum_value"))
 
   /** Streaming tumbling 1-hour window counts per user. */
   def tumblingStream(spark: SparkSession, dir: String): DataFrame =
     tumblingAgg(tsNsProjection(
-      spark.readStream
-        .schema(eventsSchema(spark, dir))
-        .option("pathGlobFilter", "events.parquet") // single-file source: stream the parent dir
-        .parquet(dir)))
+      eventsFileStream(spark, dir)))
 
   /** The sliding (2 h window / 1 h slide) twin of [[tumblingAgg]] and batch
     * t95: each event lands in exactly 2 overlapping windows (constant
@@ -70,12 +98,10 @@ object EventStreams {
     * 2 h + 2 h of open windows. Same function is its own batch oracle
     * (watermark is a no-op on a batch frame). */
   def slidingAgg(events: DataFrame): DataFrame =
-    events
-      .withColumn("ts_us", timestamp_micros(expr("ts_ns div 1000")))
-      .withWatermark("ts_us", "2 hours")
+    withEventTime(events)
       .groupBy(window(col("ts_us"), "2 hours", "1 hour"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(round(col("value") * 100, 0).cast("long")).cast("double") / 100.0, 4).as("sum_value"))
+        sumCents)
       .select(col("window.start").as("win_start"), col("n_events"), col("sum_value"))
 
   /** Exactly-once over a NON-transactional sink via idempotent foreachBatch:
@@ -107,30 +133,22 @@ object EventStreams {
     * watermark passes its end — the streaming lifecycle q19's lag+cumsum
     * shape cannot express. */
   def sessionWindowAgg(events: DataFrame): DataFrame =
-    events
-      .withColumn("ts_us", timestamp_micros(expr("ts_ns div 1000")))
-      .withWatermark("ts_us", "2 hours")
+    withEventTime(events)
       .groupBy(col("user_id"), session_window(col("ts_us"), "30 minutes").as("sw"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(round(col("value") * 100, 0).cast("long")).cast("double") / 100.0, 4).as("sum_value"))
+        sumCents)
       .select(col("user_id"), col("sw.start").as("sess_start"),
         col("sw.end").as("sess_end"), col("n_events"), col("sum_value"))
 
   /** Streaming native session windows over the events file stream. */
   def sessionStream(spark: SparkSession, dir: String): DataFrame =
     sessionWindowAgg(tsNsProjection(
-      spark.readStream
-        .schema(eventsSchema(spark, dir))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)))
+      eventsFileStream(spark, dir)))
 
   /** Streaming sliding-window counts over the events file stream. */
   def slidingStream(spark: SparkSession, dir: String): DataFrame =
     slidingAgg(tsNsProjection(
-      spark.readStream
-        .schema(eventsSchema(spark, dir))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)))
+      eventsFileStream(spark, dir)))
 
   /** Per-user session counting with explicit keyed state — the streaming twin
     * of q19's lag + cumulative-sum. In batch mode Spark runs the same
@@ -170,11 +188,19 @@ object EventStreams {
     * a year-long stream. A user who returns after eviction starts a fresh
     * session from zero (proven in StreamingSpec), exactly what
     * re-keying-by-epoch would give a batch recompute.
+    *
+    * `lateness` is the watermark delay: cross-micro-batch disorder within
+    * it is tolerated (a zero delay silently DROPS any event older than the
+    * watermark — correct only for perfectly ordered replays), at the price
+    * of evictions lagging by the same bound.
     */
-  def sessionCountsEvicting(spark: SparkSession, events: Dataset[EvT]): Dataset[SessFinal] = {
+  def sessionCountsEvicting(
+      spark: SparkSession,
+      events: Dataset[EvT],
+      lateness: String = "2 hours"): Dataset[SessFinal] = {
     import spark.implicits._
     events
-      .withWatermark("ts_us", "0 seconds")
+      .withWatermark("ts_us", lateness)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessFinal](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -192,8 +218,11 @@ object EventStreams {
             }
             state.update(st)
             // evict when the watermark passes the session gap after the
-            // last event (ns → ms; GapNs is minute-granular so exact)
-            state.setTimeoutTimestamp(st.lastTs / 1000000L + GapNs / 1000000L)
+            // last event. ns → ms rounds UP: flooring lastTs would fire the
+            // timeout up to 999 µs early, so a boundary event the gap rule
+            // assigns to the SAME session (ts == lastTs + gap exactly)
+            // could find its state already evicted on µs-granular data
+            state.setTimeoutTimestamp((st.lastTs + GapNs + 999999L) / 1000000L)
             Iterator(SessFinal(user, st.sessions, st.events, closed = false))
           }
       }
@@ -249,9 +278,7 @@ object EventStreams {
     */
   def dedupEventsStream(spark: SparkSession, events: Dataset[Ev]): Dataset[Ev] = {
     import spark.implicits._
-    events
-      .withColumn("ts_us", timestamp_micros(expr("ts_ns div 1000")))
-      .withWatermark("ts_us", "2 hours")
+    withEventTime(events.toDF())
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("ts_ns"), col("user_id"), col("value"))
       .as[Ev]
@@ -302,7 +329,7 @@ object EventStreams {
 
   def eventsDataset(spark: SparkSession, dir: String): Dataset[Ev] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosConf(spark)
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.select(col("event_id"), graft.Tables.tsNs(raw.schema).as("ts_ns"),
         col("user_id"), col("value"))

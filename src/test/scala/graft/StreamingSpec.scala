@@ -422,6 +422,35 @@ class StreamingSpec extends SparkTestBase {
     assert(storeDocs == idxDocs, s"shingle store must track the index: $storeDocs")
   }
 
+  test("self-maintaining admission cold-starts on an EMPTY corpus (no pre-seeded tables)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocStreams
+
+    // no writeBandIndex/writeShingleStore bootstrap: batch 0 must probe an
+    // empty index (admit everything) instead of dying on a missing table,
+    // and batch 1 must then dedup against batch 0's appended signatures
+    val base = java.nio.file.Files.createTempDirectory("graft_coldadm").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_coldadm_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_coldadm_ckpt").toString
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val input = MemoryStream[(Long, String)]
+    val q = DocStreams.selfMaintainingAdmissionStream(
+      input.toDS().toDF("doc_id", "text"),
+      "coldadm_idx", s"$base/idx", "coldadm_sh", s"$base/sh", out, ckpt)
+    try {
+      input.addData((1L, body))
+      q.processAllAvailable()
+      input.addData((2L, body))
+      q.processAllAvailable()
+    } finally q.stop()
+    val v = spark.read.parquet(out)
+      .select("doc_id", "admitted").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(v == Map(1L -> true, 2L -> false),
+      s"cold start must admit batch 0 and reject its batch-1 duplicate: $v")
+  }
+
   test("streaming SCD2 maintenance emits exactly batch t115's closed versions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
