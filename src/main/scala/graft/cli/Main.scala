@@ -42,20 +42,33 @@ object Main {
         try {
           val plan = Planner.plan(spark, cfg)
           if (cfg.exportOnly) {
-            // plan-only surface (op 19): expose planned work, skip execution
-            println(s"planned ${plan.sourceFilesForTransfer.length} file copies")
+            // plan-only surface (op 19): WRITE the parquet plan manifest
+            // (the whole point of export-only — plan now, execute later,
+            // possibly from another process) and report a DISTRIBUTED
+            // count: the driver-side sourceFilesForTransfer cap exists for
+            // exactly the >1M-file plans this flag is recommended for, so
+            // it must not be on this path
+            val out = cfg.exportPath.getOrElse(s"${cfg.dst}/_graft_plan")
+            Planner.savePlan(plan, out)
+            val nFiles = plan.tasks.filter(!_.src.isDir).count()
+            println(s"planned $nFiles file copies; plan exported to $out")
             0
           } else {
             val stats = Executor.execute(spark, plan, cfg)
             println(
               s"COPY=${stats.copied} SKIP=${stats.skipped} FAIL=${stats.failed} " +
                 s"DIR=${stats.dirs} BYTESCOPIED=${stats.bytesCopied}")
-            if (stats.failed > 0 && !cfg.ignoreFailures) -999 else 0
+            // failures without -i surface as CopyFailedException below;
+            // with -i the run reports and exits 0 by contract
+            0
           }
         } catch {
           case e: DuplicationException =>
             System.err.println(s"graft-copy: ${e.getMessage}")
             -2
+          case e: graft.core.CopyFailedException =>
+            System.err.println(s"graft-copy: ${e.getMessage}")
+            -999
           case e: IOException =>
             System.err.println(s"graft-copy: ${e.getMessage}")
             -3
@@ -64,6 +77,35 @@ object Main {
             -999
         }
     }
+
+  /** Split a `-f` script on statement-separating semicolons ONLY: a naive
+    * split(';') cuts inside string literals (`split_part(tag, ';', 1)`),
+    * corrupting valid SQL. Tracks single/double-quoted runs with doubled
+    * quotes ('' / "") as escapes — the SQL dialects the CLI fronts. */
+  private[graft] def splitSqlScript(script: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    while (i < script.length) {
+      val ch = script.charAt(i)
+      if (quote != 0) {
+        cur.append(ch)
+        if (ch == quote) {
+          if (i + 1 < script.length && script.charAt(i + 1) == quote) {
+            cur.append(quote); i += 1 // doubled quote = escaped, stay quoted
+          } else quote = 0
+        }
+      } else ch match {
+        case '\'' | '"' => quote = ch; cur.append(ch)
+        case ';' => out += cur.toString; cur.clear()
+        case c => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   /** `-sql` mode: <dir> then any mix of `-e <stmt>` / `-f <script>`.
     * Statements run in order; the first failure stops the run (-999), a
@@ -84,7 +126,7 @@ object Main {
               case e: IOException => Left(s"cannot read -f $path: ${e.getMessage}")
             }
           read.flatMap(script =>
-            parse(tail, acc ++ script.split(';').map(_.trim).filter(_.nonEmpty)))
+            parse(tail, acc ++ splitSqlScript(script)))
         case other +: _ => Left(s"unexpected argument '$other' (want -e/-f)")
       }
     argv match {

@@ -24,6 +24,11 @@ object Args {
         case "-skipcrccheck" => c = c.copy(skipCrc = true)
         case "-skiptscheck" => c = c.copy(skipTs = true)
         case "-exportOnly" => c = c.copy(exportOnly = true)
+        case "-exportPath" =>
+          next("-exportPath") match {
+            case Left(e) => err = Some(e)
+            case Right(v) => c = c.copy(exportPath = Some(v))
+          }
         case s if s.startsWith("-p") && s != "-p" =>
           FileAttribute.parse(s.drop(2)) match {
             case Left(e) => err = Some(e)

@@ -76,6 +76,7 @@ final case class CopyConfig(
     maxTasks: Int = 0, // 0 = derive from totalBytes / bytesPerTask
     bytesPerTask: Long = 256L * 1024 * 1024, // BYTES_PER_MAP, DistCPPlus.java:101
     exportOnly: Boolean = false,
+    exportPath: Option[String] = None, // -exportPath <dir>: parquet plan manifest target
     flatRegex: Option[String] = None, // -rg  <src/regex>   (Arguments.java:184-201)
     depthRegexes: Seq[String] = Nil, // -regexPath segments (Arguments.java:363-437)
     fileList: Option[String] = None, // -f <urilist>        (DistCpUtils.java:378-394)
@@ -85,3 +86,7 @@ final case class CopyConfig(
 
 /** Two sources map to one destination (DuplicationException.java; exit -2). */
 final class DuplicationException(msg: String) extends RuntimeException(msg)
+
+/** Per-file copy failures without -i (exit -999, DistCPPlus.java:307-333) —
+  * typed so the CLI can distinguish them from remote-FS IOExceptions (-3). */
+final class CopyFailedException(msg: String) extends RuntimeException(msg)

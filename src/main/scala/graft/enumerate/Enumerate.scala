@@ -88,9 +88,14 @@ object Enumerate {
     acc
   }
 
-  /** `-f <urilist>`: newline-delimited URI list (DistCpUtils.java:378-394). */
-  def fileList(spark: SparkSession, uri: String): Dataset[String] =
-    spark.read.textFile(uri).filter(_.trim.nonEmpty)
+  /** `-f <urilist>`: newline-delimited URI list (DistCpUtils.java:378-394).
+    * Lines are TRIMMED, not just emptiness-filtered: a CRLF list authored
+    * on Windows otherwise yields paths with a trailing \r that fail
+    * getFileStatus for files that exist. */
+  def fileList(spark: SparkSession, uri: String): Dataset[String] = {
+    import spark.implicits._
+    spark.read.textFile(uri).map(_.trim).filter(_.nonEmpty)
+  }
 
   /** `-rg` flat source selection — all three reference branches
     * (Arguments.java:184-201 parse; 306-346 getFilePaths). The combined path
@@ -130,7 +135,13 @@ object Enumerate {
         spark.createDataset(Seq(toMeta(s)))
       case None =>
         val idx = dirAndPattern.lastIndexOf('/')
-        val (dir, pattern) = (dirAndPattern.take(idx), dirAndPattern.drop(idx + 1))
+        // no '/' at all (relative pattern with no parent): branch 4 — the
+        // reference returns the empty selection; new Path("") would throw
+        if (idx < 0) return spark.emptyDataset[FileMeta]
+        // idx == 0 is a root-level pattern ("/part.*"): the parent is "/",
+        // not the empty string new Path rejects
+        val dir = if (idx == 0) "/" else dirAndPattern.take(idx)
+        val pattern = dirAndPattern.drop(idx + 1)
         if (!f.exists(new Path(dir))) spark.emptyDataset[FileMeta]
         else
           listLevel(spark, spark.createDataset(Seq(dir))).filter { m =>
@@ -164,6 +175,29 @@ object Enumerate {
       m.isDir && relSegs(m).exists(s => s.length < compiled.length && prefixMatches(s))
     }
     (leaves, touched)
+  }
+
+  /** The `-regexPath` FILE selection [[graft.plan.Planner]] copies: leaf
+    * files at exactly `regexes.length` matching segments PLUS every file
+    * underneath a matched directory — one distributed filter over the tree
+    * [[depthRegex]]'s BFS already enumerated, with no driver-side dir
+    * collection and no per-dir re-walk. */
+  def depthRegexFiles(
+      spark: SparkSession,
+      root: String,
+      regexes: Seq[String],
+  ): Dataset[FileMeta] = {
+    val compiled = regexes.map(Pattern.compile(_))
+    val len = compiled.length
+    val tree = listTree(spark, root)
+    val qRoot = qualify(root)
+    tree.filter { m =>
+      !m.isDir && PathUtils.makeRelative(qRoot, m.path).filter(_ != ".").exists { rel =>
+        val segs = rel.split('/')
+        segs.length >= len &&
+          segs.take(len).zip(compiled).forall { case (s, p) => p.matcher(s).matches() }
+      }
+    }
   }
 
   /** Batched metadata fetch (FileStatusClusterOptimizer.java:33-147): group

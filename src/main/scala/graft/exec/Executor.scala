@@ -79,8 +79,13 @@ object Executor {
     val sfs = srcPath.getFileSystem(conf)
     try {
       if (task.src.isDir) {
-        dfs.mkdirs(dstPath)
-        CopyResult(task.relDst, task.src.path, "DIR", 0L, "")
+        // mkdirs returns false (or throws) when the destination exists as a
+        // FILE — swallowing it would report DIR success while every child
+        // copy then fails confusingly under a file "directory"
+        if (!dfs.mkdirs(dstPath) && !dfs.getFileStatus(dstPath).isDirectory)
+          CopyResult(task.relDst, task.src.path, "FAIL", 0L,
+            s"cannot create directory: $dstPath exists and is not a directory")
+        else CopyResult(task.relDst, task.src.path, "DIR", 0L, "")
       } else if (!cfg.overwrite && cfg.update && sameAtCopyTime(sfs, srcPath, dfs, dstPath, task, cfg)) {
         // plan-time vs copy-time checks are intentionally redundant: files
         // change between plan and execute (SURVEY.md §2.2).
@@ -192,13 +197,22 @@ object Executor {
     val copyFn = resolveCopyFunction(cfg)
     val bucketed = graft.plan.Planner.assignBuckets(planned.tasks, numBuckets)
     val tRun0 = System.nanoTime()
-    val results: Dataset[CopyResult] = bucketed
-      .repartition(numBuckets, org.apache.spark.sql.functions.col("_2"))
-      .mapPartitions { iter =>
+    // IDENTITY partitioner, not repartition(n, col): hash-partitioning the
+    // bucket id collides distinct buckets into one task (≈1/e of partitions
+    // empty at scale) and the equal-bytes-per-task packing the bucketer
+    // just computed is destroyed — bucket i must BE partition i
+    val partitioned = bucketed.rdd
+      .map { case (task, b) => (b, task) }
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = numBuckets
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+    val results: Dataset[CopyResult] = spark.createDataset(
+      partitioned.mapPartitions { iter =>
         val c = Fs.conf()
         val attempt = Option(TaskContext.get()).map(_.taskAttemptId().toString).getOrElse("0")
-        iter.map { case (task, _) => copyFn(c, task, dstRoot, cfg, attempt) }
-      }
+        iter.map { case (_, task) => copyFn(c, task, dstRoot, cfg, attempt) }
+      })
       .localCheckpoint()
 
     // ONE aggregation pass over the checkpointed results for every counter
@@ -218,7 +232,9 @@ object Executor {
       results.filter(_.status == "FAIL").take(10)
         .foreach(r => System.err.println(s"FAIL ${r.relDst} : ${r.error}"))
       if (!cfg.ignoreFailures)
-        throw new IOException(s"$nFailed copy failures (use -i to ignore)")
+        // typed, not a plain IOException: the CLI maps copy failures to the
+        // reference's -999, while IOExceptions map to -3 (remote FS errors)
+        throw new CopyFailedException(s"$nFailed copy failures (use -i to ignore)")
     }
 
     val tCleanup0 = System.nanoTime()

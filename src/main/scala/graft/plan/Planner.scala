@@ -75,11 +75,12 @@ object Planner {
     val metas: Dataset[FileMeta] = cfg.depthRegexes match {
       case Nil => Enumerate.listTree(spark, root)
       case rx =>
-        val (leaves, _) = Enumerate.depthRegex(spark, root, rx)
-        // leaves may be dirs: expand each matched dir to its full subtree
-        val dirs = leaves.filter(_.isDir).collect()
-        dirs.foldLeft(leaves.filter(!_.isDir))((acc, d) =>
-          acc.union(Enumerate.listTree(spark, d.path).filter(!_.isDir)))
+        // ONE distributed filter over the tree depthRegex already walked:
+        // leaf files plus every file under a matched dir, selected by
+        // segment-prefix match. The former collect()-the-dirs + one
+        // listTree re-walk per matched dir was an unbounded driver loop
+        // re-enumerating subtrees the BFS had just listed.
+        Enumerate.depthRegexFiles(spark, root, rx)
     }
     metas.flatMap { m =>
       PathUtils.makeRelative(qRoot, m.path).flatMap { rel =>
@@ -320,14 +321,20 @@ object Planner {
     val total = offsets.last
     val target = math.max(total / n, 1L)
     val bOffsets = spark.sparkContext.broadcast(offsets)
-    ranged.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var cum = bOffsets.value(pid)
-      it.map { t =>
-        cum += weight(t)
-        (t, (math.max(cum - 1, 0L) / target).toInt)
-      }
-    }
+    // rdd.mapPartitionsWithIndex, NOT Dataset.mapPartitions +
+    // TaskContext.getPartitionId — the documented applyLimits hazard: a
+    // later union/coalesce merging this into a wider stage offsets the
+    // TASK partition ids and they stop indexing bOffsets.
+    // The bucket clamps to n-1: when total % n != 0, (total-1)/target
+    // reaches n on the last file and would mint an n+1th bucket.
+    spark.createDataset(
+      ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var cum = bOffsets.value(pid)
+        it.map { t =>
+          cum += weight(t)
+          (t, math.min((math.max(cum - 1, 0L) / target).toInt, n - 1))
+        }
+      })
   }
 
   /** Plan serialization (ref §3.3 `generateConf` / export-only: plan now,
@@ -369,9 +376,14 @@ object Planner {
     // bypassing applyLimits when updating.
     val limited =
       if (cfg.update) all else applyLimits(all, cfg.fileLimit, cfg.sizeLimit)
+    // dup-check BEFORE the update diff, on the full admitted manifest (the
+    // reference checks the listing, DistCpUtils.java:84-110): diffing first
+    // would hide a collision whenever one colliding source is currently
+    // up to date at the destination — the copy then silently overwrites and
+    // the two sources ping-pong the destination between runs with exit 0
+    checkDuplication(limited)
     val diffed =
       if (cfg.update) updateDiff(limited, cfg.dst, cfg.skipTs, cfg.skipCrc) else limited
-    checkDuplication(diffed)
     val deletes =
       if (cfg.delete) deleteTargets(spark, all, cfg.dst) else spark.emptyDataset[String]
     CopyPlan(

@@ -344,6 +344,70 @@ class CopyLayerSpec extends SparkTestBase {
     assert(!Files.exists(dst))
   }
 
+  test("CLI -exportOnly actually writes the parquet plan manifest") {
+    val base = tmpDir("export")
+    val src = mkTree(base.resolve("src"))
+    val dst = base.resolve("out")
+    val planDir = base.resolve("plan").toString
+    assert(graft.cli.Main.run(
+      Array("-exportOnly", "-exportPath", planDir, src.toString, dst.toString), spark) == 0)
+    assert(!Files.exists(dst), "export-only must not copy")
+    // the exported manifest round-trips and executes later (plan now,
+    // execute later — the reference's generateConf surface)
+    val reloaded = Planner.loadPlan(spark, planDir)
+    assert(reloaded.tasks.filter(!_.src.isDir).count() == 8)
+    val cfg = Args.parse(Seq(src.toString, dst.toString)).toOption.get
+    Executor.execute(spark, reloaded, cfg)
+    assert(treeListing(src) == treeListing(dst))
+  }
+
+  test("duplicate destinations are rejected even when one source is up to date (-update)") {
+    // dup-check must run on the PRE-diff manifest: sync x/data to dst first,
+    // then plan an -update from BOTH x/data and y/data — x's file is now up
+    // to date (diff would drop it), but the two roots still collide on
+    // data/f and the reference contract is exit -2, not a silent overwrite
+    // that ping-pongs dst between runs.
+    val base = tmpDir("dupdiff")
+    val x = base.resolve("x/data"); val y = base.resolve("y/data")
+    Files.createDirectories(x); Files.createDirectories(y)
+    Files.write(x.resolve("f"), "from-x".getBytes(StandardCharsets.UTF_8))
+    Files.write(y.resolve("f"), "from-y!".getBytes(StandardCharsets.UTF_8))
+    val dst = base.resolve("dst")
+    runCopy(Seq("-pt"), x, dst.resolve("data"))
+    assert(graft.cli.Main.run(
+      Array("-update", "-pt", x.toString, y.toString, dst.toString), spark) == -2)
+  }
+
+  test("a destination dir colliding with an existing FILE fails loud, exit -999") {
+    val base = tmpDir("dirfile")
+    val src = base.resolve("s"); Files.createDirectories(src.resolve("a"))
+    Files.write(src.resolve("a/child"), "x".getBytes(StandardCharsets.UTF_8))
+    val dst = base.resolve("d"); Files.createDirectories(dst)
+    Files.write(dst.resolve("a"), "i am a file".getBytes(StandardCharsets.UTF_8))
+    // mkdirs(dst/a) cannot succeed: the dir task must report FAIL (not a
+    // silent DIR success over a file) and the run must exit -999 without -i
+    assert(graft.cli.Main.run(Array(src.toString, dst.toString), spark) == -999)
+  }
+
+  test("file lists tolerate CRLF and padded lines (-f)") {
+    val base = tmpDir("flist-crlf")
+    val src = mkTree(base.resolve("src"))
+    val lst = base.resolve("uris.txt")
+    Files.write(lst, s"$src/a.txt\r\n  $src/sub1  \r\n".getBytes(StandardCharsets.UTF_8))
+    val dst = base.resolve("out")
+    val cfg = Args.parse(Seq("-f", lst.toString, dst.toString)).toOption.get
+    Executor.execute(spark, Planner.plan(spark, cfg), cfg)
+    val files = treeListing(dst).filter(_._2 >= 0).keySet
+    assert(files == Set("a.txt", "sub1/b.log", "sub1/deep/c.dat"),
+      "trailing \\r / padding must be trimmed, not break getFileStatus")
+  }
+
+  test("flat regex with no slash and no such file yields the empty selection") {
+    // reference branch 4: a missing parent is an empty set, not a crash —
+    // and a relative pattern with no '/' must not build Path(\"\")
+    assert(graft.enumerate.Enumerate.flatRegex(spark, "part.*").isEmpty)
+  }
+
   test("file-list source (-f)") {
     val base = tmpDir("flist")
     val src = mkTree(base.resolve("src"))
@@ -407,11 +471,19 @@ class CopyLayerSpec extends SparkTestBase {
     val maxFile = tasks.map(_.src.length).max
     // every bucket except possibly the last stays within target + one file
     weights.foreach { case (_, w) => assert(w <= target + maxFile) }
-    // assignment is in global relDst order: same task -> same bucket as exact cumsum
+    // assignment is in global relDst order: same task -> same bucket as exact
+    // cumsum, CLAMPED to n-1 (when total % n != 0 the raw (cum-1)/target
+    // reaches n on the last file — an n+1th bucket the executor's identity
+    // partitioner would reject)
     val sorted = tasks.sortBy(_.relDst)
     var cum = 0L
-    val expect = sorted.map { t => cum += t.src.length; (t.relDst, ((cum - 1).max(0L) / math.max(target, 1L)).toInt) }.toMap
+    val expect = sorted.map { t =>
+      cum += t.src.length
+      (t.relDst, math.min(((cum - 1).max(0L) / math.max(target, 1L)).toInt, n - 1))
+    }.toMap
     assigned.foreach { case (t, b) => assert(b == expect(t.relDst), s"${t.relDst}") }
+    assert(assigned.forall { case (_, b) => b >= 0 && b < n },
+      "bucket ids must index the executor's identity partitioner")
   }
 
   test("update with CRC pass (null local checksums => same) still skips") {

@@ -76,4 +76,19 @@ class SqlCliSpec extends SparkTestBase {
     assert(lines(lines.indexOf("regions") + 1) == "5")
     assert(lines(lines.indexOf("nations") + 1) == "25")
   }
+
+  test("script splitting respects semicolons inside string literals") {
+    // a naive split(';') would cut inside the literal and corrupt the
+    // statement; doubled quotes must stay inside their literal too
+    val f = java.nio.file.Files.createTempFile("graft_sql_lit", ".sql")
+    java.nio.file.Files.writeString(f,
+      """SELECT split(r_name, ';')[0] AS piece FROM region WHERE r_regionkey = 0;
+        |SELECT 'don''t;split' AS s FROM region WHERE r_regionkey = 0;""".stripMargin)
+    val (code, lines) = runCli("-sql", dir, "-f", f.toString)
+    assert(code == 0, s"script with ';' in literals must parse: $lines")
+    assert(lines.contains("don't;split"), s"got $lines")
+    // and the splitter itself, directly
+    val parts = graft.cli.Main.splitSqlScript("SELECT 'a;b' AS x; SELECT \"q;\"\";\" FROM t;")
+    assert(parts == Seq("SELECT 'a;b' AS x", "SELECT \"q;\"\";\" FROM t"), s"got $parts")
+  }
 }
