@@ -70,13 +70,30 @@ object Tables {
 
   /** events with `ts_ns: Long` (raw epoch ns) and `ts_us: Timestamp` (µs). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
+    // the nanosAsLong legacy flag is flipped ONLY when the footer actually
+    // carries the TIMESTAMP(NANOS) physical layout (the read fails without
+    // it) — a session reading µs-layout events keeps its conf untouched,
+    // so a library caller's unrelated NANOS parquet reads still fail loud
+    // the way they expect. Once set it stays set (Spark captures the conf
+    // into the scan at planning, so a restore would break THIS read).
+    val raw =
+      try table(s, d, "events")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if !java.lang.Boolean.parseBoolean(
+              s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")) =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          table(s, d, "events")
+      }
     val cols = raw.columns.map {
       case "ts" => tsNs(raw.schema).as("ts_ns")
       case c    => col(c)
     }
     raw.select(cols.toIndexedSeq: _*)
-      .withColumn("ts_us", timestamp_micros(expr("ts_ns div 1000")))
+      // FLOOR division ns → µs: `div` truncates toward zero, which rounds
+      // a pre-1970 (negative) timestamp UP by 1 µs; post-1970 values are
+      // unaffected by the correction term
+      .withColumn("ts_us", timestamp_micros(
+        expr("(ts_ns div 1000) - (CASE WHEN ts_ns % 1000 < 0 THEN 1 ELSE 0 END)")))
   }
 }

@@ -83,7 +83,27 @@ case class TopKPerKeyExec(
       // generated comparator; "smaller" = earlier in the requested order,
       // i.e. would receive a smaller row_number
       val ord = new LazilyGeneratedOrdering(orderLocal, attrs)
-      val keyGen = UnsafeProjection.create(keysLocal, attrs)
+      // float/double keys normalize -0.0 → 0.0 before byte-wise grouping:
+      // NormalizeFloatingNumbers only rewrites the keys of operators it
+      // knows (Aggregate/Window/Join), never a custom node, and UnsafeRow
+      // equality is raw bytes — without this a DoubleType key holding both
+      // zeros splits one SQL-equal key into two heaps (2k rows emitted)
+      val normKeys = keysLocal.map { e =>
+        e.dataType match {
+          case org.apache.spark.sql.types.FloatType =>
+            org.apache.spark.sql.catalyst.expressions.If(
+              org.apache.spark.sql.catalyst.expressions.EqualTo(
+                e, org.apache.spark.sql.catalyst.expressions.Literal(-0.0f)),
+              org.apache.spark.sql.catalyst.expressions.Literal(0.0f), e)
+          case org.apache.spark.sql.types.DoubleType =>
+            org.apache.spark.sql.catalyst.expressions.If(
+              org.apache.spark.sql.catalyst.expressions.EqualTo(
+                e, org.apache.spark.sql.catalyst.expressions.Literal(-0.0d)),
+              org.apache.spark.sql.catalyst.expressions.Literal(0.0d), e)
+          case _ => e
+        }
+      }
+      val keyGen = UnsafeProjection.create(normKeys, attrs)
       // max-heap per key: head = currently-worst kept row, evicted first.
       // Retained memory is #keys-in-partition × k rows and is NOT tracked
       // by TaskMemoryManager (no spill path) — the operator's contract is
@@ -93,8 +113,14 @@ case class TopKPerKeyExec(
       // formulation (which spills) instead.
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       iter.foreach { row =>
-        val heap = heaps.getOrElseUpdate(
-          keyGen(row).copy(), {
+        // look up with the REUSED projection output (UnsafeRow hash/equals
+        // are byte-based); copy the key only on first insert — copying per
+        // row paid an allocation + memcpy per input row just to probe the
+        // map on the hot path
+        val probe = keyGen(row)
+        val heap = heaps.getOrElse(probe, null) match {
+          case h if h != null => h
+          case _ =>
             if (heaps.size >= maxKeys)
               throw new IllegalStateException(
                 s"TopKPerKey: over $maxKeys distinct keys in one partition " +
@@ -102,8 +128,10 @@ case class TopKPerKeyExec(
                   "keys×k rows un-spillably — raise -Dgraft.topk.maxKeysPerPartition, " +
                   "repartition finer on the keys, or use the Window row_number " +
                   "formulation, which spills")
-            mutable.PriorityQueue.empty[InternalRow](ord)
-          })
+            val h = mutable.PriorityQueue.empty[InternalRow](ord)
+            heaps.put(probe.copy(), h)
+            h
+        }
         if (heap.size < kLocal) heap.enqueue(row.copy())
         else if (ord.compare(row, heap.head) < 0) {
           heap.dequeue()

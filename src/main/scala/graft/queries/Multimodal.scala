@@ -118,14 +118,22 @@ object Multimodal {
       .option("pathGlobFilter", "*.grft")
       .load(dir)
       .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.grft$", 1).as("__digits"),
+        col("path"), col("content"))
+      .select(
         // a .grft file outside the doc_<id>.grft naming contract fails
         // LOUDLY by path (quarantine semantics, same as a corrupt header)
-        // instead of yielding a null id that NPEs namelessly downstream
-        when(regexp_extract(col("path"), "doc_(\\d+)\\.grft$", 1) === "",
+        // instead of yielding a null id that NPEs namelessly downstream.
+        // try_cast, not cast: a digit run overflowing Long would satisfy
+        // the regexp but null out under a plain cast (ANSI off), slipping
+        // the exact nameless-null this guard exists to stop — try_cast
+        // nulls deterministically in BOTH ANSI modes and the null lands in
+        // the raise_error arm with the path in the message
+        when(col("__digits") === "" || expr("try_cast(__digits AS BIGINT)").isNull,
           raise_error(concat(
             lit("not a doc_<id>.grft file (rename or exclude it): "), col("path")))
             .cast("long"))
-          .otherwise(regexp_extract(col("path"), "doc_(\\d+)\\.grft$", 1).cast("long"))
+          .otherwise(expr("try_cast(__digits AS BIGINT)"))
           .as("doc_id"),
         col("content").as("payload"))
 
@@ -161,7 +169,8 @@ object Multimodal {
     // scan stays inside whole-stage codegen and prunes to (doc_id, payload).
     Q(
       "m35_binary_meta",
-      (s, d) =>
+      (s, d) => {
+        val bodyLen = u8(11) + u8(12) * 256 + u8(13) * 65536 + u8(14) * 16777216
         mediaPayload(s, d)
           .filter(u8(1) === 71 && u8(2) === 82 && u8(3) === 70 && u8(4) === 84 &&
             u8(5) === 1) // 'G','R','F','T', version 1
@@ -171,10 +180,10 @@ object Multimodal {
             (u8(6) + u8(7) * 256).as("width"),
             (u8(8) + u8(9) * 256).as("height"),
             u8(10).as("channels"),
-            (u8(11) + u8(12) * 256 + u8(13) * 65536 + u8(14) * 16777216).as("body_len"),
-            ((u8(11) + u8(12) * 256 + u8(13) * 65536 + u8(14) * 16777216) % 16 + 1)
-              .as("n_frames"))
-          .orderBy("doc_id"),
+            bodyLen.as("body_len"),
+            (bodyLen % 16 + 1).as("n_frames"))
+          .orderBy("doc_id")
+      },
       // The oracle predicts the header from the generator contract (it sees
       // only `text`); the Spark side parses the actual bytes. ASCII corpus:
       // octet_length(encode(text)) is the body length.

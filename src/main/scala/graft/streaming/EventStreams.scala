@@ -51,7 +51,10 @@ object EventStreams {
     * prologue of every windowed agg here; ONE definition so the watermark
     * delay cannot silently diverge between operators. */
   private def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("ts_us", timestamp_micros(expr("ts_ns div 1000")))
+    // floor division like Tables.events: `div` truncates toward zero,
+    // rounding pre-1970 nanos up a microsecond
+    df.withColumn("ts_us", timestamp_micros(
+        expr("(ts_ns div 1000) - (CASE WHEN ts_ns % 1000 < 0 THEN 1 ELSE 0 END)")))
       .withWatermark("ts_us", "2 hours")
 
   /** Deterministic money sum (integer-cents, order-independent under
@@ -312,11 +315,13 @@ object EventStreams {
     */
   def triggerFollowJoin(triggers: DataFrame, follows: DataFrame): DataFrame = {
     val t = triggers
-      .withColumn("t_us", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("t_us", timestamp_micros(
+        expr("(ts_ns div 1000) - (CASE WHEN ts_ns % 1000 < 0 THEN 1 ELSE 0 END)")))
       .withWatermark("t_us", "2 hours")
       .select(col("event_id").as("trigger_id"), col("user_id"), col("t_us"))
     val f = follows
-      .withColumn("f_us", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("f_us", timestamp_micros(
+        expr("(ts_ns div 1000) - (CASE WHEN ts_ns % 1000 < 0 THEN 1 ELSE 0 END)")))
       .withWatermark("f_us", "2 hours")
       .select(col("event_id").as("follow_id"), col("user_id").as("f_user"), col("f_us"))
     t.join(f,

@@ -65,6 +65,17 @@ class TopKSpec extends SparkTestBase {
     ext(se) // throws if any injection is malformed
   }
 
+  test("-0.0 and 0.0 double keys group as ONE key, like the window formulation") {
+    // UnsafeRow grouping is byte-wise and NormalizeFloatingNumbers never
+    // rewrites a custom node's keys; without the exec's own normalization
+    // the SQL-equal zeros split into two heaps and emit up to 2k rows
+    import spark.implicits._
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (-0.0, 4L)).toDF("key", "v")
+    val got = TopK.perKey(df, Seq("key"), Seq(col("v")), 2)
+      .select("v").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L), s"one merged zero-key must keep exactly k=2 rows: $got")
+  }
+
   test("k must be positive and ordering non-empty") {
     import spark.implicits._
     val df = Seq((1L, 1L)).toDF("k", "v")
