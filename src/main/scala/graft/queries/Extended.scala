@@ -1245,5 +1245,39 @@ object Extended {
              |  CAST(n_events AS BIGINT) AS n_events
              |FROM g ORDER BY user_id, ver""".stripMargin),
     ),
+
+    // ----- t132: per-user trajectory assembly (ordered sequence build) -----
+    // The sequence-assembly step an RL/SFT pipeline runs over raw logs:
+    // gather each user's events in time order into one training example —
+    // here the first-32-step action path plus full-history counts/value.
+    // Scale shape: ONE user-keyed partial-aggregated pass; the per-key
+    // state is collect_list bounded by per-user activity, and the emitted
+    // path is capped (slice 32) so a pathological power user cannot blow
+    // up the output row — the count/value aggregates still cover the full
+    // history. Ordering inside the group is (ts, event_id) with event_id
+    // unique, so sort_array over the struct is deterministic and matches
+    // the oracle's ORDER BY exactly. No window, no global sort — the
+    // orderBy is presentation-only on user-cardinality output.
+    Q(
+      "t132_trajectories",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            array_join(
+              slice(
+                transform(
+                  sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("event_type")))),
+                  e => e("event_type")),
+                1, 32),
+              ">").as("path"),
+            money(sum(cents(col("value")))).as("sum_value"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  array_to_string(list(event_type ORDER BY epoch_ns(ts) // 1000, event_id)[1:32], '>') AS path,
+             |  ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
   )
 }

@@ -1554,6 +1554,67 @@ object Text {
              |  CAST(rk // 8 AS BIGINT) AS pos_in_shard
              |FROM r ORDER BY doc_id""".stripMargin),
     ),
+
+    // ----- t128: BM25 keyword retrieval, top-20 -----
+    // The retrieval scorer a decontamination/eval-harvest pass runs over a
+    // corpus (Robertson-Spärck Jones BM25, k1=1.2, b=0.75): per-term
+    // tf saturation scaled by inverse document frequency and length
+    // normalization. Scale shape: the per-doc tf/dl pass is map-side
+    // codegen'd regexp counts; the corpus statistics (N, Σdl, per-term df)
+    // are ONE partial-agg'd pass collapsing to a 1-row scalar that rides a
+    // broadcast cross join back onto the docs; the top-20 executes as
+    // TakeOrdered (per-partition heaps), never a global sort. Cross-engine
+    // determinism: the raw idf ratio (N-df+0.5)/(df+0.5) replaces the
+    // usual ln() of it — monotone in the same argument, so ranking is
+    // UNCHANGED, and the whole score is +,*,/ over exact integers, each
+    // IEEE-correctly-rounded and written in the identical association in
+    // both engines (ln differs in the last ulp between libm and DuckDB).
+    // The term sum is a fixed 3-term left-to-right add, not an agg.
+    Q(
+      "t128_bm25_topk",
+      (s, d) => {
+        val tfd = Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            regexp_count(lower(col("text")), lit("[a-z]+")).cast("long").as("dl"),
+            regexp_count(lower(col("text")), lit("\\bhash\\b")).cast("long").as("tf_hash"),
+            regexp_count(lower(col("text")), lit("\\bjoin\\b")).cast("long").as("tf_join"),
+            regexp_count(lower(col("text")), lit("\\bmerge\\b")).cast("long").as("tf_merge"))
+        val g = tfd.agg(
+          count(lit(1)).as("n"),
+          sum(col("dl")).as("sumdl"),
+          sum(when(col("tf_hash") > 0, 1L).otherwise(0L)).as("df_hash"),
+          sum(when(col("tf_join") > 0, 1L).otherwise(0L)).as("df_join"),
+          sum(when(col("tf_merge") > 0, 1L).otherwise(0L)).as("df_merge"))
+        def term(tf: String, df: String): Column =
+          ((col("n") - col(df) + 0.5) / (col(df) + 0.5)) * (col(tf) * 2.2) /
+            (col(tf) + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") * col("n") / col("sumdl"))))
+        tfd.crossJoin(broadcast(g))
+          .select(col("doc_id"), col("dl"), col("tf_hash"), col("tf_join"), col("tf_merge"),
+            round(term("tf_hash", "df_hash") + term("tf_join", "df_join")
+              + term("tf_merge", "df_merge"), 4).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS dl,
+             |    CAST(len(regexp_extract_all(lower(text), '\bhash\b')) AS BIGINT) AS tf_hash,
+             |    CAST(len(regexp_extract_all(lower(text), '\bjoin\b')) AS BIGINT) AS tf_join,
+             |    CAST(len(regexp_extract_all(lower(text), '\bmerge\b')) AS BIGINT) AS tf_merge
+             |  FROM documents),
+             |g AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
+             |  CAST(SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash,
+             |  CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+             |  CAST(SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge FROM t)
+             |SELECT doc_id, dl, tf_hash, tf_join, tf_merge,
+             |  ROUND(
+             |    ((n - df_hash + 0.5) / (df_hash + 0.5)) * (tf_hash * 2.2) / (tf_hash + 1.2 * (0.25 + 0.75 * (dl * n / sumdl)))
+             |  + ((n - df_join + 0.5) / (df_join + 0.5)) * (tf_join * 2.2) / (tf_join + 1.2 * (0.25 + 0.75 * (dl * n / sumdl)))
+             |  + ((n - df_merge + 0.5) / (df_merge + 0.5)) * (tf_merge * 2.2) / (tf_merge + 1.2 * (0.25 + 0.75 * (dl * n / sumdl))), 4) AS bm25
+             |FROM t CROSS JOIN g
+             |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin),
+    ),
   )
 
 }
