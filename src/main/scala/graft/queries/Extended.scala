@@ -1279,5 +1279,50 @@ object Extended {
              |  ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),
+
+    // ----- t134: quantile estimation from a deterministic uniform sample -----
+    // The profiling primitive for columns too big to sort: a 256-row
+    // BOTTOM-K-BY-HASH sample (the k rows with the smallest 60-bit md5 of
+    // their unique event_id — a uniform row sample that, unlike
+    // reservoir sampling, is deterministic, mergeable, and rerun-stable)
+    // and the {p10, p50, p90} read off the sorted sample. Scale shape:
+    // bottom-k executes as TakeOrdered — per-partition heaps of 256, no
+    // global sort, no shuffle of the data column — and the quantile math
+    // runs on the 256-row sample only. Unlike approx_percentile (whose
+    // merge-order-dependent internals can't cross engines), every step
+    // here is exact integer/hash arithmetic, so the oracle reproduces the
+    // sample — and hence the estimates — bit-for-bit. Rank-error
+    // certification vs the true quantiles is in SampleQuantilesSpec.
+    Q(
+      "t134_sample_quantiles",
+      (s, d) => {
+        val smp = Tables.events(s, d)
+          .select(cents(col("value")).as("c"),
+            expr("cast(conv(substring(md5(cast(concat('qk:', cast(event_id as string)) as binary)), 1, 15), 16, 10) as bigint)")
+              .as("h"))
+          .orderBy(col("h"), col("c"))
+          .limit(256)
+        smp.agg(sort_array(collect_list(col("c"))).as("a"))
+          .select(explode(array(
+            struct(lit(0.1).as("q"), element_at(col("a"), 26).as("c"), size(col("a")).as("ns")),
+            struct(lit(0.5).as("q"), element_at(col("a"), 128).as("c"), size(col("a")).as("ns")),
+            struct(lit(0.9).as("q"), element_at(col("a"), 230).as("c"), size(col("a")).as("ns")))).as("e"))
+          .select(col("e.q").as("q"),
+            round(col("e.c") / 100.0, 4).as("est"),
+            col("e.ns").cast("long").as("n_sample"))
+          .orderBy("q")
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+             |h AS (SELECT c,
+             |    CAST(('0x' || substring(md5('qk:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+             |  FROM c),
+             |s AS (SELECT c FROM h ORDER BY h, c LIMIT 256),
+             |a AS (SELECT list(c ORDER BY c) AS a, COUNT(*) AS n FROM s)
+             |SELECT CAST(x.q AS DOUBLE) AS q, ROUND(a.a[x.i] / 100.0, 4) AS est,
+             |  CAST(a.n AS BIGINT) AS n_sample
+             |FROM a, (VALUES (0.1, 26), (0.5, 128), (0.9, 230)) AS x(q, i)
+             |ORDER BY q""".stripMargin),
+    ),
   )
 }

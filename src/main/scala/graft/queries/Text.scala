@@ -1615,6 +1615,37 @@ object Text {
              |FROM t CROSS JOIN g
              |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin),
     ),
+
+    // ----- t135: deterministic per-source inspection sample -----
+    // The eyeball-QA step of a curation run: pull a fixed handful of docs
+    // per SOURCE (stratified, so a tail source is never crowded out),
+    // chosen by smallest 60-bit md5 of doc_id — a uniform per-stratum
+    // sample that is deterministic and rerun-stable, so two reviewers (or
+    // two days) see the SAME docs. Runs on the native TopKPerKey exec
+    // (t90's operator): per-partition bounded heaps + one clustered
+    // exchange — no Window, no rank-everything-to-keep-8, no global sort.
+    // The oracle's ROW_NUMBER window is the semantics being replaced, not
+    // the plan.
+    Q(
+      "t135_source_sample",
+      (s, d) =>
+        graft.operators.TopK.perKey(
+            Tables.documents(s, d)
+              .select(col("source"), col("doc_id"),
+                expr("cast(conv(substring(md5(cast(concat('smp:', cast(doc_id as string)) as binary)), 1, 15), 16, 10) as bigint)")
+                  .as("h")),
+            Seq("source"),
+            Seq(col("h"), col("doc_id")),
+            k = 8)
+          .orderBy("source", "h", "doc_id"),
+      Some("""SELECT source, doc_id, h FROM (
+             |  SELECT source, doc_id,
+             |    CAST(('0x' || substring(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+             |      CAST(('0x' || substring(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 8 ORDER BY source, h, doc_id""".stripMargin),
+    ),
   )
 
 }
