@@ -1296,12 +1296,8 @@ object Extended {
     Q(
       "t134_sample_quantiles",
       (s, d) => {
-        val smp = Tables.events(s, d)
-          .select(cents(col("value")).as("c"),
-            expr("cast(conv(substring(md5(cast(concat('qk:', cast(event_id as string)) as binary)), 1, 15), 16, 10) as bigint)")
-              .as("h"))
-          .orderBy(col("h"), col("c"))
-          .limit(256)
+        val smp = graft.operators.BottomKSample
+          .sample(Tables.events(s, d), col("event_id"), cents(col("value")), k = 256, salt = "qk:")
         smp.agg(sort_array(collect_list(col("c"))).as("a"))
           .select(explode(array(
             struct(lit(0.1).as("q"), element_at(col("a"), 26).as("c"), size(col("a")).as("ns")),

@@ -340,4 +340,41 @@ object EventStreams {
         col("user_id"), col("value"))
       .as[Ev]
   }
+
+  /** Incremental bottom-k uniform sample — the live twin of the t134
+    * sampler and the EXECUTABLE proof of its mergeability claim: each
+    * micro-batch's bottom-k folds into the persisted sample via
+    * [[graft.operators.BottomKSample.merge]] (union → (h, c) dedup →
+    * re-cut at k), so after any arrival slicing the sample table equals
+    * the one-shot batch sample of everything seen — proven against the
+    * batch sampler in StreamingSpec. Replayed micro-batches are no-ops
+    * (the dedup half of merge), so the sink is idempotent under
+    * foreachBatch's at-least-once contract. The merged k rows are
+    * localCheckpoint-materialized BEFORE the overwrite, so the read and
+    * the rewrite of the same path never race. `events` must carry
+    * (event_id, value).
+    */
+  def sampleStream(events: DataFrame, k: Int, path: String, ckpt: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh = graft.operators.BottomKSample.sample(
+          batch, col("event_id"), round(col("value") * 100, 0).cast("long"), k, salt = "qk:")
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+            graft.operators.BottomKSample.merge(spark.read.parquet(path), fresh, k)
+          else fresh
+        // eager checkpoint pins the k merged rows BEFORE the overwrite (the
+        // read and rewrite share the path); freed via CkTracker because
+        // Dataset.unpersist() is a no-op on checkpoint blocks
+        val tracker = new graft.operators.CkTracker(batch)
+        val (pinned, ids) = tracker.ck(merged)
+        pinned.write.mode("overwrite").parquet(path)
+        tracker.free(ids)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
 }

@@ -565,4 +565,35 @@ class StreamingSpec extends SparkTestBase {
       s"streamed scores diverge from batch: ${streamed.diff(oneShot).take(3)} / ${oneShot.diff(streamed).take(3)}")
     assert(streamed.nonEmpty)
   }
+
+  test("incremental bottom-k sample equals the one-shot batch sample under any slicing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = EventStreams.eventsDataset(spark, dir).collect()
+    assert(evs.length > 200, "fixture too small for a k=64 sample to be a strict subset")
+    val path = s"${java.nio.file.Files.createTempDirectory("graft_smp").toString}/sample"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_smp_ckpt").toString
+    val input = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.sampleStream(input.toDS().toDF(), 64, path, ckpt)
+    try {
+      // three uneven micro-batches, then one REPLAYED slice: the merge's
+      // (h, c) dedup must make the at-least-once delivery a no-op
+      val slices = evs.grouped(math.max(1, evs.length / 3)).toSeq
+      slices.foreach { sl =>
+        input.addData(sl.toSeq: _*)
+        q.processAllAvailable()
+      }
+      input.addData(slices.head.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(path)
+      .select("h", "c").as[(Long, Long)].collect().toSet
+    val oneShot = graft.operators.BottomKSample.sample(
+        evs.toSeq.toDF("event_id", "ts_ns", "user_id", "value"),
+        col("event_id"), round(col("value") * 100, 0).cast("long"), k = 64, salt = "qk:")
+      .select("h", "c").as[(Long, Long)].collect().toSet
+    assert(streamed.size === 64)
+    assert(streamed === oneShot,
+      s"streamed sample diverges from batch: ${streamed.diff(oneShot).take(3)} / ${oneShot.diff(streamed).take(3)}")
+  }
 }
