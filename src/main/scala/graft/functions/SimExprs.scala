@@ -232,3 +232,27 @@ case class SrpBucket(child: Expression, nBits: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Banded early-exit edit distance: exact Levenshtein when ≤ `threshold`,
+  * −1 otherwise — the builtin `levenshtein(l, r, t)` contract on the
+  * [[SimKit.editDistBanded]] kernel (O((2t+1)·len) band, O(1) length-gap
+  * reject, row-min early exit). Sits in the t130 fuzzy-dedup verify hot
+  * loop; equivalence to the builtin is pinned in EditDistSpec. */
+case class EditDistWithin(left: Expression, right: Expression, threshold: Int)
+    extends BinaryExpression with SimKitCall {
+  require(threshold >= 0, s"threshold must be >= 0, got $threshold")
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expects two string inputs, got ${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SimKit.editDistBanded(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], threshold)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$kit.editDistBanded($a, $b, $threshold)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

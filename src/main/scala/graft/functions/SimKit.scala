@@ -346,4 +346,74 @@ object SimKit {
     }
     bucket
   }
+
+  /** Code points of `s` — band DP below compares code points so non-BMP
+    * text (surrogate pairs) counts one edit per character, matching the
+    * builtin `levenshtein`'s code-point semantics. */
+  private def codePoints(s: String): Array[Int] = {
+    val out = new Array[Int](s.codePointCount(0, s.length))
+    var i = 0
+    var k = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out(k) = cp
+      k += 1
+      i += Character.charCount(cp)
+    }
+    out
+  }
+
+  /** Banded Levenshtein with early exit (Ukkonen '85): the exact edit
+    * distance when it is ≤ t, −1 otherwise — the builtin
+    * `levenshtein(l, r, t)` contract, reimplemented as a tight
+    * two-int-row band DP because this is the t130 verify hot loop
+    * (candidate_pairs × len² cells): only cells with |i−j| ≤ t are
+    * touched (O((2t+1)·len) not O(len²)), a length gap > t exits in
+    * O(1), and a band row whose minimum exceeds t exits early — sound
+    * because DP values never decrease along a path and any path crosses
+    * every row, while out-of-band cells are ≥ |i−j| > t by construction.
+    */
+  def editDistBanded(au: UTF8String, bu: UTF8String, t: Int): Int = {
+    if (t < 0) return -1
+    var x = codePoints(au.toString)
+    var y = codePoints(bu.toString)
+    if (x.length < y.length) { val tmp = x; x = y; y = tmp } // distance is symmetric
+    val n = x.length
+    val m = y.length
+    if (n - m > t) return -1
+    if (m == 0) return n // n - 0 ≤ t already established
+    val Inf = Int.MaxValue / 2
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    java.util.Arrays.fill(prev, Inf)
+    var j = 0
+    while (j <= m && j <= t) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      val lo = if (i - t > 1) i - t else 1
+      val hi = if (i + t < m) i + t else m
+      // no full-row reset (it would cost as much as the band itself): the
+      // next row only ever reads prev[lo..hi+1] of THIS row, so priming
+      // the two sentinel cells at the band edges is sufficient
+      cur(lo - 1) = if (lo == 1 && i <= t) i else Inf
+      if (hi + 1 <= m) cur(hi + 1) = Inf
+      var best = cur(lo - 1)
+      var jj = lo
+      while (jj <= hi) {
+        val cost = if (x(i - 1) == y(jj - 1)) 0 else 1
+        var v = prev(jj - 1) + cost
+        val del = prev(jj) + 1
+        if (del < v) v = del
+        val ins = cur(jj - 1) + 1
+        if (ins < v) v = ins
+        cur(jj) = v
+        if (v < best) best = v
+        jj += 1
+      }
+      if (best > t) return -1
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    if (prev(m) <= t) prev(m) else -1
+  }
 }

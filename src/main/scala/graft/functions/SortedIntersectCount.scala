@@ -100,4 +100,7 @@ object ArrayFns {
     GraftColumnBridge.column(SrpBucket(GraftColumnBridge.expression(emb), nBits))
   def l2Norm(emb: Column): Column =
     GraftColumnBridge.column(L2Norm(GraftColumnBridge.expression(emb)))
+  def editDistWithin(a: Column, b: Column, threshold: Int): Column =
+    GraftColumnBridge.column(
+      EditDistWithin(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), threshold))
 }
