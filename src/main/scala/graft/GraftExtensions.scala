@@ -71,6 +71,8 @@ object GraftExtensions {
     fixed("graft_l2_norm", 1)(a => L2Norm(a.head)),
     fixed("graft_sorted_intersect_count", 2)(a =>
       SortedIntersectCount(a.head, a(1))),
+    fixed("graft_editdist_within", 3)(a =>
+      EditDistWithin(a.head, a(1), intLit(a(2), "graft_editdist_within"))),
     // aggregate (not scalar): the analyzer wraps an AggregateFunction
     // returned from a builder in AggregateExpression(Complete) itself
     fixed("graft_kmv", 2)(a => KmvAgg(a.head, intLit(a(1), "graft_kmv"))),

@@ -74,4 +74,21 @@ class GraftExtensionsSpec extends SparkTestBase {
         .collect()
     }
   }
+
+  test("editdist_within matches the builtin levenshtein threshold contract in SQL") {
+    val pairs = Seq((1L, "kitten", "sitting"), (2L, "same", "same"), (3L, "abc", "xyzabcdef"))
+      .toDF("id", "a", "b")
+    pairs.createOrReplaceTempView("ext_ed")
+    val viaSql = spark.sql(
+      "SELECT id, graft_editdist_within(a, b, 3) AS d FROM ext_ed ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val expected = pairs
+      .select(col("id"), levenshtein(col("a"), col("b")).as("full"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), { val f = r.getInt(1); if (f <= 3) f else -1 }))
+    assert(viaSql.toSeq === expected.toSeq)
+    intercept[Exception] { // non-literal threshold fails at analysis time
+      spark.sql("SELECT graft_editdist_within(a, b, id) FROM ext_ed").collect()
+    }
+  }
 }
