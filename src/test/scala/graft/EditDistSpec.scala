@@ -61,4 +61,23 @@ class EditDistSpec extends SparkTestBase {
     val b = "ab😁cd"
     check(Seq((a, b), (a, a), ("abXcd", a)), 4)
   }
+
+  test("t130 pins its verify fan-out against AQE's size-based coalescing") {
+    // the fix this guards: AQE folded the byte-tiny pair frame to ~1
+    // partition and ran the CPU-bound band kernel single-threaded
+    // (2.9 s vs 0.3 s at sf0.1). The DP stage is materialized by a
+    // localCheckpoint, so its partitioning is observable as the one new
+    // persistent RDD carrying exactly defaultParallelism partitions —
+    // the explicit-count repartition AQE must not coalesce. (The other
+    // checkpoints in the build — shingles, bands, candidates — are scan-
+    // or AQE-partitioned and land elsewhere at this fixture size.)
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    SparkEntry.queries("t130_editdist_dedup")(spark, "/root/testdata/sf0.001").collect()
+    val fresh = (sc.getPersistentRDDs.keySet -- before).toSeq
+      .flatMap(id => sc.getPersistentRDDs.get(id))
+    assert(fresh.exists(_.getNumPartitions == sc.defaultParallelism),
+      s"no checkpoint carries the pinned fan-out; partition counts = " +
+        fresh.map(_.getNumPartitions).sorted.mkString(","))
+  }
 }
