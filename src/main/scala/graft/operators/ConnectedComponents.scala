@@ -182,4 +182,38 @@ object ConnectedComponents {
     tracker.free(symIds) // loop done; the returned plan reads only `labels`
     labels.select(col("id"), col("lbl").as("component"))
   }
+
+  /** Incremental update: fold NEW edges into an EXISTING (id, component)
+    * assignment without reprocessing the historical edge set — the
+    * clustering half of the streaming dedup loop (the t96/DocStreams
+    * admission index answers "is this new doc a dup"; this answers "and
+    * which cluster did it join / merge").
+    *
+    * Correctness: an assignment is itself a star edge list (every node →
+    * its component root) with exactly the original graph's connectivity —
+    * large-small-star's own fixpoint invariant — so
+    * components(assignment-stars ∪ new-edges) == components(all-edges),
+    * including the case where a new edge MERGES two old components
+    * (their roots become connected through it). Proven against a
+    * union-find ground truth over arbitrary batch splits in
+    * ConnectedComponentsSpec.
+    *
+    * Cost: O(nodes + new edges) per fold, not O(historical edges) — at
+    * 100 TB the historical pair set dwarfs the node set, and it is never
+    * read again. Output contract matches [[largeSmallStar]]: one row per
+    * node present in either input, component = min node id.
+    */
+  def incremental(
+      assignment: DataFrame,
+      idCol: String,
+      componentCol: String,
+      newEdges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxRounds: Int = 64): DataFrame = {
+    val q = (c: String) => col(s"`${c.replace("`", "``")}`")
+    val stars = assignment.select(q(idCol).as("__s"), q(componentCol).as("__d"))
+    val fresh = newEdges.select(q(srcCol).as("__s"), q(dstCol).as("__d"))
+    largeSmallStar(stars.unionByName(fresh), "__s", "__d", maxRounds)
+  }
 }

@@ -101,4 +101,35 @@ class ConnectedComponentsSpec extends SparkTestBase {
       withClue(s"trial=$trial regime=$regime n=$n") { run(edges) }
     }
   }
+
+  test("incremental fold over arbitrary batch splits equals the batch result") {
+    val rnd = new Random(23)
+    for (trial <- 1 to 6) {
+      val n = 40 + rnd.nextInt(60)
+      val edges = Seq.fill(2 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val truth = unionFind(edges)
+      val nBatches = 2 + rnd.nextInt(3)
+      val batches = rnd.shuffle(edges).grouped(math.max(1, edges.length / nBatches)).toSeq
+      var asg = ConnectedComponents.largeSmallStar(batches.head.toDF("a", "b"), "a", "b")
+      batches.tail.foreach { b =>
+        asg = ConnectedComponents.incremental(asg, "id", "component", b.toDF("a", "b"), "a", "b")
+      }
+      val got = asg.as[(Long, Long)].collect().toMap
+      withClue(s"trial=$trial batches=$nBatches") { assert(got === truth) }
+    }
+  }
+
+  test("incremental fold merges two established components through one new edge") {
+    // two disjoint cliques built first; a single later edge must collapse
+    // them into one component labeled by the GLOBAL min — the case where
+    // the fold has to rewrite the larger component's root
+    val c1 = for (a <- 0L to 4L; b <- 0L to 4L if a < b) yield (a, b)
+    val c2 = for (a <- 10L to 14L; b <- 10L to 14L if a < b) yield (a, b)
+    val base = ConnectedComponents.largeSmallStar((c1 ++ c2).toDF("a", "b"), "a", "b")
+    val folded = ConnectedComponents
+      .incremental(base, "id", "component", Seq((14L, 4L)).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(folded === unionFind(c1 ++ c2 ++ Seq((14L, 4L))))
+    assert((10L to 14L).forall(folded(_) == 0L), "old roots must be rewritten to the global min")
+  }
 }
