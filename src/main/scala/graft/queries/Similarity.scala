@@ -34,6 +34,66 @@ object Similarity {
     * folds matching DuckDB `list_sum(list_transform(...))` element order. */
   private def cosine(a: Column, b: Column): Column = ArrayFns.cosineSim(a, b)
 
+  /** Trained-centroid assignment shared by t99 (SemDeDup) and t140
+    * (similarity-ordered curriculum): label-trained centroids via the exact
+    * scaled-integer M-step (t82), broadcast E-step (t84), the winning
+    * (csim, cid) picked by a map-side struct-max so the vector's embedding
+    * rides along without a second join. Returns one row per vector:
+    * (vec_id, cid, csim, emb). NOT checkpointed — callers that consume the
+    * frame more than once materialize it themselves.
+    */
+  private def trainedCentroidAssign(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+    val cents = e
+      .select(col("label").as("cid"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(round(col("x") * 1000000).cast("long")).as("sq"), count(lit(1)).as("n"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"),
+        (col("sq") / (lit(1000000.0) * col("n"))).as("v")))).as("pv"))
+      .select(col("cid"), expr("transform(pv, p -> p.v)").as("cemb"))
+    // (csim, -cid) is unique per vector (one candidate row per cluster),
+    // so the emb field of the struct never decides the max — it rides
+    // along to spare a join back to the vectors.
+    e.join(broadcast(cents))
+      .withColumn("csim", cosine(col("emb"), col("cemb")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim"), (-col("cid")).as("negc"), col("emb").as("emb"))).as("m"))
+      .select(col("vec_id"), (-col("m.negc")).as("cid"),
+        col("m.csim").as("csim"), col("m.emb").as("emb"))
+  }
+
+  /** The oracle twin of [[trainedCentroidAssign]]: CTEs `e → u → cm → c →
+    * asg`, where `asg` is (vec_id, emb, cid, csim), one row per vector.
+    * Interpolated into the t99 and t140 oracles so the two queries pin the
+    * SAME assignment semantics. */
+  private val centroidAsgSqlCtes: String =
+    """e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |u AS (
+      |  SELECT label AS cid, CAST(generate_subscripts(emb, 1) - 1 AS INT) AS pos,
+      |         unnest(emb) AS x
+      |  FROM e),
+      |cm AS (
+      |  SELECT cid, pos, CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS BIGINT) AS sq,
+      |         COUNT(*) AS n
+      |  FROM u GROUP BY cid, pos),
+      |c AS (
+      |  SELECT cid, list(sq / (1000000.0 * n) ORDER BY pos) AS cemb FROM cm GROUP BY cid),
+      |asg AS (
+      |  SELECT vec_id, emb, cid, csim FROM (
+      |    SELECT e.vec_id, e.emb, c.cid,
+      |      list_sum(list_transform(generate_series(1, len(e.emb)), i -> e.emb[i] * c.cemb[i]))
+      |        / (sqrt(list_sum(list_transform(e.emb, x -> x*x)))
+      |           * sqrt(list_sum(list_transform(c.cemb, x -> x*x)))) AS csim,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, len(e.emb)), i -> e.emb[i] * c.cemb[i]))
+      |          / (sqrt(list_sum(list_transform(e.emb, x -> x*x)))
+      |             * sqrt(list_sum(list_transform(c.cemb, x -> x*x)))) DESC, c.cid) AS rn
+      |    FROM e, c) WHERE rn = 1)""".stripMargin
+
   /** doc_id + distinct lower-cased char-3-gram shingle set, carried as
     * md5-derived int hashes (mod 2^31-1): pairwise intersections compare
     * longs instead of strings (~5× cheaper), and the MinHash permutations
@@ -1341,29 +1401,9 @@ object Similarity {
     Q(
       "t99_semdedup",
       (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("label"),
-            col("embedding").cast("array<double>").as("emb"))
-        val cents = e
-          .select(col("label").as("cid"), posexplode(col("emb")).as(Seq("pos", "x")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(sum(round(col("x") * 1000000).cast("long")).as("sq"), count(lit(1)).as("n"))
-          .groupBy(col("cid"))
-          .agg(array_sort(collect_list(struct(col("pos"),
-            (col("sq") / (lit(1000000.0) * col("n"))).as("v")))).as("pv"))
-          .select(col("cid"), expr("transform(pv, p -> p.v)").as("cemb"))
-        // (csim, -cid) is unique per vector (one candidate row per cluster),
-        // so the emb field of the struct never decides the max — it rides
-        // along to spare a join back to the vectors.
-        val asg = e.join(broadcast(cents))
-          .withColumn("csim", cosine(col("emb"), col("cemb")))
-          .groupBy(col("vec_id"))
-          .agg(max(struct(col("csim"), (-col("cid")).as("negc"), col("emb").as("emb"))).as("m"))
-          .select(col("vec_id"), (-col("m.negc")).as("cid"),
-            col("m.csim").as("csim"), col("m.emb").as("emb"))
-          // consumed three times (both pair-join sides + the n_vecs
-          // rollup): materialize the corpus-wide assignment once
-          .localCheckpoint()
+        // consumed three times (both pair-join sides + the n_vecs
+        // rollup): materialize the corpus-wide assignment once
+        val asg = trainedCentroidAssign(s, d).localCheckpoint()
         val a = asg.select(col("cid"), col("vec_id").as("id1"),
           col("emb").as("e1"), col("csim").as("cs1"))
         val b = asg.select(col("cid"), col("vec_id").as("id2"),
@@ -1392,29 +1432,7 @@ object Similarity {
             (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
           .orderBy("cid")
       },
-      Some("""WITH e AS (
-             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-             |u AS (
-             |  SELECT label AS cid, CAST(generate_subscripts(emb, 1) - 1 AS INT) AS pos,
-             |         unnest(emb) AS x
-             |  FROM e),
-             |cm AS (
-             |  SELECT cid, pos, CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS BIGINT) AS sq,
-             |         COUNT(*) AS n
-             |  FROM u GROUP BY cid, pos),
-             |c AS (
-             |  SELECT cid, list(sq / (1000000.0 * n) ORDER BY pos) AS cemb FROM cm GROUP BY cid),
-             |asg AS (
-             |  SELECT vec_id, emb, cid, csim FROM (
-             |    SELECT e.vec_id, e.emb, c.cid,
-             |      list_sum(list_transform(generate_series(1, len(e.emb)), i -> e.emb[i] * c.cemb[i]))
-             |        / (sqrt(list_sum(list_transform(e.emb, x -> x*x)))
-             |           * sqrt(list_sum(list_transform(c.cemb, x -> x*x)))) AS csim,
-             |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-             |        list_sum(list_transform(generate_series(1, len(e.emb)), i -> e.emb[i] * c.cemb[i]))
-             |          / (sqrt(list_sum(list_transform(e.emb, x -> x*x)))
-             |             * sqrt(list_sum(list_transform(c.cemb, x -> x*x)))) DESC, c.cid) AS rn
-             |    FROM e, c) WHERE rn = 1),
+      Some(s"""WITH $centroidAsgSqlCtes,
              |pairs AS (
              |  SELECT a.cid, a.vec_id AS id1, b.vec_id AS id2, a.csim AS cs1, b.csim AS cs2
              |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -2067,6 +2085,37 @@ object Similarity {
               |  SELECT reach.id, eg.b FROM reach JOIN eg ON reach.r = eg.a)
               |SELECT id AS doc_id, MIN(r) AS cluster_id
               |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ----- t140: similarity-ordered curriculum (in-context pretraining) -----
+    // Shi et al. 2024 ("In-Context Pretraining") show that packing RELATED
+    // documents into the same context window beats random order. The
+    // distributed re-expression: assign every vector to its nearest trained
+    // centroid (the t99 machinery, shared via trainedCentroidAssign), then
+    // rank within each cluster by closeness to the centroid — `pos` is the
+    // stitch order a packer consumes so adjacent sequences are semantically
+    // related. Ranking uses the ROUNDED csim (exact 4-decimal value both
+    // engines compare on) with vec_id as the total tie-break, so the rank is
+    // deterministic cross-engine.
+    // Scale: one broadcast E-step + ONE window partitioned by cluster id —
+    // key-partitioned (cluster sizes are corpus/k with k grown alongside the
+    // corpus, the same contract as t99), no global sort, no driver state.
+    Q(
+      "t140_sim_order",
+      (s, d) => {
+        val w = Window.partitionBy(col("cid"))
+          .orderBy(col("csim").desc, col("vec_id"))
+        trainedCentroidAssign(s, d)
+          .select(col("vec_id"), col("cid"), round(col("csim"), 4).as("csim"))
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .orderBy("cid", "pos")
+      },
+      Some(s"""WITH $centroidAsgSqlCtes
+              |SELECT vec_id, cid, csim,
+              |  CAST(ROW_NUMBER() OVER (PARTITION BY cid
+              |    ORDER BY ROUND(csim, 4) DESC, vec_id) AS BIGINT) AS pos
+              |FROM (SELECT vec_id, cid, ROUND(csim, 4) AS csim FROM asg)
+              |ORDER BY cid, pos""".stripMargin),
     ),
   )
 }

@@ -1646,6 +1646,133 @@ object Text {
              |  FROM documents)
              |WHERE rn <= 8 ORDER BY source, h, doc_id""".stripMargin),
     ),
+
+    // ----- Gopher-style composite quality rules -----
+    // The rule-table filter every web-scale pretraining pipeline runs before
+    // anything model-based (Rae et al. 2021 §A1.1 "quality filtering"):
+    // cheap per-document statistics, each gated by a fixed threshold, plus
+    // the conjunction. Emitting the per-rule flags (not just `pass`) is the
+    // production shape — rule ablations and filter-rate dashboards read the
+    // marginal columns.
+    //
+    // Scale: one corpus explode → hash-agg keyed (doc_id, word) for the
+    // repetition stat, partial-agg'd both levels, then a 1:1 join back to
+    // the per-doc regex stats (AQE picks the join side; both are
+    // doc-cardinality). No windows, no driver state; at 100 TB this is two
+    // wordcount-shaped shuffles and codegen'd regex work.
+    Q(
+      "t138_gopher_rules",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+        val stats = words
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("c")).as("n_words"),
+            sum(length(col("w")).cast("long") * col("c")).as("n_alpha"),
+            max(col("c")).as("top_c"))
+        val flag = (c: Column) => when(c, lit(1)).otherwise(lit(0))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            regexp_count(col("text"), lit(stopPat)).cast("long").as("n_stop"))
+          .join(stats, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("n_words"), lit(0L)).as("n_words"),
+            round(coalesce(col("n_alpha"), lit(0L)) * 1.0
+              / greatest(coalesce(col("n_words"), lit(0L)), lit(1L)), 4).as("mean_wl"),
+            round(coalesce(col("top_c"), lit(0L)) * 1.0
+              / greatest(coalesce(col("n_words"), lit(0L)), lit(1L)), 4).as("top_frac"),
+            col("n_stop"))
+          .select(col("doc_id"), col("n_words"), col("mean_wl"), col("top_frac"), col("n_stop"),
+            flag(col("n_words").between(20L, 100000L)).as("r_wc"),
+            flag(col("mean_wl").between(3.0, 10.0)).as("r_mwl"),
+            flag(col("top_frac") <= 0.125).as("r_rep"),
+            flag(col("n_stop") >= 2L).as("r_stop"))
+          .withColumn("pass",
+            flag(col("r_wc") + col("r_mwl") + col("r_rep") + col("r_stop") === 4))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+             |  FROM documents),
+             |wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+             |st AS (
+             |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             |         CAST(SUM(len(w) * c) AS BIGINT) AS n_alpha,
+             |         CAST(MAX(c) AS BIGINT) AS top_c
+             |  FROM wc GROUP BY doc_id),
+             |b AS (
+             |  SELECT doc_id,
+             |         CAST(len(regexp_extract_all(text, '$stopPat')) AS BIGINT) AS n_stop
+             |  FROM documents),
+             |j AS (
+             |  SELECT b.doc_id, COALESCE(st.n_words, 0) AS n_words,
+             |    ROUND(COALESCE(st.n_alpha, 0) * 1.0
+             |      / GREATEST(COALESCE(st.n_words, 0), 1), 4) AS mean_wl,
+             |    ROUND(COALESCE(st.top_c, 0) * 1.0
+             |      / GREATEST(COALESCE(st.n_words, 0), 1), 4) AS top_frac,
+             |    b.n_stop
+             |  FROM b LEFT JOIN st ON b.doc_id = st.doc_id),
+             |r AS (
+             |  SELECT doc_id, n_words, mean_wl, top_frac, n_stop,
+             |    CASE WHEN n_words BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS r_wc,
+             |    CASE WHEN mean_wl BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END AS r_mwl,
+             |    CASE WHEN top_frac <= 0.125 THEN 1 ELSE 0 END AS r_rep,
+             |    CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop
+             |  FROM j)
+             |SELECT doc_id, n_words, mean_wl, top_frac, n_stop, r_wc, r_mwl, r_rep, r_stop,
+             |  CASE WHEN r_wc + r_mwl + r_rep + r_stop = 4 THEN 1 ELSE 0 END AS pass
+             |FROM r ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ----- sequence-length sweep: padding-waste audit -----
+    // Before a training run commits to a context length, the pipeline
+    // reports, for each candidate length L, how many sequences the corpus
+    // packs into and how much padding it wastes (each document chunks into
+    // ceil(tok/L) sequences; the last is partially filled). All integer
+    // arithmetic — `div` here, `//` in the oracle — so the sums are exact
+    // and order-independent.
+    //
+    // Scale: per-doc token counts (codegen'd regex, no shuffle) cross a
+    // broadcast 4-row length dimension, then one hash-agg keyed on L —
+    // corpus-linear with a 4× fan-out, no window, no driver state.
+    Q(
+      "t139_pack_sweep",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), regexp_count(col("text"), lit("\\S+")).cast("long").as("tok"))
+        val lens = s.range(1).select(explode(typedLit(Seq(64L, 128L, 256L, 512L))).as("seq_len"))
+        tok.crossJoin(broadcast(lens))
+          .withColumn("n_seqs", expr("(tok + seq_len - 1) div seq_len"))
+          .groupBy(col("seq_len"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("tok")).as("total_tokens"),
+            sum(col("n_seqs")).as("total_seqs"),
+            sum(col("n_seqs") * col("seq_len") - col("tok")).as("pad_waste"))
+          .select(col("seq_len"), col("n_docs"), col("total_tokens"), col("total_seqs"),
+            col("pad_waste"),
+            round(col("total_tokens") * 1.0
+              / greatest(col("total_seqs") * col("seq_len"), lit(1L)), 4).as("efficiency"))
+          .orderBy("seq_len")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok
+             |  FROM documents),
+             |l AS (SELECT CAST(unnest([64, 128, 256, 512]) AS BIGINT) AS seq_len),
+             |x AS (
+             |  SELECT seq_len, tok, (tok + seq_len - 1) // seq_len AS n_seqs
+             |  FROM tok CROSS JOIN l)
+             |SELECT seq_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(tok) AS BIGINT) AS total_tokens,
+             |  CAST(SUM(n_seqs) AS BIGINT) AS total_seqs,
+             |  CAST(SUM(n_seqs * seq_len - tok) AS BIGINT) AS pad_waste,
+             |  ROUND(SUM(tok) * 1.0 / GREATEST(SUM(n_seqs) * seq_len, 1), 4) AS efficiency
+             |FROM x GROUP BY seq_len ORDER BY seq_len""".stripMargin),
+    ),
   )
 
 }

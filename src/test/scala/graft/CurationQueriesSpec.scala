@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Contract checks for the round-9 curation additions beyond the DuckDB
+  * oracle gate: t138 (Gopher-style rule table), t139 (sequence-length
+  * padding sweep), t140 (similarity-ordered curriculum). The oracle pins
+  * values; these pin the INVARIANTS a pipeline consumer relies on —
+  * conjunction semantics, exact waste accounting, contiguous rank order —
+  * so a future edit can't keep the hash green while breaking the contract
+  * (e.g. reordering t140's tie-break).
+  */
+class CurationQueriesSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    SparkEntry.registry.find(_.name == name).get.build(spark, dir)
+
+  test("t138: pass is exactly the conjunction of the four rule flags") {
+    val rows = run("t138_gopher_rules")
+      .select("r_wc", "r_mwl", "r_rep", "r_stop", "pass").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flags = (0 to 3).map(r.getInt)
+      assert(flags.forall(f => f == 0 || f == 1))
+      assert(r.getInt(4) == (if (flags.forall(_ == 1)) 1 else 0))
+    }
+  }
+
+  test("t138: rule table covers every document exactly once") {
+    val n = Tables.documents(spark, dir).count()
+    val out = run("t138_gopher_rules")
+    assert(out.count() == n)
+    assert(out.select("doc_id").distinct().count() == n)
+  }
+
+  test("t139: exact waste accounting and monotone sequence counts") {
+    val rows = run("t139_pack_sweep")
+      .select("seq_len", "total_tokens", "total_seqs", "pad_waste").collect()
+    assert(rows.length == 4)
+    val tokens = rows.map(_.getLong(1)).distinct
+    assert(tokens.length == 1, "total_tokens must not depend on seq_len")
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) * r.getLong(0) - r.getLong(1),
+        "pad_waste must equal total_seqs*seq_len - total_tokens")
+    }
+    val seqs = rows.sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(seqs.zip(seqs.tail).forall { case (a, b) => a >= b },
+      "larger seq_len can never need more sequences")
+  }
+
+  test("t140: pos is a contiguous 1..n rank per cluster, csim non-increasing") {
+    val rows = run("t140_sim_order")
+      .select("cid", "csim", "pos").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.length == Tables.embeddings(spark, dir).count())
+    rows.groupBy(_._1).foreach { case (_, cluster) =>
+      val byPos = cluster.sortBy(_._3)
+      assert(byPos.map(_._3).toSeq == (1L to cluster.length).toSeq,
+        "pos must be contiguous from 1 within each cluster")
+      val sims = byPos.map(_._2)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        "csim must be non-increasing along pos")
+    }
+  }
+}
