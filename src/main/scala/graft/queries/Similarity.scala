@@ -2117,5 +2117,54 @@ object Similarity {
               |FROM (SELECT vec_id, cid, ROUND(csim, 4) AS csim FROM asg)
               |ORDER BY cid, pos""".stripMargin),
     ),
+
+    // ----- t142: soft dedup — downweight duplicates instead of dropping -----
+    // Hard dedup (t49/t87) keeps one representative per near-dup cluster;
+    // the soft alternative keeps EVERY copy but trains each at weight
+    // 1/cluster_size, so a document's total gradient contribution is
+    // invariant to how many times it was crawled. Every corpus doc gets a
+    // row: members of a verified near-dup component share its id and split
+    // its weight; singletons (no verified pair) keep weight 1 under their
+    // own id.
+    // Scale: CC runs over the pair-bounded verified graph (same contract as
+    // t49); the corpus then takes two hint-free doc/cluster-keyed joins —
+    // assignment (left join, duplicate-mass-bounded right side) and the
+    // size table (component-cardinality). No windows, no driver state.
+    Q(
+      "t142_soft_dedup",
+      (s, d) => {
+        val pairs = minhashDupPairs(s, d).select("doc_id1", "doc_id2").localCheckpoint()
+        val cc = graft.operators.ConnectedComponents
+          .largeSmallStar(pairs, "doc_id1", "doc_id2")
+          .select(col("id").as("doc_id"), col("component").as("cid"))
+        val assigned = Tables.documents(s, d).select(col("doc_id"))
+          .join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"))
+        val sizes = assigned.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+        assigned.join(sizes, Seq("cluster_id"))
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+            round(lit(1.0) / col("cluster_size"), 4).as("weight"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsSqlCtes,
+              |p AS (SELECT doc_id1, doc_id2 FROM j WHERE jac >= 0.8),
+              |e AS (SELECT doc_id1 AS a, doc_id2 AS b FROM p
+              |      UNION ALL SELECT doc_id2, doc_id1 FROM p),
+              |reach(id, r) AS (
+              |  SELECT a, a FROM e
+              |  UNION
+              |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+              |cc AS (SELECT id AS doc_id, MIN(r) AS cid FROM reach GROUP BY id),
+              |asg AS (
+              |  SELECT d.doc_id, COALESCE(cc.cid, d.doc_id) AS cluster_id
+              |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+              |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              |       FROM asg GROUP BY cluster_id)
+              |SELECT asg.doc_id, asg.cluster_id, sz.cluster_size,
+              |  ROUND(1.0 / sz.cluster_size, 4) AS weight
+              |FROM asg JOIN sz ON asg.cluster_id = sz.cluster_id
+              |ORDER BY asg.doc_id""".stripMargin),
+    ),
   )
 }

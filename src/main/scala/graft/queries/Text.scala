@@ -1773,6 +1773,53 @@ object Text {
              |  ROUND(SUM(tok) * 1.0 / GREATEST(SUM(n_seqs) * seq_len, 1), 4) AS efficiency
              |FROM x GROUP BY seq_len ORDER BY seq_len""".stripMargin),
     ),
+
+    // ----- Bloom-prefiltered benchmark decontamination -----
+    // t48 is the exact-overlap contract; this is how the same contract runs
+    // when the probe set is BIG. At 100 TB the eval/benchmark gram set is
+    // 10⁷–10⁸ keys: the exact distinct set is GBs broadcast to every task,
+    // while a Bloom filter at fpp=0.01 is ~1.2 bytes/key (~100× smaller),
+    // ships once, and kills ~99% of non-matching corpus grams with a
+    // branch-free codegen'd probe BEFORE any shuffle. Blooms have no false
+    // negatives, so prefilter → exact verify join is result-identical to
+    // the exact join alone (BloomProbeSpec pins both halves); the verify
+    // join carries NO hint — AQE broadcasts the small survivor set at test
+    // scale and shuffles on the 8-byte gram key at heavy contamination.
+    // The oracle is pure exact overlap — the bloom is invisible to
+    // semantics, which is exactly the property being certified.
+    Q(
+      "t141_bloom_decontam",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(ArrayFns.wordNgramHashes(lower(col("text")), 4)).as("g"))
+        // consumed three times (size, bloom build, verify join)
+        val evalG = grams.filter(col("doc_id") % 25 === 0)
+          .select("g").distinct().localCheckpoint()
+        val bf = evalG.stat.bloomFilter("g", math.max(evalG.count(), 64L), 0.01)
+        val bytes = graft.functions.BloomProbe.toBytes(bf)
+        grams.filter(col("doc_id") % 25 =!= 0)
+          .filter(graft.functions.BloomProbe.mightContainLong(col("g"), bytes))
+          .join(evalG, "g")
+          .groupBy(col("doc_id"))
+          .agg(count_distinct(col("g")).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    unnest(list_distinct(list_transform(generate_series(1, len(t) - 3),
+             |      i -> CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]), 1, 16)) AS UBIGINT)))) AS g
+             |  FROM toks WHERE len(t) >= 4),
+             |probe AS (SELECT DISTINCT g FROM g WHERE doc_id % 25 = 0)
+             |SELECT c.doc_id, CAST(COUNT(DISTINCT c.g) AS BIGINT) AS n_shared
+             |FROM g c JOIN probe p ON c.g = p.g
+             |WHERE c.doc_id % 25 <> 0
+             |GROUP BY c.doc_id HAVING COUNT(DISTINCT c.g) >= 2
+             |ORDER BY doc_id""".stripMargin),
+    ),
   )
 
 }
