@@ -1820,6 +1820,87 @@ object Text {
              |GROUP BY c.doc_id HAVING COUNT(DISTINCT c.g) >= 2
              |ORDER BY doc_id""".stripMargin),
     ),
+
+    // ----- per-source quality tiering (quantile buckets for mixing) -----
+    // The DCLM/FineWeb-style mixing prep: bucket each source's documents
+    // into quality quartiles so the mixer can up-sample high tiers — tier
+    // boundaries must be PER SOURCE (a mid-tier web doc and a mid-tier
+    // code doc have incomparable absolute scores). Thresholds are exact
+    // type-1 quantiles over the integer-quantized score (smallest value
+    // with cum-freq ≥ ⌈p·n⌉, all-integer arithmetic both engines), so
+    // tiering is deterministic with tie mass falling in the lower tier.
+    //
+    // Scale: the corpus is scanned twice with codegen'd regex stats (the
+    // right trade at 100 TB — a checkpoint of a corpus-sized frame costs
+    // more than a second scan); the cum-freq window runs over the
+    // DISTRIBUTION (source × ≤10001 distinct quantized scores), never the
+    // corpus; thresholds are a per-source handful broadcast back. No
+    // corpus-sized window anywhere — the trap a per-source ntile() would
+    // walk into (one hot partition per source at 100 TB).
+    Q(
+      "t143_quality_tiers",
+      (s, d) => {
+        def scored = Tables.documents(s, d)
+          .withColumn("n_words", regexp_count(col("text"), lit("[A-Za-z]+")).cast("long"))
+          .withColumn("n_punct", regexp_count(col("text"), lit("[.,!?;:]")).cast("long"))
+          .withColumn("n_stop", regexp_count(col("text"), lit(stopPat)).cast("long"))
+          .select(col("doc_id"), col("source"),
+            regexp_count(col("text"), lit("\\S+")).cast("long").as("tok"),
+            round((least(col("n_words") / 100.0, lit(1.0)) * 0.5
+              + (col("n_stop") * 1.0 / greatest(col("n_words"), lit(1L))) * 0.3
+              + (lit(1.0) - least(col("n_punct") * 1.0 / greatest(col("n_words"), lit(1L)), lit(1.0))) * 0.2)
+              * 10000).cast("long").as("se"))
+        val dist = scored.groupBy(col("source"), col("se"))
+          .agg(count(lit(1)).as("freq"))
+        val tot = dist.groupBy(col("source")).agg(sum(col("freq")).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("se"))
+        val th = dist.join(broadcast(tot), "source")
+          .withColumn("cum", sum(col("freq")).over(w))
+          .groupBy(col("source"))
+          .agg(
+            min(when(col("cum") >= expr("(n + 3) div 4"), col("se"))).as("q1"),
+            min(when(col("cum") >= expr("(n + 1) div 2"), col("se"))).as("q2"),
+            min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("se"))).as("q3"))
+        scored.join(broadcast(th), "source")
+          .withColumn("tier",
+            lit(1) + (col("se") > col("q1")).cast("int")
+              + (col("se") > col("q2")).cast("int")
+              + (col("se") > col("q3")).cast("int"))
+          .groupBy(col("source"), col("tier"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+          .orderBy("source", "tier")
+      },
+      Some(s"""WITH sc AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok,
+             |    CAST(ROUND((LEAST(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)/100.0, 1.0)*0.5
+             |      + (CAST(len(regexp_extract_all(text, '$stopPat')) AS BIGINT)*1.0
+             |         / GREATEST(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT), 1))*0.3
+             |      + (1.0 - LEAST(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)*1.0
+             |         / GREATEST(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT), 1), 1.0))*0.2)
+             |      * 10000) AS BIGINT) AS se
+             |  FROM documents),
+             |dist AS (SELECT source, se, CAST(COUNT(*) AS BIGINT) AS freq FROM sc GROUP BY source, se),
+             |tot AS (SELECT source, CAST(SUM(freq) AS BIGINT) AS n FROM dist GROUP BY source),
+             |cum AS (
+             |  SELECT d.source, d.se, t.n,
+             |    SUM(d.freq) OVER (PARTITION BY d.source ORDER BY d.se) AS cum
+             |  FROM dist d JOIN tot t ON d.source = t.source),
+             |th AS (
+             |  SELECT source,
+             |    MIN(CASE WHEN cum >= (n + 3) // 4 THEN se END) AS q1,
+             |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN se END) AS q2,
+             |    MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN se END) AS q3
+             |  FROM cum GROUP BY source)
+             |SELECT sc.source,
+             |  1 + CAST(sc.se > th.q1 AS INT) + CAST(sc.se > th.q2 AS INT)
+             |    + CAST(sc.se > th.q3 AS INT) AS tier,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(sc.tok) AS BIGINT) AS n_tokens
+             |FROM sc JOIN th ON sc.source = th.source
+             |GROUP BY sc.source, tier ORDER BY sc.source, tier""".stripMargin),
+    ),
   )
 
 }

@@ -50,6 +50,24 @@ class CurationQueriesSpec extends SparkTestBase {
       "larger seq_len can never need more sequences")
   }
 
+  test("t143: tiers partition each source, tier 1 holds at least its quartile") {
+    val perSource = Tables.documents(spark, dir)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = run("t143_quality_tiers")
+      .select("source", "tier", "n_docs").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    rows.foreach { case (_, tier, _) => assert(tier >= 1 && tier <= 4) }
+    rows.groupBy(_._1).foreach { case (src, ts) =>
+      val n = perSource(src)
+      assert(ts.map(_._3).sum == n, s"$src tiers must partition its docs")
+      // type-1 quantile thresholds put tie mass low: tier 1 (se <= q1)
+      // holds at least ceil(n/4) documents by construction
+      val t1 = ts.find(_._2 == 1).map(_._3).getOrElse(0L)
+      assert(t1 >= (n + 3) / 4, s"$src tier1=$t1 n=$n")
+    }
+  }
+
   test("t140: pos is a contiguous 1..n rank per cluster, csim non-increasing") {
     val rows = run("t140_sim_order")
       .select("cid", "csim", "pos").collect()
