@@ -76,6 +76,9 @@ object GraftExtensions {
     // aggregate (not scalar): the analyzer wraps an AggregateFunction
     // returned from a builder in AggregateExpression(Complete) itself
     fixed("graft_kmv", 2)(a => KmvAgg(a.head, intLit(a(1), "graft_kmv"))),
+    fixed("graft_nfc", 1)(a => NfcNormalize(a.head)),
+    fixed("graft_nfkc", 1)(a => NfkcNormalize(a.head)),
+    fixed("graft_strip_accents", 1)(a => StripAccents(a.head)),
   )
 
   /** Runtime injection into an existing session (same surface as the

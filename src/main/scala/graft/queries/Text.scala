@@ -1901,6 +1901,33 @@ object Text {
              |FROM sc JOIN th ON sc.source = th.source
              |GROUP BY sc.source, tier ORDER BY sc.source, tier""".stripMargin),
     ),
+
+    // ----- canonical fingerprinting under Unicode normalization -----
+    // The canonicalization step ahead of every exact-dedup arm: without
+    // NFC, composed and decomposed encodings of the same visible text
+    // ("café" as U+00E9 vs e+U+0301) hash apart and dodge q24/t34/t29
+    // entirely. The kernel is a codegen'd Catalyst expression
+    // (functions/TextNorm.scala, also SQL-exposed as graft_nfc /
+    // graft_nfkc / graft_strip_accents) whose fast path returns the input
+    // object untouched when already normalized — the overwhelmingly common
+    // case, so at 100 TB the pass is a zero-allocation map-side scan. The
+    // shipped corpus is ASCII (every row is_nfc=1) — value variety for the
+    // normalization behavior itself lives in TextNormSpec's composed/
+    // decomposed/ligature/Hangul fixtures; this gate pins the plumbing,
+    // the md5-parity with DuckDB's nfc_normalize, and the fingerprint
+    // equality canon_fp must satisfy.
+    Q(
+      "t144_canon_fingerprint",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            md5(graft.functions.TextNorm.nfc(lower(col("text"))).cast("binary")).as("canon_fp"),
+            (graft.functions.TextNorm.nfc(col("text")) === col("text")).cast("int").as("is_nfc"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(nfc_normalize(lower(text))) AS canon_fp,
+             |  CASE WHEN nfc_normalize(text) = text THEN 1 ELSE 0 END AS is_nfc
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
   )
 
 }
