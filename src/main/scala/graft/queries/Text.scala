@@ -1928,6 +1928,42 @@ object Text {
              |  CASE WHEN nfc_normalize(text) = text THEN 1 ELSE 0 END AS is_nfc
              |FROM documents ORDER BY doc_id""".stripMargin),
     ),
+
+    // ----- blocklist scan: Aho–Corasick multi-pattern matching -----
+    // UT1-style blocklist filtering. The pattern set includes "low" ⊂
+    // "slow" deliberately: every "slow" occurrence must count BOTH
+    // patterns (overlapping, all-occurrence semantics), which is what the
+    // automaton's dictionary-suffix links produce in one pass and what the
+    // oracle's per-pattern position scan counts — and exactly where a
+    // first-match-wins regex alternation would silently undercount.
+    // Substring (not word-boundary) semantics on both sides; ASCII corpus,
+    // so UTF-16 kernel positions and DuckDB codepoint slices agree.
+    // Scale: one codegen'd map-side pass, O(text + matches) per doc
+    // regardless of blocklist size (real lists run 10⁴–10⁵ patterns, where
+    // regex alternation is O(text × patterns)); no shuffle at all.
+    Q(
+      "t145_blocklist_scan",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.functions.Blocklist
+              .hits(lower(col("text")), Seq("slow", "low", "table", "merge batch"))
+              .as("n_hits"))
+          .withColumn("blocked", (col("n_hits") >= 4L).cast("int"))
+          .orderBy("doc_id"),
+      Some("""WITH pats AS (
+             |  SELECT unnest(['slow', 'low', 'table', 'merge batch']) AS p),
+             |d AS (SELECT doc_id, lower(text) AS t FROM documents)
+             |SELECT doc_id,
+             |  CAST(COALESCE(SUM(len(list_filter(
+             |    generate_series(1, len(t) - len(p) + 1),
+             |    i -> t[i : i + len(p) - 1] = p))), 0) AS BIGINT) AS n_hits,
+             |  CASE WHEN COALESCE(SUM(len(list_filter(
+             |    generate_series(1, len(t) - len(p) + 1),
+             |    i -> t[i : i + len(p) - 1] = p))), 0) >= 4 THEN 1 ELSE 0 END AS blocked
+             |FROM d CROSS JOIN pats
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
   )
 
 }
