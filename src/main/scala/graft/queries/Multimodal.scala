@@ -330,5 +330,72 @@ object Multimodal {
              |  CAST(scale_pm AS BIGINT) AS scale_pm
              |FROM p ORDER BY doc_id""".stripMargin),
     ),
+
+    // ----- m39: content-defined chunk dedup over binary payloads -----
+    // The blob-level dedup arm: CDC boundaries (functions/Cdc.scala — LBFS
+    // rolling-hash chunking) re-synchronize after edits, so near-identical
+    // payloads share most chunks where whole-blob md5 (m35-family) shares
+    // none. Per doc: chunk count, chunks also present in ≥2 docs, and the
+    // bytes those shared chunks cover — the dedup-savings report a binary
+    // store runs. The per-byte scan is one codegen'd kernel pass; chunk
+    // ids are md5 over the payload SLICE (ASCII fixture ⇒ the oracle's
+    // text-substring md5 is byte-identical). The chunk table is
+    // corpus-byte-scale and consumed twice (fp stats + join back), hence
+    // one localCheckpoint; both the stats agg and the join shuffle on the
+    // 16-byte fp — at 100 TB exactly the dedup-index shape of q24/t34,
+    // with chunk granularity instead of doc granularity.
+    Q(
+      "m39_cdc_chunks",
+      (s, d) => {
+        val ch = mediaPayload(s, d)
+          .withColumn("ends", graft.functions.Cdc.chunkEnds(col("payload")))
+          .withColumn("starts",
+            concat(array(lit(1L)),
+              transform(expr("slice(ends, 1, size(ends) - 1)"), _ + 1L)))
+          .select(col("doc_id"), col("payload"),
+            explode(arrays_zip(col("starts"), col("ends"))).as("z"))
+          .select(col("doc_id"),
+            md5(expr("substring(payload, cast(z.starts + 14 as int), cast(z.ends - z.starts + 1 as int))"))
+              .as("fp"),
+            (col("z.ends") - col("z.starts") + 1L).as("clen"))
+          .localCheckpoint()
+        val df = ch.groupBy(col("fp"))
+          .agg(count_distinct(col("doc_id")).as("n_docs"))
+        ch.join(df, Seq("fp"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+            sum(when(col("n_docs") >= 2, col("clen")).otherwise(0L)).as("dup_bytes"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text AS t, length(text) AS n FROM documents),
+             |b AS (
+             |  SELECT doc_id, t, n,
+             |    list_sort(list_distinct(list_append(
+             |      list_filter(generate_series(8, n), i ->
+             |        (list_sum(list_transform(generate_series(0, 7), j ->
+             |           CAST(unicode(substring(t, i - j, 1)) AS BIGINT)
+             |             * [1,31,961,29791,923521,28629151,887503681,27512614111][j+1]))
+             |         % 2147483647) % 16 = 0),
+             |      n))) AS ends
+             |  FROM d),
+             |c AS (
+             |  SELECT doc_id, t, unnest(generate_series(1, len(ends))) AS ord, ends
+             |  FROM b),
+             |c2 AS (
+             |  SELECT doc_id, t, ends[ord] AS e,
+             |    CASE WHEN ord = 1 THEN 1 ELSE ends[ord - 1] + 1 END AS s
+             |  FROM c),
+             |ch AS (
+             |  SELECT doc_id, md5(substring(t, s, e - s + 1)) AS fp, e - s + 1 AS clen
+             |  FROM c2),
+             |df AS (SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM ch GROUP BY fp)
+             |SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             |  CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+             |  CAST(SUM(CASE WHEN df.n_docs >= 2 THEN ch.clen ELSE 0 END) AS BIGINT) AS dup_bytes
+             |FROM ch JOIN df ON ch.fp = df.fp
+             |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin),
+    ),
   )
 }
