@@ -45,6 +45,26 @@ object GraftExtensions {
         s"$fn expects a literal INT argument, got: $other")
   }
 
+  /** A literal ARRAY of STRING — written either as array('a', 'b') (a
+    * CreateArray of string literals) or as a pre-folded array literal. */
+  private def stringArrayLit(e: Expression, fn: String): Seq[String] = e match {
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(elems, _)
+        if elems.forall {
+          case Literal(_: org.apache.spark.unsafe.types.UTF8String,
+            org.apache.spark.sql.types.StringType) => true
+          case _ => false
+        } =>
+      elems.map(_.asInstanceOf[Literal].value
+        .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+    case Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, _)) =>
+      arr.toArray[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    case other =>
+      throw new IllegalArgumentException(
+        s"$fn expects a literal ARRAY<STRING> argument, got: $other")
+  }
+
   private def fixed(name: String, arity: Int)(build: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, FunctionBuilder) = {
     val builder: FunctionBuilder = { args =>
@@ -79,6 +99,9 @@ object GraftExtensions {
     fixed("graft_nfc", 1)(a => NfcNormalize(a.head)),
     fixed("graft_nfkc", 1)(a => NfkcNormalize(a.head)),
     fixed("graft_strip_accents", 1)(a => StripAccents(a.head)),
+    fixed("graft_blocklist_hits", 2)(a =>
+      BlocklistHits(a.head, stringArrayLit(a(1), "graft_blocklist_hits"))),
+    fixed("graft_cdc_chunk_ends", 1)(a => CdcChunkEnds(a.head)),
   )
 
   /** Runtime injection into an existing session (same surface as the

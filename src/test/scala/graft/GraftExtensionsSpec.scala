@@ -91,4 +91,29 @@ class GraftExtensionsSpec extends SparkTestBase {
       spark.sql("SELECT graft_editdist_within(a, b, id) FROM ext_ed").collect()
     }
   }
+
+  test("blocklist_hits and cdc_chunk_ends round-trip through SQL") {
+    docs.createOrReplaceTempView("ext_docs2")
+    val viaSql = spark.sql(
+      "SELECT id, graft_blocklist_hits(text, array('the', 'he', 'lazy dog')) AS n " +
+        "FROM ext_docs2 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val viaApi = docs
+      .select(col("id"),
+        graft.functions.Blocklist.hits(col("text"), Seq("the", "he", "lazy dog")).as("n"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaSql.toSeq === viaApi.toSeq)
+    assert(viaSql.head._2 == 5L, "doc 1: 'the'x2 + 'he'x2 + 'lazy dog'") // overlap counts
+
+    val ends = spark.sql(
+      "SELECT graft_cdc_chunk_ends(graft_cdc_fixture) AS e FROM (" +
+        "SELECT cast(concat('GRFTxxxxxxxxxx', 'abcdefghij') as binary) AS graft_cdc_fixture)")
+      .head().getSeq[Long](0)
+    assert(ends.nonEmpty && ends.last == 10L, s"body of 10 bytes must end at 10: $ends")
+
+    intercept[Exception] { // non-literal pattern array fails at analysis time
+      spark.sql("SELECT graft_blocklist_hits(text, array(text)) FROM ext_docs2").collect()
+    }
+  }
 }
