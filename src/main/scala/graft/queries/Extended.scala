@@ -1320,5 +1320,84 @@ object Extended {
              |FROM a, (VALUES (0.1, 26), (0.5, 128), (0.9, 230)) AS x(q, i)
              |ORDER BY q""".stripMargin),
     ),
+
+    // ----- t146: MAD-based robust outlier report per event type -----
+    // The data-quality gate mean/stddev can't provide: median and MAD are
+    // robust to the very outliers being hunted (one corrupt 10⁹ value
+    // drags a z-score threshold into uselessness; it moves the median by
+    // half a rank). Values go through integer cents, medians are exact
+    // type-1 quantiles (smallest value with cum-freq ≥ ⌈n/2⌉), and the
+    // flag is 3×MAD in pure integer arithmetic — deterministic
+    // cross-engine, no float quantile interpolation anywhere.
+    // Scale: t143's distribution-window scheme twice over — both the
+    // value median and the deviation MAD run their windows on the
+    // (type × distinct cents) DISTRIBUTION, never event rows; the two
+    // corpus passes are codegen'd scans with the tiny med/MAD tables
+    // joined back broadcast. No corpus-sized window, no driver state.
+    Q(
+      "t146_mad_outliers",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+        def typeMedian(rows: DataFrame): DataFrame =
+          rows.groupBy(col("event_type"), col("c"))
+            .agg(count(lit(1)).as("freq"))
+            .withColumn("cum", sum(col("freq")).over(w))
+            .withColumn("n", sum(col("freq")).over(Window.partitionBy(col("event_type"))))
+            .groupBy(col("event_type"))
+            .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("c"))).as("med"))
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+        val med = typeMedian(ev)
+        val dev = ev.join(broadcast(med), "event_type")
+          .select(col("event_type"), abs(col("c") - col("med")).as("c"))
+        val mad = typeMedian(dev).select(col("event_type"), col("med").as("mad"))
+        ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            round(max(col("med")) / 100.0, 4).as("median"),
+            round(max(col("mad")) / 100.0, 4).as("mad"),
+            sum(when(abs(col("c") - col("med")) > lit(3) * col("mad"), 1L).otherwise(0L))
+              .as("n_outliers"))
+          .withColumn("outlier_share",
+            round(col("n_outliers") * 1.0 / col("n_events"), 4))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+             |d1 AS (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS freq
+             |       FROM ev GROUP BY event_type, c),
+             |c1 AS (
+             |  SELECT event_type, c,
+             |    SUM(freq) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+             |    SUM(freq) OVER (PARTITION BY event_type) AS n
+             |  FROM d1),
+             |med AS (
+             |  SELECT event_type, MIN(CASE WHEN cum >= (n + 1) // 2 THEN c END) AS med
+             |  FROM c1 GROUP BY event_type),
+             |dv AS (
+             |  SELECT ev.event_type, ABS(ev.c - med.med) AS c
+             |  FROM ev JOIN med ON ev.event_type = med.event_type),
+             |d2 AS (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS freq
+             |       FROM dv GROUP BY event_type, c),
+             |c2 AS (
+             |  SELECT event_type, c,
+             |    SUM(freq) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+             |    SUM(freq) OVER (PARTITION BY event_type) AS n
+             |  FROM d2),
+             |mad AS (
+             |  SELECT event_type, MIN(CASE WHEN cum >= (n + 1) // 2 THEN c END) AS mad
+             |  FROM c2 GROUP BY event_type)
+             |SELECT ev.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  ROUND(MAX(med.med) / 100.0, 4) AS median,
+             |  ROUND(MAX(mad.mad) / 100.0, 4) AS mad,
+             |  CAST(SUM(CASE WHEN ABS(ev.c - med.med) > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_outliers,
+             |  ROUND(SUM(CASE WHEN ABS(ev.c - med.med) > 3 * mad.mad THEN 1 ELSE 0 END) * 1.0
+             |    / COUNT(*), 4) AS outlier_share
+             |FROM ev JOIN med ON ev.event_type = med.event_type
+             |JOIN mad ON ev.event_type = mad.event_type
+             |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin),
+    ),
   )
 }
