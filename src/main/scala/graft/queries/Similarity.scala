@@ -2166,5 +2166,45 @@ object Similarity {
               |FROM asg JOIN sz ON asg.cluster_id = sz.cluster_id
               |ORDER BY asg.doc_id""".stripMargin),
     ),
+
+    // ----- t147: exact set-similarity join (PPJoin prefix filtering) -----
+    // The deterministic-COMPLETE arm of the near-dup family: every pair
+    // with bigram-set Jaccard ≥ 0.8, guaranteed — where t31's MinHash-LSH
+    // is probabilistic and t102 certifies its recall, this one cannot
+    // miss (operators/SetSimJoin.scala carries the proof sketch; the
+    // completeness property is randomized-tested in SetSimJoinSpec). The
+    // oracle is the brute-force all-pairs join over gram STRINGS — counts
+    // over strings equal counts over the md5Head64 hashes the operator
+    // shuffles (64-bit hashes over this gram population are
+    // collision-free; DupSpans documents the same argument), and the
+    // τ decision is integer (i·100 ≥ 80·u) on both sides so the boundary
+    // is exact.
+    Q(
+      "t147_ppjoin",
+      (s, d) =>
+        graft.operators.SetSimJoin.join(
+            Tables.documents(s, d)
+              .select(col("doc_id"),
+                ArrayFns.wordNgramHashes(lower(col("text")), 2).as("t")),
+            "doc_id", "t", tauPct = 80)
+          .select(col("doc_id1"), col("doc_id2"), round(col("jac"), 4).as("jac"))
+          .orderBy("doc_id1", "doc_id2"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+             |g AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]))) AS w
+             |  FROM toks WHERE len(t) >= 2),
+             |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
+             |p AS (
+             |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+             |  FROM g a JOIN g b ON a.w = b.w AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT d1 AS doc_id1, d2 AS doc_id2,
+             |  ROUND(inter * 1.0 / (s1.n + s2.n - inter), 4) AS jac
+             |FROM p JOIN sz s1 ON p.d1 = s1.doc_id JOIN sz s2 ON p.d2 = s2.doc_id
+             |WHERE inter * 100 >= 80 * (s1.n + s2.n - inter)
+             |ORDER BY doc_id1, doc_id2""".stripMargin),
+    ),
   )
 }
