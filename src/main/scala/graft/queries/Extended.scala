@@ -1399,5 +1399,95 @@ object Extended {
              |JOIN mad ON ev.event_type = mad.event_type
              |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin),
     ),
+
+    // ----- t148: event-type transition matrix (sequence-model prep) -----
+    // The per-user action stream as first-order transition statistics —
+    // what an action-model / next-event-prediction pipeline publishes
+    // before training: counts of consecutive (from → to) event-type pairs
+    // plus the row-normalized transition share. Consecutive = next event
+    // of the SAME user by (ts_ns, event_id) order.
+    // Scale: one lead() window per user (key-partitioned, the q19
+    // sessionization contract) feeding a 25-cell hash-agg; the per-from
+    // totals come off a second distribution-sized agg joined back
+    // broadcast. No global sort; the display ratio divides exact longs.
+    Q(
+      "t148_transition_matrix",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+        val tr = Tables.events(s, d)
+          .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = tr.groupBy(col("from_type")).agg(sum(col("n")).as("row_n"))
+        tr.join(broadcast(tot), "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            round(col("n") * 1.0 / col("row_n"), 4).as("share"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type FROM events),
+             |tr AS (
+             |  SELECT event_type AS from_type,
+             |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id)
+             |      AS to_type
+             |  FROM ev),
+             |c AS (
+             |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM tr WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+             |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_n FROM c GROUP BY from_type)
+             |SELECT c.from_type, c.to_type, c.n, ROUND(c.n * 1.0 / t.row_n, 4) AS share
+             |FROM c JOIN t ON c.from_type = t.from_type
+             |ORDER BY c.from_type, c.to_type""".stripMargin),
+    ),
+
+    // ----- t149: cohort retention (weekly) -----
+    // The classic engagement report: users grouped by first-activity week,
+    // tracked across week offsets. All time math is integer epoch-day /
+    // epoch-week arithmetic on ts_ns (no calendar functions, no timezone),
+    // so the cohort and offset keys are exact in both engines.
+    // Scale: distinct (user, day) → per-user min (both user-keyed,
+    // partial-agg'd), a user-keyed join back (hint-free), and a
+    // cohort×offset hash-agg. The cohort-size join joins two
+    // ≤|weeks|-sized aggregates. No windows at all.
+    Q(
+      "t149_cohort_retention",
+      (s, d) => {
+        val act = Tables.events(s, d)
+          .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+          .distinct()
+        val first = act.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+        val joined = act.join(first, "user_id")
+          .select(col("user_id"),
+            expr("first_day div 7").as("cohort_week"),
+            expr("(day - first_day) div 7").as("week_offset"))
+          .distinct()
+        val ret = joined.groupBy(col("cohort_week"), col("week_offset"))
+          .agg(count(lit(1)).as("n_active"))
+        val size = ret.filter(col("week_offset") === 0)
+          .select(col("cohort_week"), col("n_active").as("cohort_size"))
+        ret.join(size, "cohort_week")
+          .select(col("cohort_week"), col("week_offset"), col("n_active"),
+            col("cohort_size"),
+            round(col("n_active") * 1.0 / col("cohort_size"), 4).as("retention"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH act AS (
+             |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+             |f AS (SELECT user_id, MIN(day) AS first_day FROM act GROUP BY user_id),
+             |j AS (
+             |  SELECT DISTINCT act.user_id, f.first_day // 7 AS cohort_week,
+             |    (act.day - f.first_day) // 7 AS week_offset
+             |  FROM act JOIN f ON act.user_id = f.user_id),
+             |ret AS (
+             |  SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+             |  FROM j GROUP BY cohort_week, week_offset),
+             |sz AS (SELECT cohort_week, n_active AS cohort_size FROM ret WHERE week_offset = 0)
+             |SELECT ret.cohort_week, ret.week_offset, ret.n_active, sz.cohort_size,
+             |  ROUND(ret.n_active * 1.0 / sz.cohort_size, 4) AS retention
+             |FROM ret JOIN sz ON ret.cohort_week = sz.cohort_week
+             |ORDER BY ret.cohort_week, ret.week_offset""".stripMargin),
+    ),
   )
 }
