@@ -2206,5 +2206,70 @@ object Similarity {
              |WHERE inter * 100 >= 80 * (s1.n + s2.n - inter)
              |ORDER BY doc_id1, doc_id2""".stripMargin),
     ),
+
+    // ----- t150: matryoshka truncation recall curve -----
+    // Modern embedding stores keep ONE high-dim vector and serve cheaper
+    // queries from its prefix dims (Kusupati et al. 2022, "Matryoshka
+    // Representation Learning"). Before committing to a truncation budget,
+    // the pipeline measures what prefix-dim search loses: recall@5 of
+    // truncated-cosine top-5 against full-cosine top-5, for dims ∈
+    // {8, 16, 32, 64} — the t92 curve-not-a-point contract applied to the
+    // dimension axis (64 = the full width, a built-in recall=1 sanity
+    // row). Both arms are the t33 bounded brute-force diagnostic (20
+    // queries × corpus), rank determinism from the bit-identical
+    // sequential-fold cosine kernel with neighbor_id tie-break, overlap
+    // and recall in exact integer counts.
+    Q(
+      "t150_matryoshka_recall",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("emb").as("qe"))
+        val n = e.select(col("vec_id").as("nid"), col("emb").as("ne"))
+        val pairs = q.join(n, col("qid") =!= col("nid"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("s").desc, col("nid"))
+        def top5(simCol: Column) = pairs
+          .withColumn("s", simCol)
+          .withColumn("r", row_number().over(w))
+          .filter(col("r") <= 5)
+          .select(col("qid"), col("nid"))
+        val full = top5(cosine(col("qe"), col("ne")))
+        Seq(8, 16, 32, 64).map { dims =>
+          val trunc = top5(cosine(
+            expr(s"slice(qe, 1, $dims)"), expr(s"slice(ne, 1, $dims)")))
+          trunc.join(full, Seq("qid", "nid"))
+            .agg(count(lit(1)).as("hits"))
+            .select(lit(dims.toLong).as("dims"), col("hits"))
+        }.reduce(_ union _)
+          .withColumn("n_queries", lit(20L))
+          .withColumn("recall", round(col("hits") * 1.0 / (5 * 20), 4))
+          .orderBy("dims")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             |dims AS (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS dims),
+             |pairs AS (
+             |  SELECT q.vec_id AS qid, n.vec_id AS nid, q.emb AS qe, n.emb AS ne
+             |  FROM e q JOIN e n ON q.vec_id < 20 AND q.vec_id <> n.vec_id),
+             |full5 AS (
+             |  SELECT qid, nid FROM (
+             |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+             |      list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * ne[i]))
+             |        / (sqrt(list_sum(list_transform(qe, x -> x*x)))
+             |           * sqrt(list_sum(list_transform(ne, x -> x*x)))) DESC, nid) AS r
+             |    FROM pairs) WHERE r <= 5),
+             |tr5 AS (
+             |  SELECT dims, qid, nid FROM (
+             |    SELECT d.dims, qid, nid, ROW_NUMBER() OVER (PARTITION BY d.dims, qid ORDER BY
+             |      list_sum(list_transform(generate_series(1, CAST(d.dims AS INT)),
+             |                              i -> qe[i] * ne[i]))
+             |        / (sqrt(list_sum(list_transform(qe[1:CAST(d.dims AS INT)], x -> x*x)))
+             |           * sqrt(list_sum(list_transform(ne[1:CAST(d.dims AS INT)], x -> x*x)))) DESC,
+             |      nid) AS r
+             |    FROM pairs, dims d) WHERE r <= 5)
+             |SELECT t.dims, CAST(COUNT(*) AS BIGINT) AS hits, CAST(20 AS BIGINT) AS n_queries,
+             |  ROUND(COUNT(*) * 1.0 / 100, 4) AS recall
+             |FROM tr5 t JOIN full5 f ON t.qid = f.qid AND t.nid = f.nid
+             |GROUP BY t.dims ORDER BY t.dims""".stripMargin),
+    ),
   )
 }
