@@ -2271,5 +2271,56 @@ object Similarity {
              |FROM tr5 t JOIN full5 f ON t.qid = f.qid AND t.nid = f.nid
              |GROUP BY t.dims ORDER BY t.dims""".stripMargin),
     ),
+
+    // ----- t151: triangle census of the near-dup graph -----
+    // Dedup QA before trusting cluster counts: triangle density separates
+    // template CLIQUES (mirror/boilerplate families — every pair
+    // verified, many triangles) from CHAINS of borderline pairs (A≈B≈C
+    // with A≉C — the transitive-merge failure mode, zero triangles).
+    // Edges are t147's guaranteed-complete exact-similarity pairs;
+    // counting runs on operators/Triangles.scala's degree-ordered
+    // orientation, whose wedge fan-out is bounded by √m per node (the
+    // WWW'11 bound) rather than the squared hub degree a naive
+    // neighbor-join pays. Oracle: 3-way self-join over the same exact
+    // pair set (every triangle x<y<z once), per-node counts by union.
+    Q(
+      "t151_dedup_triangles",
+      (s, d) => {
+        val pairs = graft.operators.SetSimJoin.join(
+            Tables.documents(s, d)
+              .select(col("doc_id"),
+                ArrayFns.wordNgramHashes(lower(col("text")), 2).as("t")),
+            "doc_id", "t", tauPct = 80)
+          .select(col("doc_id1"), col("doc_id2"))
+        graft.operators.Triangles.perNode(pairs, "doc_id1", "doc_id2")
+          .select(col("node").as("doc_id"), col("n_tri"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+             |g AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]))) AS w
+             |  FROM toks WHERE len(t) >= 2),
+             |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
+             |p AS (
+             |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+             |  FROM g a JOIN g b ON a.w = b.w AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |e AS (
+             |  SELECT d1 AS a, d2 AS b
+             |  FROM p JOIN sz s1 ON p.d1 = s1.doc_id JOIN sz s2 ON p.d2 = s2.doc_id
+             |  WHERE inter * 100 >= 80 * (s1.n + s2.n - inter)),
+             |tri AS (
+             |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+             |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |per AS (
+             |  SELECT x AS v FROM tri
+             |  UNION ALL SELECT y FROM tri
+             |  UNION ALL SELECT z FROM tri)
+             |SELECT v AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri
+             |FROM per GROUP BY v ORDER BY doc_id""".stripMargin),
+    ),
   )
 }
