@@ -1489,5 +1489,67 @@ object Extended {
              |FROM ret JOIN sz ON ret.cohort_week = sz.cohort_week
              |ORDER BY ret.cohort_week, ret.week_offset""".stripMargin),
     ),
+
+    // ----- t152: percentile winsorization (outlier clamping) report -----
+    // The cleaning step downstream of t146's detection: clamp each type's
+    // values into its own [p1, p99] band and report what moved. Thresholds
+    // are exact type-1 quantiles on integer cents via the distribution-
+    // window scheme (t143/t146); totals are exact integer-cents sums
+    // rendered as money, so before/after mass is order-independent and
+    // the clamp decision has no float anywhere.
+    Q(
+      "t152_winsorize",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+        val th = ev.groupBy(col("event_type"), col("c"))
+          .agg(count(lit(1)).as("freq"))
+          .withColumn("cum", sum(col("freq")).over(w))
+          .withColumn("n", sum(col("freq")).over(Window.partitionBy(col("event_type"))))
+          .groupBy(col("event_type"))
+          .agg(
+            min(when(col("cum") >= expr("(n + 99) div 100"), col("c"))).as("p01"),
+            min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("c"))).as("p99"))
+        ev.join(broadcast(th), "event_type")
+          .withColumn("cl", greatest(least(col("c"), col("p99")), col("p01")))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(when(col("c") < col("p01"), 1L).otherwise(0L)).as("n_low"),
+            sum(when(col("c") > col("p99"), 1L).otherwise(0L)).as("n_high"),
+            round(max(col("p01")) / 100.0, 4).as("p01"),
+            round(max(col("p99")) / 100.0, 4).as("p99"),
+            round(sum(col("c")).cast("double") / 100.0, 4).as("sum_before"),
+            round(sum(col("cl")).cast("double") / 100.0, 4).as("sum_after"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+             |d1 AS (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS freq
+             |       FROM ev GROUP BY event_type, c),
+             |c1 AS (
+             |  SELECT event_type, c,
+             |    SUM(freq) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+             |    SUM(freq) OVER (PARTITION BY event_type) AS n
+             |  FROM d1),
+             |th AS (
+             |  SELECT event_type,
+             |    MIN(CASE WHEN cum >= (n + 99) // 100 THEN c END) AS p01,
+             |    MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN c END) AS p99
+             |  FROM c1 GROUP BY event_type),
+             |x AS (
+             |  SELECT ev.event_type, ev.c, th.p01, th.p99,
+             |    GREATEST(LEAST(ev.c, th.p99), th.p01) AS cl
+             |  FROM ev JOIN th ON ev.event_type = th.event_type)
+             |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(SUM(CASE WHEN c < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+             |  CAST(SUM(CASE WHEN c > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+             |  ROUND(MAX(p01) / 100.0, 4) AS p01,
+             |  ROUND(MAX(p99) / 100.0, 4) AS p99,
+             |  ROUND(CAST(SUM(c) AS DOUBLE) / 100.0, 4) AS sum_before,
+             |  ROUND(CAST(SUM(cl) AS DOUBLE) / 100.0, 4) AS sum_after
+             |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
   )
 }

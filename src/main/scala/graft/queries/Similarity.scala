@@ -2322,5 +2322,91 @@ object Similarity {
              |SELECT v AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri
              |FROM per GROUP BY v ORDER BY doc_id""".stripMargin),
     ),
+
+    // ----- t153: contamination closure over near-dup clusters -----
+    // Production decontamination's second pass: a benchmark match must
+    // disqualify not just the matching document but every near-duplicate
+    // of it — the copies carry the same leaked content with the n-grams
+    // perturbed just enough to dodge the direct check. Direct flags are
+    // t48's exact 3-gram overlap contract; propagation runs through the
+    // FULL connected component (large-small-star over t147's
+    // guaranteed-complete pair set — one borderline chain hop still
+    // counts), and the report separates `direct` from `via_cluster` so
+    // the closure's marginal catch is auditable. Every stage reuses a
+    // verified arm: SetSimJoin pairs, CC components, the t48 gram join.
+    Q(
+      "t153_contamination_closure",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(ArrayFns.wordNgramHashes(lower(col("text")), 3)).as("g"))
+        val probe = grams.filter(col("doc_id") % 50 === 0).select("g").distinct()
+        val direct = grams.filter(col("doc_id") % 50 =!= 0)
+          .join(probe, "g")
+          .groupBy(col("doc_id"))
+          .agg(count_distinct(col("g")).as("ns"))
+          .filter(col("ns") >= 3)
+          .select(col("doc_id"))
+          .localCheckpoint()
+        val pairs = graft.operators.SetSimJoin.join(
+            Tables.documents(s, d)
+              .select(col("doc_id"),
+                ArrayFns.wordNgramHashes(lower(col("text")), 2).as("t")),
+            "doc_id", "t", tauPct = 80)
+          .select(col("doc_id1"), col("doc_id2"))
+        val cc = graft.operators.ConnectedComponents
+          .largeSmallStar(pairs, "doc_id1", "doc_id2")
+          .select(col("id"), col("component"))
+          .localCheckpoint()
+        val flaggedComps = cc.join(direct, cc("id") === direct("doc_id"))
+          .select(col("component")).distinct()
+        val via = cc.join(flaggedComps, Seq("component")).select(col("id").as("doc_id"))
+        direct.select(col("doc_id"), lit(1).as("direct"))
+          .join(via.select(col("doc_id"), lit(1).as("via_cluster")), Seq("doc_id"), "full")
+          .select(col("doc_id"),
+            coalesce(col("direct"), lit(0)).as("direct"),
+            coalesce(col("via_cluster"), lit(0)).as("via_cluster"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+             |g3 AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+             |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+             |  FROM toks WHERE len(t) >= 3),
+             |probe AS (SELECT DISTINCT g FROM g3 WHERE doc_id % 50 = 0),
+             |direct AS (
+             |  SELECT c.doc_id FROM g3 c JOIN probe p ON c.g = p.g
+             |  WHERE c.doc_id % 50 <> 0
+             |  GROUP BY c.doc_id HAVING COUNT(DISTINCT c.g) >= 3),
+             |bg AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 1),
+             |    i -> t[i] || ' ' || t[i+1]))) AS w
+             |  FROM toks WHERE len(t) >= 2),
+             |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY doc_id),
+             |p AS (
+             |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+             |  FROM bg a JOIN bg b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |e AS (
+             |  SELECT d1 AS a, d2 AS b
+             |  FROM p JOIN sz s1 ON p.d1 = s1.doc_id JOIN sz s2 ON p.d2 = s2.doc_id
+             |  WHERE inter * 100 >= 80 * (s1.n + s2.n - inter)),
+             |eg AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+             |reach(id, r) AS (
+             |  SELECT a, a FROM eg
+             |  UNION
+             |  SELECT reach.id, eg.b FROM reach JOIN eg ON reach.r = eg.a),
+             |cc AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+             |fc AS (SELECT DISTINCT cc.component FROM cc JOIN direct ON cc.id = direct.doc_id),
+             |via AS (SELECT cc.id AS doc_id FROM cc JOIN fc ON cc.component = fc.component),
+             |-- DISTINCT over UNION ALL, not bare UNION: inside WITH RECURSIVE
+             |-- DuckDB does not deduplicate a UNION of two non-recursive branches
+             |ids AS (SELECT DISTINCT doc_id FROM (
+             |  SELECT doc_id FROM direct UNION ALL SELECT doc_id FROM via))
+             |SELECT ids.doc_id,
+             |  CASE WHEN ids.doc_id IN (SELECT doc_id FROM direct) THEN 1 ELSE 0 END AS direct,
+             |  CASE WHEN ids.doc_id IN (SELECT doc_id FROM via) THEN 1 ELSE 0 END AS via_cluster
+             |FROM ids ORDER BY ids.doc_id""".stripMargin),
+    ),
   )
 }
