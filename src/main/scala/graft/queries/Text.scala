@@ -1964,6 +1964,74 @@ object Text {
              |FROM d CROSS JOIN pats
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
+
+    // ----- per-source distribution drift: Jensen–Shannon divergence -----
+    // The mixture-drift monitor: how far each source's unigram
+    // distribution sits from the corpus blend. JS (symmetric, bounded
+    // [0, ln 2]) rather than KL, so a source missing corpus words stays
+    // finite. Every per-word term is quantized to integer micro-nats
+    // BEFORE summing (the t113 LmScore convention — ln() is
+    // cross-engine-deterministic on identical doubles, and integer sums
+    // are order-independent), so the result is exact under any partial
+    // aggregation.
+    // Scale: two wordcount shuffles (corpus + per-source) and a
+    // vocabulary×sources grid built from broadcast totals — every frame
+    // after the wordcounts is vocabulary-scale, never corpus-scale.
+    Q(
+      "t154_source_drift",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(col("source"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+        val corpus = words.groupBy(col("w")).agg(count(lit(1)).as("cq"))
+        val tq = corpus.agg(sum(col("cq")).as("tq"))
+        val src = words.groupBy(col("source"), col("w")).agg(count(lit(1)).as("cs"))
+        val ts = src.groupBy(col("source")).agg(sum(col("cs")).as("ts"))
+        val p = col("cs0") / col("ts")
+        val q = col("cq") / col("tq")
+        val m = (p + q) / 2
+        corpus.crossJoin(broadcast(ts))
+          .join(src, Seq("source", "w"), "left")
+          .crossJoin(broadcast(tq))
+          .withColumn("cs0", coalesce(col("cs"), lit(0L)))
+          .withColumn("term",
+            when(col("cs0") === 0, lit(0.5) * q * log(q / m))
+              .otherwise(lit(0.5) * p * log(p / m) + lit(0.5) * q * log(q / m)))
+          .withColumn("unats", round(col("term") * 1000000).cast("long"))
+          .groupBy(col("source"))
+          .agg(max(col("ts")).as("n_tokens"), sum(col("unats")).as("js_unats"))
+          .select(col("source"), col("n_tokens"), col("js_unats"),
+            round(col("js_unats") / 1000000.0, 4).as("js"))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (
+             |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+             |  FROM documents),
+             |corpus AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cq FROM w GROUP BY w),
+             |tq AS (SELECT CAST(SUM(cq) AS BIGINT) AS tq FROM corpus),
+             |src AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cs FROM w GROUP BY source, w),
+             |ts AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ts FROM src GROUP BY source),
+             |grid AS (
+             |  SELECT ts.source, corpus.w, corpus.cq, ts.ts, tq.tq,
+             |    COALESCE(src.cs, 0) AS cs0
+             |  FROM corpus CROSS JOIN ts CROSS JOIN tq
+             |  LEFT JOIN src ON src.source = ts.source AND src.w = corpus.w),
+             |terms AS (
+             |  SELECT source, ts,
+             |    CAST(ROUND((CASE WHEN cs0 = 0
+             |      THEN 0.5 * (cq * 1.0 / tq)
+             |           * ln((cq * 1.0 / tq) / (((cs0 * 1.0 / ts) + (cq * 1.0 / tq)) / 2))
+             |      ELSE 0.5 * (cs0 * 1.0 / ts)
+             |           * ln((cs0 * 1.0 / ts) / (((cs0 * 1.0 / ts) + (cq * 1.0 / tq)) / 2))
+             |         + 0.5 * (cq * 1.0 / tq)
+             |           * ln((cq * 1.0 / tq) / (((cs0 * 1.0 / ts) + (cq * 1.0 / tq)) / 2))
+             |      END) * 1000000, 0) AS BIGINT) AS unats
+             |  FROM grid)
+             |SELECT source, CAST(MAX(ts) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(unats) AS BIGINT) AS js_unats,
+             |  ROUND(SUM(unats) / 1000000.0, 4) AS js
+             |FROM terms GROUP BY source ORDER BY source""".stripMargin),
+    ),
   )
 
 }
