@@ -147,6 +147,36 @@ object DocStreams {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Streaming blocklist gate — the live twin of batch t145: each
+    * micro-batch runs the one-pass Aho–Corasick scan against a FIXED
+    * pattern list (the automaton compiles once per plan; refreshed
+    * out-of-band like the LM vocabulary) and writes per-doc
+    * (n_hits, blocked) verdicts to the batch-id-keyed idempotent sink.
+    * Per-document purity ⇒ micro-batch union == one-shot batch scan
+    * (StreamingSpec, against the t145 builder itself). This is the
+    * ingest-time kill switch: a document never reaches signing/dedup if
+    * the blocklist fires. */
+  def blocklistStream(
+      docs: DataFrame,
+      patterns: Seq[String],
+      threshold: Long,
+      path: String,
+      ckpt: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .select(col("doc_id"),
+            graft.functions.Blocklist
+              .hits(org.apache.spark.sql.functions.lower(col("text")), patterns)
+              .as("n_hits"))
+          .withColumn("blocked",
+            (col("n_hits") >= threshold).cast("int"))
+          .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Streaming DSIR weighting — [[qualityScoreStream]]'s importance-
     * resampling sibling: micro-batches score against a PRE-FITTED λ table
     * ([[graft.operators.Dsir.lambdaTable]], refreshed out-of-band like the

@@ -596,4 +596,38 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed === oneShot,
       s"streamed sample diverges from batch: ${streamed.diff(oneShot).take(3)} / ${oneShot.diff(streamed).take(3)}")
   }
+
+  test("streaming blocklist gate over micro-batches equals one-shot batch t145") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocStreams
+
+    val allDocs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val out = java.nio.file.Files.createTempDirectory("graft_bl_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bl_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    // the exact t145 pattern list and threshold
+    val q = DocStreams.blocklistStream(
+      input.toDS().toDF("doc_id", "text"),
+      Seq("slow", "low", "table", "merge batch"), threshold = 4L, out, ckpt)
+    try {
+      val (b1, rest) = allDocs.splitAt(allDocs.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getInt(2))
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "n_hits", "blocked").collect().map(key).toSet
+    val oneShot = SparkEntry.queries("t145_blocklist_scan")(spark, dir)
+      .collect().map(key).toSet
+    assert(streamed == oneShot,
+      s"streamed verdicts diverge from batch: ${streamed.diff(oneShot).take(3)} / ${oneShot.diff(streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
 }
