@@ -2032,6 +2032,87 @@ object Text {
              |  ROUND(SUM(unats) / 1000000.0, 4) AS js
              |FROM terms GROUP BY source ORDER BY source""".stripMargin),
     ),
+
+    // ----- per-source datasheet (Gebru et al. 2021, "Datasheets for
+    // Datasets") -----
+    // The one-page release table a corpus ships with: per source — docs,
+    // tokens, language spread, mean quality, and the verified near-dup
+    // rate. Every column composes an arm the oracle gate already verifies
+    // in isolation (t28 token counts, t27 score quantized to the t143
+    // integer grid, t147's guaranteed-complete pair set), so the
+    // datasheet can't drift from the operators it summarizes.
+    // Scale: per-doc stats are one codegen'd scan; the dup flag joins the
+    // pair-bounded t147 output back at doc cardinality (hint-free); the
+    // final agg is |sources|-sized.
+    Q(
+      "t155_datasheet",
+      (s, d) => {
+        val stats = Tables.documents(s, d)
+          .withColumn("n_words", regexp_count(col("text"), lit("[A-Za-z]+")).cast("long"))
+          .withColumn("n_punct", regexp_count(col("text"), lit("[.,!?;:]")).cast("long"))
+          .withColumn("n_stop", regexp_count(col("text"), lit(stopPat)).cast("long"))
+          .select(col("doc_id"), col("source"), col("lang"),
+            regexp_count(col("text"), lit("\\S+")).cast("long").as("tok"),
+            round((least(col("n_words") / 100.0, lit(1.0)) * 0.5
+              + (col("n_stop") * 1.0 / greatest(col("n_words"), lit(1L))) * 0.3
+              + (lit(1.0) - least(col("n_punct") * 1.0 / greatest(col("n_words"), lit(1L)), lit(1.0))) * 0.2)
+              * 10000).cast("long").as("se"))
+        val pairs = graft.operators.SetSimJoin.join(
+            Tables.documents(s, d)
+              .select(col("doc_id"),
+                ArrayFns.wordNgramHashes(lower(col("text")), 2).as("t")),
+            "doc_id", "t", tauPct = 80)
+        val dupDocs = pairs.select(col("doc_id1").as("doc_id"))
+          .union(pairs.select(col("doc_id2").as("doc_id")))
+          .distinct()
+          .withColumn("is_dup", lit(1L))
+        stats.join(dupDocs, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("tok")).as("n_tokens"),
+            count_distinct(col("lang")).as("n_langs"),
+            round(sum(col("se")) * 1.0 / (count(lit(1)) * 10000), 4).as("mean_quality"),
+            sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+          .withColumn("dup_rate", round(col("n_dup_docs") * 1.0 / col("n_docs"), 4))
+          .orderBy("source")
+      },
+      Some(s"""WITH st AS (
+             |  SELECT doc_id, source, lang,
+             |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok,
+             |    CAST(ROUND((LEAST(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)/100.0, 1.0)*0.5
+             |      + (CAST(len(regexp_extract_all(text, '$stopPat')) AS BIGINT)*1.0
+             |         / GREATEST(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT), 1))*0.3
+             |      + (1.0 - LEAST(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)*1.0
+             |         / GREATEST(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT), 1), 1.0))*0.2)
+             |      * 10000) AS BIGINT) AS se
+             |  FROM documents),
+             |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents),
+             |bg AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]))) AS w
+             |  FROM toks WHERE len(t) >= 2),
+             |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY doc_id),
+             |p AS (
+             |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+             |  FROM bg a JOIN bg b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |e AS (
+             |  SELECT d1, d2 FROM p JOIN sz s1 ON p.d1 = s1.doc_id JOIN sz s2 ON p.d2 = s2.doc_id
+             |  WHERE inter * 100 >= 80 * (s1.n + s2.n - inter)),
+             |dup AS (
+             |  SELECT DISTINCT doc_id FROM (
+             |    SELECT d1 AS doc_id FROM e UNION ALL SELECT d2 FROM e))
+             |SELECT st.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(st.tok) AS BIGINT) AS n_tokens,
+             |  CAST(COUNT(DISTINCT st.lang) AS BIGINT) AS n_langs,
+             |  ROUND(SUM(st.se) * 1.0 / (COUNT(*) * 10000), 4) AS mean_quality,
+             |  CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_dup_docs,
+             |  ROUND(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             |    / COUNT(*), 4) AS dup_rate
+             |FROM st LEFT JOIN dup ON st.doc_id = dup.doc_id
+             |GROUP BY st.source ORDER BY st.source""".stripMargin),
+    ),
   )
 
 }
