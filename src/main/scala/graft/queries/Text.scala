@@ -2113,6 +2113,80 @@ object Text {
              |FROM st LEFT JOIN dup ON st.doc_id = dup.doc_id
              |GROUP BY st.source ORDER BY st.source""".stripMargin),
     ),
+
+    // ----- incremental crawl triage: exact-dup / near-dup / novel -----
+    // What an ingestion pipeline decides for every document of a NEW crawl
+    // against the existing corpus: drop it (byte-identical after
+    // canonicalization), route it to dedup arbitration (near-duplicate of
+    // an existing doc), or admit it as novel. Old corpus = doc_id % 3 = 0
+    // slice; exact matches compare t144's NFC-canonical fingerprints;
+    // near matches are t147's guaranteed-complete bigram-Jaccard pairs
+    // restricted to old↔new crossings; precedence exact > near > novel.
+    // Scale: the fp anti-check is a hash-keyed semi join on 16-byte keys
+    // (the q24 index shape); the near arm reuses SetSimJoin's prefix
+    // filter; the final agg is |sources|×3. All joins hint-free.
+    Q(
+      "t156_crawl_triage",
+      (s, d) => {
+        val fp = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            md5(graft.functions.TextNorm.nfc(lower(col("text"))).cast("binary")).as("fp"))
+          .localCheckpoint()
+        val oldFp = fp.filter(col("doc_id") % 3 === 0).select("fp").distinct()
+        val newDocs = fp.filter(col("doc_id") % 3 =!= 0)
+        val exact = newDocs.join(oldFp, Seq("fp"), "semi")
+          .select(col("doc_id")).withColumn("is_exact", lit(1))
+        val pairs = graft.operators.SetSimJoin.join(
+            Tables.documents(s, d)
+              .select(col("doc_id"),
+                ArrayFns.wordNgramHashes(lower(col("text")), 2).as("t")),
+            "doc_id", "t", tauPct = 80)
+          .select(col("doc_id1"), col("doc_id2"))
+        val near = pairs
+          .select(when(col("doc_id1") % 3 === 0, col("doc_id2"))
+            .when(col("doc_id2") % 3 === 0, col("doc_id1")).as("doc_id"))
+          .filter(col("doc_id").isNotNull && col("doc_id") % 3 =!= 0)
+          .distinct()
+          .withColumn("is_near", lit(1))
+        newDocs
+          .join(exact, Seq("doc_id"), "left")
+          .join(near, Seq("doc_id"), "left")
+          .withColumn("verdict",
+            when(col("is_exact") === 1, lit("exact_dup"))
+              .when(col("is_near") === 1, lit("near_dup"))
+              .otherwise(lit("novel")))
+          .groupBy(col("source"), col("verdict"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("source", "verdict")
+      },
+      Some("""WITH fp AS (
+             |  SELECT doc_id, source, md5(nfc_normalize(lower(text))) AS fp FROM documents),
+             |oldfp AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 = 0),
+             |newdocs AS (SELECT doc_id, source, fp FROM fp WHERE doc_id % 3 <> 0),
+             |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+             |bg AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]))) AS w
+             |  FROM toks WHERE len(t) >= 2),
+             |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY doc_id),
+             |p AS (
+             |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+             |  FROM bg a JOIN bg b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |e AS (
+             |  SELECT d1, d2 FROM p JOIN sz s1 ON p.d1 = s1.doc_id JOIN sz s2 ON p.d2 = s2.doc_id
+             |  WHERE inter * 100 >= 80 * (s1.n + s2.n - inter)),
+             |near AS (
+             |  SELECT DISTINCT CASE WHEN d1 % 3 = 0 THEN d2 ELSE d1 END AS doc_id
+             |  FROM e WHERE (d1 % 3 = 0) <> (d2 % 3 = 0)),
+             |cls AS (
+             |  SELECT nd.source,
+             |    CASE WHEN nd.fp IN (SELECT fp FROM oldfp) THEN 'exact_dup'
+             |         WHEN nd.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+             |         ELSE 'novel' END AS verdict
+             |  FROM newdocs nd)
+             |SELECT source, verdict, CAST(COUNT(*) AS BIGINT) AS n_docs
+             |FROM cls GROUP BY source, verdict ORDER BY source, verdict""".stripMargin),
+    ),
   )
 
 }
