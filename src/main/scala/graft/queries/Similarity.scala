@@ -2408,5 +2408,54 @@ object Similarity {
              |  CASE WHEN ids.doc_id IN (SELECT doc_id FROM via) THEN 1 ELSE 0 END AS via_cluster
              |FROM ids ORDER BY ids.doc_id""".stripMargin),
     ),
+
+    // ----- t157: full-corpus LSH recall against exact truth -----
+    // t102 certified the MinHash-LSH arm against a brute-force truth
+    // bounded to small ids — all the exact truth used to afford. The
+    // prefix-filter join (t147's SetSimJoin) makes FULL-corpus exact
+    // truth tractable, so the production dedup arm (t31's banded
+    // candidates + exact verify) is now certified over every pair, not a
+    // sample: recall = verified-LSH pairs ÷ all true Jaccard≥0.8 pairs,
+    // both over the SAME char-3-gram shingle hashes. Precision is 1.0 by
+    // construction (the LSH arm string-verifies) — reported, not assumed,
+    // so a future verify regression surfaces here.
+    Q(
+      "t157_lsh_recall_full",
+      (s, d) => {
+        val sh = shingled(s, d)
+        val truth = graft.operators.SetSimJoin.join(sh, "doc_id", "shingles", tauPct = 80)
+          .select(col("doc_id1"), col("doc_id2")).localCheckpoint()
+        val lsh = minhashDupPairs(s, d)
+          .select(col("doc_id1"), col("doc_id2")).localCheckpoint()
+        val hit = truth.join(lsh, Seq("doc_id1", "doc_id2"))
+        truth.agg(count(lit(1)).as("n_true"))
+          .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select(col("n_true"), col("n_lsh"), col("n_hit"),
+            round(col("n_hit") * 1.0 / greatest(col("n_true"), lit(1L)), 4).as("recall"),
+            round(col("n_hit") * 1.0 / greatest(col("n_lsh"), lit(1L)), 4).as("precision"))
+      },
+      Some(s"""WITH $minhashPairsSqlCtes,
+              |lsh AS (SELECT doc_id1, doc_id2 FROM j WHERE jac >= 0.8),
+              |hsz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh),
+              |tp AS (
+              |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+              |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+              |truth AS (
+              |  SELECT d1, d2 FROM tp JOIN hsz s1 ON tp.d1 = s1.doc_id
+              |  JOIN hsz s2 ON tp.d2 = s2.doc_id
+              |  WHERE inter * 100 >= 80 * (s1.n + s2.n - inter)),
+              |hit AS (
+              |  SELECT t.d1 FROM truth t
+              |  JOIN lsh ON t.d1 = lsh.doc_id1 AND t.d2 = lsh.doc_id2)
+              |SELECT
+              |  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+              |  CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh,
+              |  CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+              |  ROUND((SELECT COUNT(*) FROM hit) * 1.0
+              |    / GREATEST((SELECT COUNT(*) FROM truth), 1), 4) AS recall,
+              |  ROUND((SELECT COUNT(*) FROM hit) * 1.0
+              |    / GREATEST((SELECT COUNT(*) FROM lsh), 1), 4) AS precision""".stripMargin),
+    ),
   )
 }
