@@ -2187,6 +2187,59 @@ object Text {
              |SELECT source, verdict, CAST(COUNT(*) AS BIGINT) AS n_docs
              |FROM cls GROUP BY source, verdict ORDER BY source, verdict""".stripMargin),
     ),
+
+    // ----- token-budget allocation: largest-remainder apportionment -----
+    // t124 reports mixture WEIGHTS; this emits the actual integer token
+    // QUOTA per source for a fixed training budget B — the number the
+    // sampler consumes. Hamilton's largest-remainder method on exact
+    // integers: base quota ⌊B·nᵢ/N⌋, then the B − Σ⌊·⌋ leftover tokens go
+    // to the largest exact remainders (B·nᵢ mod N, ties by source), so
+    // Σ quota = B exactly and no floating point exists anywhere —
+    // apportionment off by even one token is a real bug class in epoch
+    // accounting.
+    // Scale: one wordcount-shaped agg to per-source totals, then
+    // everything runs on the |sources|-sized frame (the rank window is
+    // 20 rows); the corpus-total scalar rides a 1-row cross join.
+    Q(
+      "t158_token_allocation",
+      (s, d) => {
+        val B = 100000L
+        val perSrc = Tables.documents(s, d)
+          .select(col("source"), regexp_count(col("text"), lit("\\S+")).cast("long").as("tok"))
+          .groupBy(col("source")).agg(sum(col("tok")).as("n_tokens"))
+        val tot = perSrc.agg(sum(col("n_tokens")).as("nn"))
+        val based = perSrc.crossJoin(broadcast(tot))
+          .withColumn("base", expr(s"($B * n_tokens) div nn"))
+          .withColumn("rem", expr(s"($B * n_tokens) % nn"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("source"))
+        val leftover = expr(s"$B - sum(base) over ()")
+        based
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("quota",
+            col("base") + when(col("rk") <= leftover, 1L).otherwise(0L))
+          .select(col("source"), col("n_tokens"), col("base"), col("quota"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+             |  SELECT source,
+             |    CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY source),
+             |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS nn FROM t),
+             |b AS (
+             |  SELECT source, n_tokens,
+             |    (100000 * n_tokens) // nn AS base,
+             |    (100000 * n_tokens) % nn AS rem
+             |  FROM t CROSS JOIN tot),
+             |r AS (
+             |  SELECT source, n_tokens, base,
+             |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+             |    100000 - SUM(base) OVER () AS leftover
+             |  FROM b)
+             |SELECT source, n_tokens, CAST(base AS BIGINT) AS base,
+             |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+             |FROM r ORDER BY source""".stripMargin),
+    ),
   )
 
 }
