@@ -62,9 +62,15 @@ object SetSimJoin {
           s"slice(transform(__o, x -> x.__w), 1, cast(__n - (($tauPct * __n + 99) div 100) + 1 as int))"))
           .as("__w"))
     // prefix of the SMALLER set probes the FULL index of the larger (ties
-    // broken by id) — the single-sided orientation the guarantee needs
+    // broken by id) — the single-sided orientation the guarantee needs —
+    // plus the PPJoin length filter: jac ≥ τ forces |A| ≥ τ·|B|
+    // (i(1+τ) ≥ τ(|A|+|B|) and i ≤ |A|), so a candidate whose sizes
+    // differ by more than 1/τ can be pruned BEFORE the verify without
+    // touching completeness. On real corpora document sizes span orders
+    // of magnitude, so this kills most cross-size candidates at the join.
     val cand = pre.as("a")
       .join(u.as("b"), col("a.__w") === col("b.__w") &&
+        col("a.__n") * 100 >= col("b.__n") * tauPct &&
         (col("a.__n") < col("b.__n") ||
           (col("a.__n") === col("b.__n") && col("a.__id") < col("b.__id"))))
       .select(
