@@ -58,8 +58,14 @@ object GraftExtensions {
         .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
     case Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData,
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, _)) =>
-      arr.toArray[org.apache.spark.unsafe.types.UTF8String](
-        org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      val elems = arr.toArray[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType)
+      // a NULL element would NPE on toString below — surface the same clean
+      // analysis-time error the non-literal branch raises
+      if (elems.exists(_ == null))
+        throw new IllegalArgumentException(
+          s"$fn expects a literal ARRAY<STRING> argument with no NULL elements, got: $e")
+      elems.map(_.toString).toSeq
     case other =>
       throw new IllegalArgumentException(
         s"$fn expects a literal ARRAY<STRING> argument, got: $other")
@@ -91,8 +97,8 @@ object GraftExtensions {
     fixed("graft_l2_norm", 1)(a => L2Norm(a.head)),
     fixed("graft_sorted_intersect_count", 2)(a =>
       SortedIntersectCount(a.head, a(1))),
-    fixed("graft_editdist_within", 3)(a =>
-      EditDistWithin(a.head, a(1), intLit(a(2), "graft_editdist_within"))),
+    // threshold is a full INT expression (per-row bands), not a literal
+    fixed("graft_editdist_within", 3)(a => EditDistWithin(a.head, a(1), a(2))),
     // aggregate (not scalar): the analyzer wraps an AggregateFunction
     // returned from a builder in AggregateExpression(Complete) itself
     fixed("graft_kmv", 2)(a => KmvAgg(a.head, intLit(a(1), "graft_kmv"))),

@@ -45,6 +45,23 @@ case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
     else TypeCheckResult.TypeCheckFailure(
       s"expects bigint, got ${child.dataType.simpleString}")
 
+  // filterBytes is an Array[Byte] field on a case class, so the synthesized
+  // equals/hashCode compare it by REFERENCE — two semantically identical
+  // probes would never compare equal, blocking expression canonicalization
+  // and common-subexpression elimination. Content-based overrides restore
+  // value semantics; toString/sql print a compact summary instead of a JVM
+  // array reference.
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContainLong =>
+      child == b.child && java.util.Arrays.equals(filterBytes, b.filterBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(filterBytes)
+  override def toString: String =
+    s"$prettyName($child, <${filterBytes.length}-byte filter>)"
+  override def sql: String = s"$prettyName(${child.sql})"
+
   @transient private lazy val bf: BloomFilter =
     BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
 

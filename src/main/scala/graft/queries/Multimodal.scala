@@ -349,6 +349,12 @@ object Multimodal {
       (s, d) => {
         val ch = mediaPayload(s, d)
           .withColumn("ends", graft.functions.Cdc.chunkEnds(col("payload")))
+          // zero-length bodies chunk to an EMPTY ends array (CdcKit
+          // contract) and are excluded from chunk stats; the oracle's
+          // matching WHERE n > 0 pins the same choice (CdcSpec). Also
+          // keeps `slice(ends, 1, size - 1)` below off the size=0
+          // negative-length edge.
+          .filter(size(col("ends")) > 0)
           .withColumn("starts",
             concat(array(lit(1L)),
               transform(expr("slice(ends, 1, size(ends) - 1)"), _ + 1L)))
@@ -369,7 +375,8 @@ object Multimodal {
             sum(when(col("n_docs") >= 2, col("clen")).otherwise(0L)).as("dup_bytes"))
           .orderBy("doc_id")
       },
-      Some("""WITH d AS (SELECT doc_id, text AS t, length(text) AS n FROM documents),
+      Some("""WITH d AS (SELECT doc_id, text AS t, length(text) AS n FROM documents
+             |          WHERE length(text) > 0),
              |b AS (
              |  SELECT doc_id, t, n,
              |    list_sort(list_distinct(list_append(

@@ -65,6 +65,27 @@ class BloomProbeSpec extends SparkTestBase {
       "prefilter should prune the majority of non-matching grams")
   }
 
+  test("probes compare by filter CONTENT, so canonicalization/CSE can unify them") {
+    import spark.implicits._
+    val bf = Seq(1L, 2L).toDF("k").stat.bloomFilter("k", 64, 0.01)
+    // two independently serialized copies of the same filter: semantically
+    // identical probes must be equal (case-class Array fields compare by
+    // reference — the defect this pins)
+    val e1 = graft.functions.BloomMightContainLong(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), BloomProbe.toBytes(bf))
+    val e2 = graft.functions.BloomMightContainLong(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), BloomProbe.toBytes(bf))
+    assert(!(e1.filterBytes eq e2.filterBytes), "test needs distinct byte arrays")
+    assert(e1 == e2 && e1.hashCode == e2.hashCode,
+      "content-identical probes must compare equal (canonicalization/CSE)")
+    val other = Seq(9L).toDF("k").stat.bloomFilter("k", 64, 0.01)
+    assert(e1 != e1.copy(filterBytes = BloomProbe.toBytes(other)),
+      "different filters must not compare equal")
+    // explain/toString must print a summary, not a JVM array reference
+    assert(e1.toString.contains("-byte filter") && !e1.toString.contains("[B@"),
+      s"unreadable toString: $e1")
+  }
+
   test("non-bigint input is rejected at analysis time") {
     import spark.implicits._
     val bytes = BloomProbe.toBytes(Seq(1L).toDF("k").stat.bloomFilter("k", 64, 0.01))

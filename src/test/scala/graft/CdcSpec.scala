@@ -53,6 +53,16 @@ class CdcSpec extends SparkTestBase {
     }
   }
 
+  test("a zero-length body chunks to the EMPTY array — and m39 skips it (pinned choice)") {
+    // contract decision (round-9 advice): an empty body has no chunks, so
+    // the doc is ABSENT from chunk stats; the m39 oracle mirrors this with
+    // WHERE length(text) > 0 and the Spark build filters size(ends) > 0
+    // (which also keeps slice(ends, 1, size-1) off the negative-length
+    // edge). The alternative — emitting one zero-length chunk — would have
+    // put an md5('') fingerprint in every dedup index for free.
+    assert(CdcKit.chunkEnds(pack(Array.empty[Byte])).numElements() == 0)
+  }
+
   test("short bodies (< window) become one chunk") {
     (1 to 7).foreach { n =>
       val b = Array.fill(n)(42.toByte)

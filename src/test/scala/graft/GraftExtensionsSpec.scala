@@ -87,7 +87,14 @@ class GraftExtensionsSpec extends SparkTestBase {
       .orderBy("id")
       .collect().map(r => (r.getLong(0), { val f = r.getInt(1); if (f <= 3) f else -1 }))
     assert(viaSql.toSeq === expected.toSeq)
-    intercept[Exception] { // non-literal threshold fails at analysis time
+    // per-row INT thresholds are part of the SQL surface (t130's per-pair
+    // band): id 1 → t=1 rejects lev 3; id 2 → t=2 accepts 0; id 3 → t=3
+    // rejects lev 6
+    val dyn = spark.sql(
+      "SELECT id, graft_editdist_within(a, b, CAST(id AS INT)) AS d FROM ext_ed ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(dyn.toSeq === Seq((1L, -1), (2L, 0), (3L, -1)))
+    intercept[Exception] { // non-INT threshold type still fails at analysis time
       spark.sql("SELECT graft_editdist_within(a, b, id) FROM ext_ed").collect()
     }
   }
@@ -115,5 +122,28 @@ class GraftExtensionsSpec extends SparkTestBase {
     intercept[Exception] { // non-literal pattern array fails at analysis time
       spark.sql("SELECT graft_blocklist_hits(text, array(text)) FROM ext_docs2").collect()
     }
+    // a NULL element inside a pre-folded literal array must raise the same
+    // clean analysis-time error, not an NPE from the optimizer's
+    // constant-folded ArrayData branch
+    val nullElem = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_blocklist_hits(text, array('a', CAST(NULL AS STRING), 'b')) " +
+          "FROM ext_docs2").collect()
+    }
+    assert(nullElem.getMessage.contains("ARRAY<STRING>"),
+      s"expected the literal-array analysis error, got: ${nullElem.getMessage}")
+    // and the PRE-FOLDED ArrayData branch (what the optimizer hands a
+    // builder after constant folding) with a null element: same clean
+    // IllegalArgumentException, not an NPE from mapping toString over nulls
+    val builder = GraftExtensions.functions
+      .find(_._1.funcName == "graft_blocklist_hits").get._3
+    val arr = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Seq("a", null, "b"),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+    val folded = intercept[IllegalArgumentException] {
+      builder(Seq(org.apache.spark.sql.catalyst.expressions.Literal("x"), arr))
+    }
+    assert(folded.getMessage.contains("ARRAY<STRING>"),
+      s"expected the literal-array analysis error, got: ${folded.getMessage}")
   }
 }
