@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -237,22 +237,33 @@ case class SrpBucket(child: Expression, nBits: Int)
   * −1 otherwise — the builtin `levenshtein(l, r, t)` contract on the
   * [[SimKit.editDistBanded]] kernel (O((2t+1)·len) band, O(1) length-gap
   * reject, row-min early exit). Sits in the t130 fuzzy-dedup verify hot
-  * loop; equivalence to the builtin is pinned in EditDistSpec. */
-case class EditDistWithin(left: Expression, right: Expression, threshold: Int)
-    extends BinaryExpression with SimKitCall {
-  require(threshold >= 0, s"threshold must be >= 0, got $threshold")
+  * loop; equivalence to the builtin is pinned in EditDistSpec.
+  *
+  * The threshold is a full integer EXPRESSION, so a verify stage can hand
+  * every pair its OWN band (t130 uses `max_len / 4` — the pair's exact
+  * accept budget), which is both tighter than any global bound and free of
+  * the extra driver-side max-length job a global bound needs. A negative
+  * per-row threshold short-circuits to −1 in the kernel. */
+case class EditDistWithin(left: Expression, right: Expression, threshold: Expression)
+    extends TernaryExpression with SimKitCall {
+  override def first: Expression = left
+  override def second: Expression = right
+  override def third: Expression = threshold
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == StringType)
+    if (left.dataType == StringType && right.dataType == StringType
+        && threshold.dataType == IntegerType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"expects two string inputs, got ${left.dataType.simpleString} / ${right.dataType.simpleString}")
-  override def nullSafeEval(a: Any, b: Any): Any =
-    SimKit.editDistBanded(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], threshold)
+      s"expects (string, string, int), got ${left.dataType.simpleString} / " +
+        s"${right.dataType.simpleString} / ${threshold.dataType.simpleString}")
+  override def nullSafeEval(a: Any, b: Any, t: Any): Any =
+    SimKit.editDistBanded(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], t.asInstanceOf[Int])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"$kit.editDistBanded($a, $b, $threshold)")
+    defineCodeGen(ctx, ev, (a, b, t) => s"$kit.editDistBanded($a, $b, $t)")
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(left = newFirst, right = newSecond, threshold = newThird)
 }

@@ -101,6 +101,10 @@ object ArrayFns {
   def l2Norm(emb: Column): Column =
     GraftColumnBridge.column(L2Norm(GraftColumnBridge.expression(emb)))
   def editDistWithin(a: Column, b: Column, threshold: Int): Column =
+    editDistWithin(a, b, org.apache.spark.sql.functions.lit(threshold))
+  /** Per-row threshold variant: each pair gets its own exact DP band. */
+  def editDistWithin(a: Column, b: Column, threshold: Column): Column =
     GraftColumnBridge.column(
-      EditDistWithin(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), threshold))
+      EditDistWithin(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b),
+        GraftColumnBridge.expression(threshold)))
 }

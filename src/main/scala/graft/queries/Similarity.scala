@@ -365,6 +365,57 @@ object Similarity {
         (coalesce(col("n_dups"), lit(0L)) === 0L).as("admitted"))
   }
 
+  /** The NFC-canonical exact-dup fingerprint of a text column — t144/t156's
+    * md5-over-normalized-lowercase contract, in ONE place so the batch
+    * queries, the fingerprint index builder, and the streaming triage twin
+    * can never drift. */
+  def canonicalFp(text: Column): Column =
+    md5(graft.functions.TextNorm.nfc(lower(text)).cast("binary"))
+
+  /** Batch crawl triage against a STATIC corpus — the t156 ingestion
+    * decision as a reusable (batch, index) function: for each (doc_id,
+    * text) in `batch`, verdict `exact_dup` (canonical fingerprint present
+    * in `fpIndex`), else `near_dup` (MinHash-band probe + exact-Jaccard
+    * verify against the admission index finds a ≥0.8 neighbor — the same
+    * [[admission]] arm t96 certifies), else `novel`. Precedence exact >
+    * near > novel, exactly t156's.
+    *
+    * Verdicts are per-document functions of (doc, static indexes), so the
+    * union of per-micro-batch triages equals the one-shot triage of the
+    * union — the property that makes
+    * [[graft.streaming.DocStreams.triageStream]] a faithful live twin
+    * (proven in StreamingSpec against this very builder).
+    *
+    * Scale shape: the exact arm is a hash semi join on 16-byte keys (the
+    * q24 index shape); the near arm is the banded/bucket-capped probe —
+    * batch-sized frames against bucketed index tables, zero corpus
+    * re-signing, all joins hint-free. */
+  def triage(
+      batch: DataFrame,
+      fpIndex: DataFrame,
+      index: DataFrame,
+      corpusSh: DataFrame): DataFrame = {
+    val exact = batch
+      .select(col("doc_id"), canonicalFp(col("text")).as("fp"))
+      .join(fpIndex.select(col("fp")), Seq("fp"), "semi")
+      .select(col("doc_id"))
+      .withColumn("is_exact", lit(1))
+    // localCheckpoint for the same reason admissionStream does: admission
+    // reads the shingled batch from both its probe and verify arms
+    val near = admission(shingleDocs(batch).localCheckpoint(), index, corpusSh)
+      .filter(!col("admitted"))
+      .select(col("doc_id"))
+      .withColumn("is_near", lit(1))
+    batch.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("is_exact") === 1, lit("exact_dup"))
+          .when(col("is_near") === 1, lit("near_dup"))
+          .otherwise(lit("novel")).as("verdict"))
+  }
+
   /** The t31 oracle's CTE chain up to verified pairs `p(doc_id1, doc_id2)` —
     * reused verbatim by the t49 oracle so pair semantics can never drift
     * between the two. */
@@ -1849,14 +1900,15 @@ object Similarity {
         // oracle runs:
         // (1) length gap: lev ≥ |l1−l2|, so a pair whose gap alone blows
         //     the ≤25% budget is rejected in O(1) — 45% of candidates;
-        // (2) banded DP: lev ≤ T decides every pair exactly when
-        //     T ≥ max_len/4 for ALL pairs, so T = global max(len)/4 + 1
-        //     (one tiny agg job at build time) lets the O((2T+1)·len)
-        //     early-exit band (ArrayFns.editDistWithin — codegen'd
-        //     SimKit kernel, ~3× the builtin threshold variant) replace
-        //     the O(len²) scan; -1 means "distance > T ≥ this pair's
-        //     budget" — already a reject.
-        val thr = docs.agg(max(length(col("text")))).head.getInt(0) / 4 + 1
+        // (2) banded DP with a PER-PAIR band T = max_len/4, the pair's own
+        //     integer accept budget: lev ≤ T ⇒ the kernel returns the
+        //     exact distance and the filter decides correctly; lev > T ⇒
+        //     −1, and lev > ⌊max_len/4⌋ is exactly `lev*4 > max_len` — a
+        //     reject either way, so the banded run decides EVERY pair
+        //     identically to the oracle's unbounded kernel. The per-pair
+        //     band is tighter than any global bound and needs no separate
+        //     max-length driver job (the threshold rides the row as an
+        //     expression — EditDistWithin's dynamic third argument).
         cand
           .join(docs.select(col("doc_id").as("doc_id1"), col("text").as("t1")), Seq("doc_id1"))
           .join(docs.select(col("doc_id").as("doc_id2"), col("text").as("t2")), Seq("doc_id2"))
@@ -1874,7 +1926,8 @@ object Similarity {
           // needs — sized by cores, not bytes.
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id1"), col("doc_id2"),
-            ArrayFns.editDistWithin(col("t1"), col("t2"), thr).cast("long").as("lev"),
+            ArrayFns.editDistWithin(col("t1"), col("t2"),
+              (col("max_len") / 4).cast("int")).cast("long").as("lev"),
             col("max_len"))
           // materialize BEFORE the threshold filter (the jaccardPairs
           // barrier): pushdown would otherwise inline the DP into each

@@ -62,6 +62,28 @@ class EditDistSpec extends SparkTestBase {
     check(Seq((a, b), (a, a), ("abXcd", a)), 4)
   }
 
+  test("per-row thresholds decide every pair exactly (the t130 per-pair band)") {
+    // threshold is now an expression: each pair carries its OWN band
+    // T = max_len/4 (t130's accept budget). The contract under test is
+    // the equivalence t130's correctness rests on: lev ≤ T ⇒ exact
+    // distance, lev > T ⇒ −1 — with T varying per row, including T = 0
+    // and a negative T (kernel short-circuits to −1).
+    val rnd = new Random(13)
+    def s(n: Int) = Seq.fill(n)("abc".charAt(rnd.nextInt(3))).mkString
+    val rows = Seq.fill(200)((s(rnd.nextInt(30)), s(rnd.nextInt(30)), rnd.nextInt(12) - 2))
+    val got = rows.toDF("a", "b", "t")
+      .select(
+        ArrayFns.editDistWithin(col("a"), col("b"), col("t")).as("band"),
+        levenshtein(col("a"), col("b")).as("full"),
+        col("t"))
+      .collect()
+    got.foreach { r =>
+      val (band, full, t) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      val expected = if (t >= 0 && full <= t) full else -1
+      assert(band === expected, s"t=$t full=$full band=$band")
+    }
+  }
+
   test("t130 pins its verify fan-out against AQE's size-based coalescing") {
     // the fix this guards: AQE folded the byte-tiny pair frame to ~1
     // partition and ran the CPU-bound band kernel single-threaded
