@@ -44,14 +44,38 @@ object Bpe {
     * pairs compete with in-word pairs exactly as in real tokenizer
     * training. Returns the merge table ordered by step; stops early if
     * every word collapses to a single symbol (fewer rows than `steps`).
-    */
+    *
+    * `batch` > 1 enables BATCHED merges — the wall-clock fix for
+    * production vocab sizes, where one Spark job pair per rule makes a
+    * 32k-rule run ~10⁵ sequential jobs: each recount round accepts up to
+    * `batch` ranked pairs that are pairwise-disjoint, fresh-symboled, and
+    * strictly count-separated ([[acceptBatch]]'s C1–C3), and applies them
+    * in ONE fold pass. The emitted merge table is PROVABLY identical to
+    * the sequential trainer's, rule for rule (proof at [[acceptBatch]];
+    * property-tested in BpeSpec) — batching only cuts rounds, never
+    * changes the model. */
   def train(
       spark: SparkSession,
       wordFreq: DataFrame,
       word: String,
       freq: String,
-      steps: Int): DataFrame = {
+      steps: Int,
+      batch: Int = 1): DataFrame =
+    trainWithRounds(spark, wordFreq, word, freq, steps, batch)._1
+
+  /** [[train]] plus the number of recount ROUNDS executed — the quantity
+    * batching exists to cut (each round is one Spark pair-count job + one
+    * fold re-segmentation pass regardless of how many rules it lands).
+    * Exposed for the BpeSpec wall-clock-contract assertions. */
+  def trainWithRounds(
+      spark: SparkSession,
+      wordFreq: DataFrame,
+      word: String,
+      freq: String,
+      steps: Int,
+      batch: Int = 1): (DataFrame, Int) = {
     require(steps >= 1, s"bpe needs at least one merge step, got $steps")
+    require(batch >= 1, s"bpe batch must be >= 1, got $batch")
     val q = (c: String) => col(s"`${c.replace("`", "``")}`")
     // per-round state is checkpointed flat; superseded rounds are freed via
     // the shared tracker — Dataset.unpersist() is a no-op on checkpoint
@@ -63,10 +87,25 @@ object Bpe {
         concat(lit("_"), q(word)).as("sym"))
       .select(col("freq"), expr(
         "transform(sequence(1, length(sym)), i -> substring(sym, i, 1))").as("s")))
+    // Batched acceptance needs the CURRENT symbol alphabet (freshness guard
+    // C2 below). Seed it with one tiny distinct-symbols job — the result is
+    // alphabet-sized — then grow it driver-side by each merged symbol;
+    // symbols that later vanish from the vocabulary stay in the set, which
+    // is conservative (can only shrink a batch, never unsound).
+    val known = scala.collection.mutable.Set.empty[String]
+    if (batch > 1)
+      known ++= cur.select(explode(col("s")).as("sym")).distinct()
+        .collect().map(_.getString(0))
     val merges = ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var rounds = 0
     var exhausted = false
-    for (step <- 1 to steps if !exhausted) {
-      val top = cur
+    while (merges.size < steps && !exhausted) {
+      val remaining = steps - merges.size
+      val want = math.min(batch, remaining)
+      // fetch enough ranked pairs to (a) fill the batch and (b) always see
+      // the first pair BEYOND it, whose count is the trim cut-off
+      val fetch = math.max(4 * want, want + 1)
+      val ranked = cur
         .filter(size(col("s")) >= 2)
         .select(col("freq"), explode(expr(
           """transform(sequence(1, size(s) - 1),
@@ -75,13 +114,18 @@ object Bpe {
         .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1)
+        .limit(fetch)
         .collect()
-      if (top.isEmpty) exhausted = true
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      rounds += 1
+      if (ranked.isEmpty) exhausted = true
       else {
-        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((step.toLong, a, b, a + b, cnt))
-        val (next, nextIds) = tracker.ck(cur.withColumn("s", applyMergeFold(col("s"), a, b)))
+        val accepted = acceptBatch(ranked, want, known, sawAll = ranked.length < fetch)
+        for ((a, b, cnt) <- accepted)
+          merges += ((merges.size.toLong + 1, a, b, a + b, cnt))
+        known ++= accepted.map { case (a, b, _) => a + b }
+        val rules = accepted.map { case (a, b, _) => (a, b) }
+        val (next, nextIds) = tracker.ck(cur.withColumn("s", applyMergesFold(col("s"), rules)))
         tracker.free(curIds)
         cur = next
         curIds = nextIds
@@ -89,7 +133,86 @@ object Bpe {
     }
     tracker.free(curIds)
     import spark.implicits._
-    merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
+    (merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count"), rounds)
+  }
+
+  /** Greedy batch acceptance over the ranked (cnt DESC, a, b) pair list —
+    * returns a prefix of merges PROVABLY equal to what the sequential
+    * trainer would emit, one rule per round, in the same order.
+    *
+    * Why a batch prefix is sequential-equivalent. Merging (a, b) → ab
+    * changes pair counts ONLY for pairs touching a, b, or the new symbol
+    * ab: pairs over untouched symbols keep their exact counts AND their
+    * adjacency positions (a merge replaces two symbols by one, so (x, y)
+    * with x, y ∉ {a, b, ab} is adjacent after iff it was adjacent before).
+    * Pairs containing a or b can only LOSE occurrences. Brand-new pairs
+    * (x, ab) / (ab, y) are each bounded by the ORIGINAL count of an
+    * overlapping pair — (x, a) resp. (b, y) — because every occurrence
+    * arises from such an original adjacency. So accept pairs r₁, r₂, …
+    * walking the ranked list in order, subject to:
+    *
+    *  C1 (disjoint): rᵢ shares no symbol with earlier accepted pairs —
+    *     its count and greedy-merge sites are then EXACTLY what the
+    *     sequential trainer sees at its round, and one simultaneous fold
+    *     pass equals the sequential passes;
+    *  C2 (fresh merge symbol): each accepted merged string aᵢ+bᵢ must not
+    *     collide with any CURRENT vocabulary symbol, batch symbol, or
+    *     earlier batch merge result — a collision would let "new" pair
+    *     counts pile onto existing ones and break the bound above;
+    *  C3 (strict count separation): stop at the first violating pair q and
+    *     TRIM to the prefix whose counts strictly exceed c_cut = q's count
+    *     (r₁ is exempt — it is the global argmax regardless). Every pair
+    *     overlapping the batch ranks at or below q, so every new pair any
+    *     batch merge can create has count ≤ c_cut < cᵢ — it can neither
+    *     beat nor TIE an accepted rᵢ at its sequential round. Ties against
+    *     surviving original pairs resolve exactly as sequential: their
+    *     counts and the (cnt, a, b) order are unchanged below rᵢ.
+    *
+    * If the walk exhausts the fetched list without a violation and the list
+    * was NOT truncated (`sawAll`), no pair in existence overlaps the batch,
+    * no new pairs can arise at all, and c_cut = 0; if it WAS truncated or
+    * stopped at the batch-size cap, c_cut is the first unaccepted count.
+    * Worst case every round accepts only r₁ — exactly the sequential
+    * trainer. Equivalence is property-tested against the sequential path in
+    * BpeSpec over random vocabularies.
+    */
+  private def acceptBatch(
+      ranked: Array[(String, String, Long)],
+      want: Int,
+      known: collection.Set[String],
+      sawAll: Boolean): Seq[(String, String, Long)] = {
+    val accepted = ArrayBuffer.empty[(String, String, Long)]
+    val syms = scala.collection.mutable.Set.empty[String]
+    val made = scala.collection.mutable.Set.empty[String]
+    var cut = -1L // -1 = undetermined; resolved before trimming
+    var i = 0
+    var stopped = false
+    while (i < ranked.length && accepted.size < want && !stopped) {
+      val (a, b, c) = ranked(i)
+      val m = a + b
+      val fresh = !known(m) && !syms(m) && !made(m) && m != a && m != b
+      if (accepted.isEmpty) {
+        // the top pair is the sequential argmax by construction — always
+        // accepted; if its merge symbol is NOT fresh the new-pair bound is
+        // void, so the batch is just this one rule (a sequential round)
+        accepted += ((a, b, c)); syms += a; syms += b; made += m
+        if (!fresh) stopped = true
+      } else if (!syms(a) && !syms(b) && fresh) {
+        accepted += ((a, b, c)); syms += a; syms += b; made += m
+      } else {
+        cut = c
+        stopped = true
+      }
+      i += 1
+    }
+    if (cut < 0)
+      cut = if (i < ranked.length) ranked(i)._3 // stopped at cap / C2-of-r1
+            else if (!sawAll) ranked.last._3     // truncated fetch: bound by the tail
+            else 0L                              // saw every pair, none conflicted
+    val keep = ArrayBuffer(accepted.head)
+    var j = 1
+    while (j < accepted.size && accepted(j)._3 > cut) { keep += accepted(j); j += 1 }
+    keep.toSeq
   }
 
   /** Persist a learned merge table — the artifact a tokenizer ships. One
@@ -115,13 +238,27 @@ object Bpe {
     * A codegen'd array fold: the accumulator's last symbol merging with the
     * next one means a just-merged symbol never immediately re-merges. */
   private def applyMergeFold(s: Column, a: String, b: String): Column =
+    applyMergesFold(s, Seq((a, b)))
+
+  /** One leftmost-greedy pass applying a whole BATCH of pairwise-disjoint
+    * rules simultaneously: per fold step at most one rule can match (rules
+    * share no symbols and merge results are fresh — acceptBatch's C1/C2),
+    * so the chained `when`s are order-independent and the single pass
+    * equals applying the rules in sequential passes. ONE fold with K
+    * branches — codegen size linear in K, unlike nesting K fold calls
+    * (see [[encodeVocab]]'s 3^rules note, which is about nesting). */
+  private def applyMergesFold(s: Column, rules: Seq[(String, String)]): Column =
     aggregate(
       slice(s, lit(2), size(s) - 1),
       array(element_at(s, 1)),
-      (acc, x) =>
-        when(element_at(acc, -1) === lit(a) && x === lit(b),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-          .otherwise(concat(acc, array(x))))
+      (acc, x) => {
+        val last = element_at(acc, -1)
+        rules.foldRight(concat(acc, array(x))) { case ((a, b), els) =>
+          when(last === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(els)
+        }
+      })
 
   /** Encode a VOCABULARY of distinct words with a learned merge table:
     * segment each word into '_'-prefixed characters, then apply each
@@ -197,8 +334,14 @@ object Bpe {
     * in the [a-z_] symbol alphabet. */
   private def chainSql(steps: Int, wordFreqSql: String, resegmentLast: Boolean): String = {
     val sb = new StringBuilder
+    // w$i and b$i are each referenced TWICE (pair count + re-segmentation /
+    // merge-table arm); DuckDB inlines non-materialized CTEs per reference,
+    // so an unrolled chain of depth n would expand to a 2^n scan tree —
+    // fatal at t159's 32 rounds ("too many open files" before any work).
+    // MATERIALIZED pins each round to one evaluation, making oracle cost
+    // linear in rounds like the Spark side.
     sb.append(s"""WITH wf AS ($wordFreqSql),
-                 |w0 AS (
+                 |w0 AS MATERIALIZED (
                  |  SELECT w, freq, list_transform(range(1, length('_' || w) + 1),
                  |                                 i -> substring('_' || w, i, 1)) AS s
                  |  FROM wf)""".stripMargin)
@@ -210,7 +353,7 @@ object Bpe {
                    |      j -> struct_pack(a := s[j], b := s[j+1]))) AS pr
                    |    FROM w$i)
                    |  GROUP BY 1, 2),
-                   |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)"""
+                   |b$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)"""
         .stripMargin)
       if (i < steps - 1 || resegmentLast)
         // LEFT JOIN ON TRUE, not CROSS JOIN: when training exhausts early
@@ -220,7 +363,7 @@ object Bpe {
         // empty b$i would silently empty every later w$k and, for encode
         // callers, the whole result.
         sb.append(s""",
-                     |w${i + 1} AS (
+                     |w${i + 1} AS MATERIALIZED (
                      |  SELECT w, freq, string_split(list_reduce(s, (acc, x) ->
                      |    CASE WHEN m.a IS NOT NULL
                      |              AND regexp_extract(acc, '[a-z_]*$$') = m.a AND x = m.b

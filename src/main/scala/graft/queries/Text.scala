@@ -40,6 +40,11 @@ object Text {
   // 0 can't exercise), small enough that the unrolled oracle stays sane.
   private val BpeSteps = 8
 
+  // Batched-BPE rule count for t159 — large enough that batching shows its
+  // round-count win (32 rules land in far fewer than 32 recount rounds),
+  // small enough that the 32-round unrolled DuckDB oracle stays tractable.
+  private val BpeBatchedSteps = 32
+
   val all: Seq[Q] = Seq(
     // ----- Q23: per-language corpus stats -----
     Q(
@@ -1466,6 +1471,36 @@ object Text {
           |  FROM documents""".stripMargin)),
     ),
 
+    // ----- t159: BATCHED BPE training (the production-vocab scale path) -----
+    // t122's design is right but its constant factor is not: one merge per
+    // recount round means a real 32k–100k vocab run is ~10⁵ sequential
+    // Spark jobs. This is the fix — per round, accept up to 8 ranked pairs
+    // that are pairwise-disjoint, fresh-symboled, and strictly
+    // count-separated (operators/Bpe.acceptBatch C1–C3, with the
+    // sequential-equivalence proof) and land them in ONE fold pass. The
+    // merge table is provably rule-for-rule identical to the sequential
+    // trainer's, so the oracle IS the sequential 32-round unrolled chain —
+    // the equivalence claim is exactly what the DuckDB gate checks. The
+    // per-round job count is unchanged from t122 (one vocab-sized pair
+    // count + one argmax fetch of ≤ 4·batch rows + one map-side fold), so
+    // cutting rounds ~batch× cuts wall-clock the same factor; BpeSpec
+    // asserts the round count actually drops on this corpus and
+    // property-tests batched == sequential over random vocabularies.
+    Q(
+      "t159_bpe_batched",
+      (s, d) => {
+        val wf = Tables.documents(s, d)
+          .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        graft.operators.Bpe.train(s, wf, "w", "freq", steps = BpeBatchedSteps, batch = 8)
+      },
+      Some(graft.operators.Bpe.oracleSql(
+        BpeBatchedSteps,
+        """SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+          |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+          |  GROUP BY w""".stripMargin)),
+    ),
+
     // ----- temperature-based source mixing (α = 0.5) -----
     // The mixture-reweighting step of a multi-source training run
     // (multilingual-LM style temperature sampling): source s is drawn with
@@ -2186,6 +2221,100 @@ object Text {
              |  FROM newdocs nd)
              |SELECT source, verdict, CAST(COUNT(*) AS BIGINT) AS n_docs
              |FROM cls GROUP BY source, verdict ORDER BY source, verdict""".stripMargin),
+    ),
+
+    // ----- t160: datasheet drill-down with small-cell suppression -----
+    // t155 at the (source, lang) grain — the cut release reviews actually
+    // request — plus the k-anonymity-style rule that makes the finer grain
+    // releasable at all: a cell with fewer than K=5 documents could
+    // re-identify individual documents through its statistics, so every
+    // metric INCLUDING the count is masked to NULL and only the
+    // `suppressed` flag survives. The suppression decision is an integer
+    // compare on an exact count — no cross-engine float risk — and the
+    // masking happens AFTER aggregation, so the plan is t155's (per-doc
+    // codegen'd stats + the SetSimJoin dup arm joined back at doc
+    // cardinality) with a |sources×langs|-sized final projection on top.
+    // Scale: identical to t155; the drill-down grain only widens the final
+    // agg key, never the shuffled data.
+    Q(
+      "t160_datasheet_cells",
+      (s, d) => {
+        val K = 5L
+        val stats = Tables.documents(s, d)
+          .withColumn("n_words", regexp_count(col("text"), lit("[A-Za-z]+")).cast("long"))
+          .withColumn("n_punct", regexp_count(col("text"), lit("[.,!?;:]")).cast("long"))
+          .withColumn("n_stop", regexp_count(col("text"), lit(stopPat)).cast("long"))
+          .select(col("doc_id"), col("source"), col("lang"),
+            regexp_count(col("text"), lit("\\S+")).cast("long").as("tok"),
+            round((least(col("n_words") / 100.0, lit(1.0)) * 0.5
+              + (col("n_stop") * 1.0 / greatest(col("n_words"), lit(1L))) * 0.3
+              + (lit(1.0) - least(col("n_punct") * 1.0 / greatest(col("n_words"), lit(1L)), lit(1.0))) * 0.2)
+              * 10000).cast("long").as("se"))
+        val pairs = graft.operators.SetSimJoin.join(
+            Tables.documents(s, d)
+              .select(col("doc_id"),
+                ArrayFns.wordNgramHashes(lower(col("text")), 2).as("t")),
+            "doc_id", "t", tauPct = 80)
+        val dupDocs = pairs.select(col("doc_id1").as("doc_id"))
+          .union(pairs.select(col("doc_id2").as("doc_id")))
+          .distinct()
+          .withColumn("is_dup", lit(1L))
+        val cells = stats.join(dupDocs, Seq("doc_id"), "left")
+          .groupBy(col("source"), col("lang"))
+          .agg(
+            count(lit(1)).as("nd"),
+            sum(col("tok")).as("nt"),
+            round(sum(col("se")) * 1.0 / (count(lit(1)) * 10000), 4).as("mq"),
+            sum(coalesce(col("is_dup"), lit(0L))).as("ndup"))
+        val keep = col("nd") >= K
+        cells.select(
+            col("source"), col("lang"),
+            when(keep, col("nd")).as("n_docs"),
+            when(keep, col("nt")).as("n_tokens"),
+            when(keep, col("mq")).as("mean_quality"),
+            when(keep, round(col("ndup") * 1.0 / col("nd"), 4)).as("dup_rate"),
+            when(keep, 0L).otherwise(1L).as("suppressed"))
+          .orderBy("source", "lang")
+      },
+      Some(s"""WITH st AS (
+             |  SELECT doc_id, source, lang,
+             |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok,
+             |    CAST(ROUND((LEAST(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)/100.0, 1.0)*0.5
+             |      + (CAST(len(regexp_extract_all(text, '$stopPat')) AS BIGINT)*1.0
+             |         / GREATEST(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT), 1))*0.3
+             |      + (1.0 - LEAST(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)*1.0
+             |         / GREATEST(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT), 1), 1.0))*0.2)
+             |      * 10000) AS BIGINT) AS se
+             |  FROM documents),
+             |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents),
+             |bg AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]))) AS w
+             |  FROM toks WHERE len(t) >= 2),
+             |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY doc_id),
+             |p AS (
+             |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+             |  FROM bg a JOIN bg b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |e AS (
+             |  SELECT d1, d2 FROM p JOIN sz s1 ON p.d1 = s1.doc_id JOIN sz s2 ON p.d2 = s2.doc_id
+             |  WHERE inter * 100 >= 80 * (s1.n + s2.n - inter)),
+             |dup AS (
+             |  SELECT DISTINCT doc_id FROM (
+             |    SELECT d1 AS doc_id FROM e UNION ALL SELECT d2 FROM e)),
+             |cells AS (
+             |  SELECT st.source, st.lang, CAST(COUNT(*) AS BIGINT) AS nd,
+             |    CAST(SUM(st.tok) AS BIGINT) AS nt,
+             |    ROUND(SUM(st.se) * 1.0 / (COUNT(*) * 10000), 4) AS mq,
+             |    CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ndup
+             |  FROM st LEFT JOIN dup ON st.doc_id = dup.doc_id
+             |  GROUP BY st.source, st.lang)
+             |SELECT source, lang,
+             |  CASE WHEN nd >= 5 THEN nd END AS n_docs,
+             |  CASE WHEN nd >= 5 THEN nt END AS n_tokens,
+             |  CASE WHEN nd >= 5 THEN mq END AS mean_quality,
+             |  CASE WHEN nd >= 5 THEN ROUND(ndup * 1.0 / nd, 4) END AS dup_rate,
+             |  CASE WHEN nd >= 5 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS suppressed
+             |FROM cells ORDER BY source, lang""".stripMargin),
     ),
 
     // ----- token-budget allocation: largest-remainder apportionment -----

@@ -73,6 +73,66 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("BATCHED training emits exactly the sequential merge table on random vocabularies") {
+    // the core batched-BPE claim (acceptBatch C1–C3): whatever prefix a
+    // round accepts, the emitted rules — order, counts, everything — equal
+    // the one-rule-per-round trainer's. Tiny 3-letter alphabet makes
+    // ties, overlapping top pairs, and merge-symbol collisions (the cases
+    // that force a batch to trim or stop) arise constantly.
+    val rnd = new Random(20260814L ^ 0x51ed2701L)
+    for (trial <- 1 to 8) {
+      val nWords = rnd.nextInt(40) + 10
+      val wf = (0 until nWords).map { _ =>
+        val len = rnd.nextInt(6) + 1
+        val w = (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+        w -> (rnd.nextInt(9) + 1).toLong
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      val steps = rnd.nextInt(10) + 3
+      val batch = rnd.nextInt(7) + 2
+      val got = Bpe.train(spark, wf.toSeq.toDF("w", "freq"), "w", "freq", steps, batch)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .toSeq
+      val want = reference(wf, steps)
+      assert(got == want,
+        s"trial $trial (steps=$steps batch=$batch) diverged:\n got=$got\nwant=$want")
+    }
+  }
+
+  test("batching actually cuts recount rounds on a merge-rich vocabulary") {
+    // words x y x y over pairwise-disjoint letter pairs at strictly
+    // separated freqs: each word's in-word pair (x, y) counts 2·freq —
+    // dominating every '_'-boundary pair (which all SHARE the '_' symbol
+    // and so can never batch together) — so the ranked list's head is full
+    // of disjoint, count-separated candidates and rounds must land well
+    // under one-per-rule. The merge TABLE must still equal sequential
+    // (the only thing batching is allowed to change is wall-clock).
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    val wf = (0 until 13).map { i =>
+      val (x, y) = (letters(2 * i), letters(2 * i + 1))
+      s"$x$y$x$y" -> (1000L - 7L * i)
+    }.toMap
+    val steps = 12
+    val (df, rounds) = Bpe.trainWithRounds(
+      spark, wf.toSeq.toDF("w", "freq"), "w", "freq", steps, batch = 8)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got == reference(wf, steps), s"batched table diverged: $got")
+    assert(rounds < steps,
+      s"batching saved no rounds: $rounds rounds for $steps rules")
+  }
+
+  test("batch=1 is byte-identical to the default sequential path") {
+    val wf = Map("abab" -> 9L, "aba" -> 4L, "bb" -> 2L)
+    val a = run(wf, 5)
+    val b = Bpe.train(spark, wf.toSeq.toDF("w", "freq"), "w", "freq", 5, batch = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(a == b)
+  }
+
   test("merge application is leftmost-greedy and never re-merges overlaps") {
     // 'aaaa' (segmented _ a a a a) under merge (a,a): leftmost pairs give
     // [_, aa, aa], NOT [_, aa, a, a]-with-late-merge or an overlapping
