@@ -177,6 +177,40 @@ object DocStreams {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Streaming crawl triage — the live twin of the t156 ingestion
+    * decision: each micro-batch of (doc_id, text) documents is judged
+    * against a STATIC corpus held as two persisted indexes — the
+    * NFC-canonical fingerprint table (q24/t144 shape) for `exact_dup` and
+    * the (band, sig)-bucketed admission index + shingle store (t96 shape)
+    * for `near_dup` — with precedence exact > near > novel, via the exact
+    * batch computation ([[Similarity.triage]]). Per-document purity of the
+    * verdict ⇒ micro-batch union == one-shot batch triage of the union
+    * (StreamingSpec, against Similarity.triage itself), and the
+    * batch-id-keyed overwrite sink makes replays idempotent, same contract
+    * as [[admissionStream]].
+    *
+    * This is the online half of a crawl pipeline: `exact_dup` drops
+    * immediately, `near_dup` routes to dedup arbitration, `novel` admits —
+    * and admitted docs append to both indexes OUT-OF-BAND (writeBandIndex /
+    * the fp table's append), with [[Similarity.compactBandIndex]] as the
+    * periodic small-file rewrite, exactly the self-maintaining loop
+    * [[selfMaintainingAdmissionStream]] runs for the near index alone. */
+  def triageStream(
+      docs: DataFrame,
+      fpIndex: DataFrame,
+      index: DataFrame,
+      corpusShingles: DataFrame,
+      path: String,
+      ckpt: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Similarity.triage(batch, fpIndex, index, corpusShingles)
+          .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Streaming DSIR weighting — [[qualityScoreStream]]'s importance-
     * resampling sibling: micro-batches score against a PRE-FITTED λ table
     * ([[graft.operators.Dsir.lambdaTable]], refreshed out-of-band like the
