@@ -89,6 +89,18 @@ object Bench {
       // default 100 evicts across a 45-query suite (~4 codegen units each),
       // forcing janino recompiles of identical source on every repeat run
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // Suite-growth hygiene (round-9 drift diagnosis): per-query times
+      // carry SHARED-JVM overhead that scales with the whole suite, not the
+      // query — the r9 binary re-run on the r8 123-query subset alone came
+      // in 13% UNDER r8 while the same queries inside the 161-run read 16%
+      // over. Status stores are one accumulating term: even with the UI off,
+      // SQLAppStatusListener retains 1000 executions' plan graphs and the
+      // job/stage stores default to 1000 entries each — a 161×3-pass run
+      // holds ~500 execution plans on heap. Retain a handful instead.
+      .config("spark.sql.ui.retainedExecutions", "15")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the per-query unpersist sweep below emits one intended WARN per
@@ -109,7 +121,12 @@ object Bench {
     // a run that THROWS records None, not its time-to-failure: folding a
     // fast crash into the min would report a healthy-looking number for a
     // query that never ran (stderr doesn't survive the tail-capture)
-    val passes: Seq[Seq[Option[Double]]] = (1 to runs).map { _ =>
+    val passes: Seq[Seq[Option[Double]]] = (1 to runs).map { pass =>
+      // full GC at each pass boundary: collection debt left by heavy
+      // queries (multi-GB shuffle frames) otherwise lands inside whichever
+      // queries run next, charging pass-N noise to innocent queries —
+      // 3 forced GCs per bench is noise-reduction, not cost
+      if (pass > 1) System.gc()
       selected.map { q =>
         val t0 = System.nanoTime()
         val ok =
