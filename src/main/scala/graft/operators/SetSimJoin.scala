@@ -12,23 +12,36 @@ import graft.functions.ArrayFns
   * where MinHash-LSH (t31) trades recall for speed and certifies the loss
   * statistically (t102).
   *
-  * The filter: order every set by a global canonical order (document
-  * frequency ascending, then token — rare tokens first), and probe only
-  * each set's PREFIX of length n − ⌈τ·n⌉ + 1 against the full token index
-  * of larger sets. Any pair with jac ≥ τ and |A| ≤ |B| shares
-  * i ≥ ⌈τ·|A|⌉ tokens (i(1+τ) ≥ τ(|A|+|B|) and |B| ≥ τ|A|), and i tokens
-  * cannot all avoid A's first |A| − ⌈τ|A|⌉ + 1 positions — so at least one
-  * candidate row is generated for every qualifying pair; no miss is
-  * possible. False candidates are removed by the exact intersect verify.
+  * The filters (all three from the paper, all completeness-preserving):
+  *
+  *  - PREFIX, both sides: order every set by a global canonical order
+  *    (document frequency ascending, then token — rare tokens first).
+  *    A pair with jac ≥ τ and |A| ≤ |B| needs overlap
+  *    α = ⌈τ/(1+τ)·(|A|+|B|)⌉, and by the prefix-filtering principle its
+  *    FIRST shared token (global-order minimum) sits within BOTH
+  *    (n − α + 1)-prefixes; the length filter below gives α ≥ ⌈τ·n⌉ on
+  *    each side, so the fixed per-set prefix n − ⌈τ·n⌉ + 1 covers it.
+  *    Joining prefix-against-prefix (not prefix-against-full-index) cuts
+  *    the index side to ~(1−τ) of the corpus tokens — the sf1 rehearsal
+  *    measured the full-index formulation going superlinear
+  *    (SCALE.md: t157 8.7→330 s at 10×, 52 GB spill) exactly because the
+  *    index side kept every token.
+  *  - LENGTH: jac ≥ τ forces |A| ≥ τ·|B|; candidates whose sizes differ
+  *    more than 1/τ die before the verify.
+  *  - POSITIONAL: a candidate row generated at (1-based) positions
+  *    (i, j) admits overlap ≤ 1 + min(|A|−i, |B|−j); rows below α are
+  *    pruned. The first-shared-token row of every qualifying pair passes
+  *    (all α shared tokens sit at positions ≥ its own), so pruning rows
+  *    — then taking DISTINCT pairs — loses nothing. Pure integer test:
+  *    (1+min)·(100+τ%) ≥ τ%·(|A|+|B|).
   *
   * 100-TB shape: one corpus explode; a token-keyed df wordcount; the
-  * prefix explode carries ~(1−τ) of the corpus tokens; the candidate join
-  * shuffles prefix tokens against the full index on the 8-byte token key
-  * with NO hint (AQE picks the strategy). df-ascending ordering is what
-  * keeps this bounded: prefixes hold each set's RAREST tokens, so the
-  * per-token candidate fan-out is small exactly where the index side is
-  * large. Verification is the codegen'd two-pointer intersect over the
-  * pre-sorted hash arrays — no per-pair allocation.
+  * prefix explode carries ~(1−τ) of the corpus tokens on BOTH join sides;
+  * the candidate join shuffles on the 8-byte token key with NO hint (AQE
+  * picks the strategy). df-ascending ordering keeps the fan-out small
+  * exactly where the index side is large. Verification is the codegen'd
+  * two-pointer intersect over the pre-sorted hash arrays — no per-pair
+  * allocation.
   */
 object SetSimJoin {
 
@@ -52,27 +65,30 @@ object SetSimJoin {
     val u = toks.select(col("__id"), size(col("__t")).cast("long").as("__n"),
       explode(col("__t")).as("__w"))
     val dfreq = u.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+    // df-sorted positions, kept only through each set's prefix.
     // ⌈τ·n⌉ in integers: ceil(p*n/100) = (p*n + 99) div 100
     val pre = u.join(dfreq, Seq("__w"))
       .groupBy(col("__id"))
       .agg(sort_array(collect_list(struct(col("__df"), col("__w")))).as("__o"),
         max(col("__n")).as("__n"))
       .select(col("__id"), col("__n"),
-        explode(expr(
-          s"slice(transform(__o, x -> x.__w), 1, cast(__n - (($tauPct * __n + 99) div 100) + 1 as int))"))
-          .as("__w"))
-    // prefix of the SMALLER set probes the FULL index of the larger (ties
-    // broken by id) — the single-sided orientation the guarantee needs —
-    // plus the PPJoin length filter: jac ≥ τ forces |A| ≥ τ·|B|
-    // (i(1+τ) ≥ τ(|A|+|B|) and i ≤ |A|), so a candidate whose sizes
-    // differ by more than 1/τ can be pruned BEFORE the verify without
-    // touching completeness. On real corpora document sizes span orders
-    // of magnitude, so this kills most cross-size candidates at the join.
+        posexplode(expr(
+          s"slice(transform(__o, x -> x.__w), 1, cast(__n - (($tauPct * __n + 99) div 100) + 1 as int))")))
+      .select(col("__id"), col("__n"), (col("pos") + 1).cast("long").as("__p"),
+        col("col").as("__w"))
+      // both candidate-join sides read the prefix frame; without the
+      // barrier the collect+sort prefix build runs twice
+      .localCheckpoint()
+    // prefix-against-prefix with A the smaller side (ties broken by id),
+    // the length filter, and the positional filter — see the scaladoc for
+    // why each preserves the completeness guarantee
     val cand = pre.as("a")
-      .join(u.as("b"), col("a.__w") === col("b.__w") &&
+      .join(pre.as("b"), col("a.__w") === col("b.__w") &&
         col("a.__n") * 100 >= col("b.__n") * tauPct &&
         (col("a.__n") < col("b.__n") ||
-          (col("a.__n") === col("b.__n") && col("a.__id") < col("b.__id"))))
+          (col("a.__n") === col("b.__n") && col("a.__id") < col("b.__id"))) &&
+        (lit(1L) + least(col("a.__n") - col("a.__p"), col("b.__n") - col("b.__p")))
+          * lit(100L + tauPct) >= lit(tauPct.toLong) * (col("a.__n") + col("b.__n")))
       .select(
         least(col("a.__id"), col("b.__id")).as("__id1"),
         greatest(col("a.__id"), col("b.__id")).as("__id2"))
