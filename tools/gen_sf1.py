@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Generate an sf1 documents fixture (10x sf0.1) for the heavy-family scale
+rehearsal (SCALE.md "sf1 rehearsal" section).
+
+The driver ships sf0.001/0.01/0.1 only and /root/testdata is read-only, so
+the 10x corpus is synthesized HERE, statistically matched to the shipped
+generator as measured from sf0.1:
+
+  - vocabulary: 500 fresh random words (length 3-8, seeded), i.e. GROWN
+    ~16x versus the shipped 31. Growing the vocabulary with the corpus is
+    deliberate and is what makes the rehearsal meaningful: keeping the
+    31-word vocabulary fixed at 50k docs makes RANDOM documents
+    0.43-Jaccard similar on char trigrams (measured; max 0.96 in a 40-doc
+    sample), so chance >=0.8 near-dup pairs grow ~n^2 and every exact
+    near-dup operator's OUTPUT is quadratic regardless of algorithm --
+    a degenerate corpus no real crawl resembles (open vocabulary => a 10x
+    crawl has ~10x near-dup pairs). Suffix-variant words were rejected
+    too: variants of one base share its trigrams, which keeps the
+    universal-trigram floor high. See SCALE.md "sf1 rehearsal".
+  - per-doc word count: resampled from the empirical sf0.1 distribution;
+  - source/lang: resampled from the empirical joint distribution;
+  - near-dups: 5% of docs are copies of a random earlier doc with ~5% of
+    words replaced (measured: 25 bigram-Jaccard>=0.8 pairs per 500 docs);
+  - exact dups: 0.2% verbatim copies (measured: 8 per 5000).
+
+Everything is seeded; the other tables are copied from sf0.1 unscaled (the
+rehearsal times documents-family queries only).
+
+Usage: gen_sf1.py [outDir]   (default /root/repo/testdata-sf1)
+"""
+import os
+import random
+import shutil
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+N_DOCS = 50_000
+P_NEAR = 0.05
+P_EXACT = 0.002
+SEED = 20260814
+
+
+def main():
+    out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata-sf1"
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    wordcounts = [r[0] for r in con.execute(
+        f"SELECT len(regexp_extract_all(text, '\\S+')) FROM '{SRC}/documents.parquet'"
+    ).fetchall()]
+    srclang = con.execute(
+        f"SELECT source, lang FROM '{SRC}/documents.parquet'").fetchall()
+
+    rnd = random.Random(SEED)
+    vocab = sorted({"".join(rnd.choice("abcdefghijklmnopqrstuvwxyz")
+                            for _ in range(rnd.randint(3, 8)))
+                    for _ in range(520)})[:500]
+    docs = []
+    for i in range(N_DOCS):
+        u = rnd.random()
+        if docs and u < P_EXACT:
+            text = docs[rnd.randrange(len(docs))][1]
+        elif docs and u < P_EXACT + P_NEAR:
+            words = docs[rnd.randrange(len(docs))][1].split(" ")
+            words = [w if rnd.random() >= 0.05 else rnd.choice(vocab)
+                     for w in words]
+            text = " ".join(words)
+        else:
+            n = rnd.choice(wordcounts)
+            text = " ".join(rnd.choice(vocab) for _ in range(n))
+        source, lang = srclang[rnd.randrange(len(srclang))]
+        docs.append((i, text, lang, source, len(text)))
+
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+                "source VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO d VALUES (?, ?, ?, ?, ?)", docs)
+    con.execute(f"COPY d TO '{out}/documents.parquet' (FORMAT PARQUET)")
+    for f in os.listdir(SRC):
+        if f != "documents.parquet":
+            shutil.copy(os.path.join(SRC, f), os.path.join(out, f))
+    n, avg = con.execute(f"SELECT count(*), avg(length(text)) "
+                         f"FROM '{out}/documents.parquet'").fetchone()
+    print(f"wrote {out}: {n} docs, avg len {avg:.0f}")
+
+
+if __name__ == "__main__":
+    main()
