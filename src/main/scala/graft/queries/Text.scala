@@ -1956,7 +1956,7 @@ object Text {
       (s, d) =>
         Tables.documents(s, d)
           .select(col("doc_id"),
-            md5(graft.functions.TextNorm.nfc(lower(col("text"))).cast("binary")).as("canon_fp"),
+            graft.queries.Similarity.canonicalFp(col("text")).as("canon_fp"),
             (graft.functions.TextNorm.nfc(col("text")) === col("text")).cast("int").as("is_nfc"))
           .orderBy("doc_id"),
       Some("""SELECT doc_id, md5(nfc_normalize(lower(text))) AS canon_fp,
@@ -2165,7 +2165,7 @@ object Text {
       (s, d) => {
         val fp = Tables.documents(s, d)
           .select(col("doc_id"), col("source"),
-            md5(graft.functions.TextNorm.nfc(lower(col("text"))).cast("binary")).as("fp"))
+            graft.queries.Similarity.canonicalFp(col("text")).as("fp"))
           .localCheckpoint()
         val oldFp = fp.filter(col("doc_id") % 3 === 0).select("fp").distinct()
         val newDocs = fp.filter(col("doc_id") % 3 =!= 0)
