@@ -85,6 +85,47 @@ object Multimodal {
     * container, built partition-wise — payloads originate as bytes on
     * executors (as they would reading real media files) and never visit
     * the driver. */
+  /** (doc_id, fp, clen) CDC chunk fingerprints of a (doc_id, payload)
+    * frame — the shared kernel of m39 and the streaming chunk-index twin
+    * ([[graft.streaming.DocStreams.chunkIndexStream]]). Boundaries come
+    * from the codegen'd CdcKit scan; fps are md5 over the payload SLICE;
+    * zero-length bodies chunk to NO rows (the pinned CdcSpec choice),
+    * which also keeps `slice(ends, 1, size-1)` off the size=0
+    * negative-length edge. */
+  def chunkFps(payloads: DataFrame): DataFrame =
+    payloads
+      .withColumn("ends", graft.functions.Cdc.chunkEnds(col("payload")))
+      .filter(size(col("ends")) > 0)
+      .withColumn("starts",
+        concat(array(lit(1L)),
+          transform(expr("slice(ends, 1, size(ends) - 1)"), _ + 1L)))
+      .select(col("doc_id"), col("payload"),
+        explode(arrays_zip(col("starts"), col("ends"))).as("z"))
+      .select(col("doc_id"),
+        md5(expr("substring(payload, cast(z.starts + 14 as int), cast(z.ends - z.starts + 1 as int))"))
+          .as("fp"),
+        (col("z.ends") - col("z.starts") + 1L).as("clen"))
+
+  /** Per-doc chunk-dedup report of a batch against a STATIC chunk store:
+    * (doc_id, n_chunks, n_dup_chunks, dup_bytes) where a chunk is "dup"
+    * iff its fingerprint exists in the store. A pure per-document
+    * function of (doc chunks, store) — which is what makes the streaming
+    * twin's micro-batch outputs equal the per-batch batch computation
+    * (StreamingSpec). Store rows carry (doc_id, fp) so a replayed
+    * micro-batch can exclude its OWN previously-appended chunks — the
+    * admission stream's replay-idempotence contract, at chunk
+    * granularity. */
+  def chunkDedupAgainst(batchChunks: DataFrame, store: DataFrame): DataFrame = {
+    val hits = store.select(col("fp")).distinct().withColumn("__hit", lit(1))
+    batchChunks
+      .join(hits, Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__hit") === 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("__hit") === 1, col("clen")).otherwise(0L)).as("dup_bytes"))
+  }
+
   private[graft] def mediaPayload(s: SparkSession, d: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
@@ -347,24 +388,7 @@ object Multimodal {
     Q(
       "m39_cdc_chunks",
       (s, d) => {
-        val ch = mediaPayload(s, d)
-          .withColumn("ends", graft.functions.Cdc.chunkEnds(col("payload")))
-          // zero-length bodies chunk to an EMPTY ends array (CdcKit
-          // contract) and are excluded from chunk stats; the oracle's
-          // matching WHERE n > 0 pins the same choice (CdcSpec). Also
-          // keeps `slice(ends, 1, size - 1)` below off the size=0
-          // negative-length edge.
-          .filter(size(col("ends")) > 0)
-          .withColumn("starts",
-            concat(array(lit(1L)),
-              transform(expr("slice(ends, 1, size(ends) - 1)"), _ + 1L)))
-          .select(col("doc_id"), col("payload"),
-            explode(arrays_zip(col("starts"), col("ends"))).as("z"))
-          .select(col("doc_id"),
-            md5(expr("substring(payload, cast(z.starts + 14 as int), cast(z.ends - z.starts + 1 as int))"))
-              .as("fp"),
-            (col("z.ends") - col("z.starts") + 1L).as("clen"))
-          .localCheckpoint()
+        val ch = chunkFps(mediaPayload(s, d)).localCheckpoint()
         val df = ch.groupBy(col("fp"))
           .agg(count_distinct(col("doc_id")).as("n_docs"))
         ch.join(df, Seq("fp"))

@@ -211,6 +211,57 @@ object DocStreams {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Streaming CDC chunk-level blob dedup — the live, SELF-MAINTAINING
+    * twin of batch m39: each micro-batch of (doc_id, payload) GRFT1
+    * containers is CDC-chunked and fingerprinted
+    * ([[graft.queries.Multimodal.chunkFps]] — the same codegen'd kernel),
+    * judged against the persisted chunk-fingerprint store AS OF the start
+    * of the micro-batch ([[graft.queries.Multimodal.chunkDedupAgainst]]),
+    * and then appends its OWN chunk fps to the store — so later
+    * micro-batches dedup against every blob ingested before them. This is
+    * the ingestion half of a binary store's dedup-savings accounting:
+    * chunk granularity catches the re-encoded/re-crawled near-identical
+    * blobs whole-payload md5 (m35 family) misses.
+    *
+    * Contracts, all inherited from the admission stream:
+    *  - a batch's docs are judged against PRIOR state only (intra-batch
+    *    chunk sharing is not counted — same window note as t96);
+    *  - the report is MATERIALIZED before the append, and the probe
+    *    excludes store rows carrying the batch's own doc_ids, so a
+    *    replayed batch (append-then-crash) recomputes IDENTICAL stats
+    *    (StreamingSpec) — store rows carry (doc_id, fp) exactly for this;
+    *  - the store is an fp-bucketed table maintained by per-batch APPEND
+    *    (the q24/t96 on-disk index shape at chunk granularity); compaction
+    *    is the same periodic-rewrite story as the band index. */
+  def chunkIndexStream(
+      docs: DataFrame,
+      storeTable: String,
+      storePath: String,
+      path: String,
+      ckpt: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val chunks = graft.queries.Multimodal.chunkFps(batch).localCheckpoint()
+        val store =
+          if (spark.catalog.tableExists(storeTable))
+            spark.table(storeTable).join(
+              org.apache.spark.sql.functions.broadcast(
+                batch.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+          else chunks.select(col("doc_id"), col("fp")).limit(0)
+        val report = graft.queries.Multimodal.chunkDedupAgainst(chunks, store)
+          .localCheckpoint() // pin the report before the store grows
+        report.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+        chunks.select(col("doc_id"), col("fp")).distinct()
+          .write.mode("append")
+          .option("path", storePath)
+          .bucketBy(8, "fp")
+          .saveAsTable(storeTable)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Streaming DSIR weighting — [[qualityScoreStream]]'s importance-
     * resampling sibling: micro-batches score against a PRE-FITTED λ table
     * ([[graft.operators.Dsir.lambdaTable]], refreshed out-of-band like the

@@ -692,4 +692,67 @@ class StreamingSpec extends SparkTestBase {
     assert(replayed.sorted.toSeq == streamed.sorted.toSeq,
       "replaying batch 0 must be a no-op on the sink")
   }
+
+  test("self-maintaining chunk index: micro-batches dedup blobs against earlier ingests, replays idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.Multimodal
+    import graft.streaming.DocStreams
+    import org.apache.spark.sql.DataFrame
+
+    spark.sql("DROP TABLE IF EXISTS chunkidx_store")
+    val payloads = Multimodal.mediaPayload(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val (b1, rest) = payloads.splitAt(payloads.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val base = java.nio.file.Files.createTempDirectory("graft_chunkidx").toString
+    val out = s"$base/out"
+    def drive(ckpt: String)(bs: Seq[(Long, Array[Byte])]*): Unit = {
+      val input = MemoryStream[(Long, Array[Byte])]
+      val q = DocStreams.chunkIndexStream(
+        input.toDS().toDF("doc_id", "payload"),
+        "chunkidx_store", s"$base/store", out, ckpt)
+      try bs.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    drive(s"$base/ckpt")(b1.toSeq, b2.toSeq, b3.toSeq)
+    def batchRows(i: Int) =
+      spark.read.parquet(s"$out/batch=$i")
+        .select("doc_id", "n_chunks", "n_dup_chunks", "dup_bytes")
+    def keys(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // each batch's report must equal the BATCH computation against the
+    // chunks of strictly earlier batches (per-doc purity of the verdict;
+    // the replayed duplicate rows in the store must not perturb it)
+    var prior: DataFrame = null
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      val chunks = Multimodal.chunkFps(b.toSeq.toDF("doc_id", "payload")).localCheckpoint()
+      val store = if (prior == null) chunks.limit(0) else prior
+      val want = keys(Multimodal.chunkDedupAgainst(chunks, store)
+        .select("doc_id", "n_chunks", "n_dup_chunks", "dup_bytes"))
+      val got = keys(batchRows(i))
+      assert(got == want, s"batch $i diverged: ${got.diff(want).take(3)} / ${want.diff(got).take(3)}")
+      prior = if (prior == null) chunks else prior.union(chunks)
+    }
+    // the dedup must actually fire: the fixture corpus repeats content, so
+    // SOME later-batch doc shares chunks with an earlier batch
+    val later = batchRows(1).union(batchRows(2))
+    assert(later.filter(col("n_dup_chunks") > 0).count() > 0,
+      "no cross-batch chunk dups found — degenerate fixture or broken probe")
+
+    // replay-idempotence mechanism: re-deliver b1 on a fresh checkpoint.
+    // The store now holds b1's OWN chunks (the append-then-crash window);
+    // the doc_id exclusion must keep them invisible, so the recomputed
+    // stats equal the batch computation against the OTHER batches' chunks
+    // only — were the exclusion broken, every chunk would dup against
+    // itself and n_dup_chunks would equal n_chunks on every doc
+    val chunks1 = Multimodal.chunkFps(b1.toSeq.toDF("doc_id", "payload")).localCheckpoint()
+    val others = Multimodal.chunkFps((b2 ++ b3).toSeq.toDF("doc_id", "payload"))
+    val wantReplay = keys(Multimodal.chunkDedupAgainst(chunks1, others)
+      .select("doc_id", "n_chunks", "n_dup_chunks", "dup_bytes"))
+    drive(s"$base/ckpt2")(b1.toSeq)
+    assert(keys(batchRows(0)) == wantReplay,
+      "replayed batch must exclude its own previously-appended chunks")
+  }
 }
