@@ -428,5 +428,57 @@ object Multimodal {
              |FROM ch JOIN df ON ch.fp = df.fp
              |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin),
     ),
+
+    // ----- m40: incremental blob ingest vs a persisted chunk store -----
+    // The batch form of the chunk-index ingestion decision
+    // (DocStreams.chunkIndexStream is its live twin, same
+    // [[chunkFps]]/[[chunkDedupAgainst]] arms): the existing blob store is
+    // the doc_id % 3 = 0 slice's chunk fingerprints; each INCOMING blob
+    // reports how many of its chunks (and how many bytes) the store
+    // already holds — the dedup-savings number a binary store quotes
+    // before admitting an upload. Scale shape: the store probe is a
+    // hash semi-ish left join on 16-byte fps (the q24 index shape at
+    // chunk granularity, fp-bucketed on disk in the streaming form), the
+    // report agg is doc-keyed; nothing is corpus×corpus.
+    Q(
+      "m40_chunk_ingest",
+      (s, d) => {
+        val all = chunkFps(mediaPayload(s, d)).localCheckpoint()
+        val store = all.filter(col("doc_id") % 3 === 0)
+        val incoming = all.filter(col("doc_id") % 3 =!= 0)
+        chunkDedupAgainst(incoming, store).orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text AS t, length(text) AS n FROM documents
+             |          WHERE length(text) > 0),
+             |b AS (
+             |  SELECT doc_id, t, n,
+             |    list_sort(list_distinct(list_append(
+             |      list_filter(generate_series(8, n), i ->
+             |        (list_sum(list_transform(generate_series(0, 7), j ->
+             |           CAST(unicode(substring(t, i - j, 1)) AS BIGINT)
+             |             * [1,31,961,29791,923521,28629151,887503681,27512614111][j+1]))
+             |         % 2147483647) % 16 = 0),
+             |      n))) AS ends
+             |  FROM d),
+             |c AS (
+             |  SELECT doc_id, t, unnest(generate_series(1, len(ends))) AS ord, ends
+             |  FROM b),
+             |c2 AS (
+             |  SELECT doc_id, t, ends[ord] AS e,
+             |    CASE WHEN ord = 1 THEN 1 ELSE ends[ord - 1] + 1 END AS s
+             |  FROM c),
+             |ch AS (
+             |  SELECT doc_id, md5(substring(t, s, e - s + 1)) AS fp, e - s + 1 AS clen
+             |  FROM c2),
+             |store AS (SELECT DISTINCT fp FROM ch WHERE doc_id % 3 = 0),
+             |inc AS (SELECT * FROM ch WHERE doc_id % 3 <> 0)
+             |SELECT inc.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             |  CAST(SUM(CASE WHEN store.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_dup_chunks,
+             |  CAST(SUM(CASE WHEN store.fp IS NOT NULL THEN inc.clen ELSE 0 END) AS BIGINT)
+             |    AS dup_bytes
+             |FROM inc LEFT JOIN store ON inc.fp = store.fp
+             |GROUP BY inc.doc_id ORDER BY inc.doc_id""".stripMargin),
+    ),
   )
 }
