@@ -23,6 +23,10 @@ import org.apache.spark.sql.SparkSession
 object ScaleRehearsal {
 
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: runMain graft.ScaleRehearsal <sfDir> <name,name,...>")
+      sys.exit(2)
+    }
     val Array(sfDir, nameCsv) = args.take(2)
     val names = nameCsv.split(',').toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -78,9 +82,12 @@ object ScaleRehearsal {
     for (_ <- 1 to runs; q <- registry) {
       m.reset()
       val sec = once(q)
-      // listener bus is async (and private); a short settle beats reading
-      // counters mid-flight — stage events land within ms of the last task
-      Thread.sleep(300)
+      // listener bus is async; drain it deterministically before reading
+      // the counters so a straggler stage event can't land after reset()
+      // and mis-attribute to the next query (shim exposes the private API;
+      // falls back to a settle sleep only if the bus wedges)
+      if (!org.apache.spark.GraftListenerDrain.drain(spark.sparkContext))
+        Thread.sleep(300)
       val r = R(sec, m.shuffleWrite, m.memSpill + m.diskSpill)
       if (!best.contains(q.name) || sec < best(q.name).sec) best(q.name) = r
     }

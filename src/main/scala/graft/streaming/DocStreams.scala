@@ -227,9 +227,14 @@ object DocStreams {
     *  - a batch's docs are judged against PRIOR state only (intra-batch
     *    chunk sharing is not counted — same window note as t96);
     *  - the report is MATERIALIZED before the append, and the probe
-    *    excludes store rows carrying the batch's own doc_ids, so a
-    *    replayed batch (append-then-crash) recomputes IDENTICAL stats
-    *    (StreamingSpec) — store rows carry (doc_id, fp) exactly for this;
+    *    excludes store rows carrying the batch's own (batch_id, doc_id)
+    *    pairs, so a replayed batch (append-then-crash, even a PARTIAL
+    *    append) recomputes IDENTICAL stats (StreamingSpec) — store rows
+    *    carry (doc_id, fp, batch_id) exactly for this. Scoping the
+    *    exclusion by batch_id (not doc_id alone) keeps a doc_id that is
+    *    legitimately re-ingested in a LATER batch visible to the probe:
+    *    its earlier chunks still count as dups instead of the blob
+    *    misreporting as fully novel;
     *  - the store is an fp-bucketed table maintained by per-batch APPEND
     *    (the q24/t96 on-disk index shape at chunk granularity); compaction
     *    is the same periodic-rewrite story as the band index. */
@@ -245,14 +250,20 @@ object DocStreams {
         val chunks = graft.queries.Multimodal.chunkFps(batch).localCheckpoint()
         val store =
           if (spark.catalog.tableExists(storeTable))
+            // exclude ONLY this batch's own prior (possibly partial) append:
+            // same (batch_id, doc_id), i.e. the append-then-crash window.
+            // Rows for the same doc_id written by OTHER batches stay visible.
             spark.table(storeTable).join(
               org.apache.spark.sql.functions.broadcast(
-                batch.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+                batch.select(col("doc_id"))
+                  .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))),
+              Seq("doc_id", "batch_id"), "left_anti")
           else chunks.select(col("doc_id"), col("fp")).limit(0)
         val report = graft.queries.Multimodal.chunkDedupAgainst(chunks, store)
           .localCheckpoint() // pin the report before the store grows
         report.write.mode("overwrite").parquet(s"$path/batch=$batchId")
         chunks.select(col("doc_id"), col("fp")).distinct()
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
           .write.mode("append")
           .option("path", storePath)
           .bucketBy(8, "fp")

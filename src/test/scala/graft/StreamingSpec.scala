@@ -755,4 +755,62 @@ class StreamingSpec extends SparkTestBase {
     assert(keys(batchRows(0)) == wantReplay,
       "replayed batch must exclude its own previously-appended chunks")
   }
+
+  test("chunk index: crash mid PARTIAL append replays clean; later re-ingestion stays visible") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.Multimodal
+    import graft.streaming.DocStreams
+    import org.apache.spark.sql.DataFrame
+
+    spark.sql("DROP TABLE IF EXISTS chunkidx_store2")
+    val payloads = Multimodal.mediaPayload(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val (b1, b2) = payloads.splitAt(payloads.length / 2)
+    val base = java.nio.file.Files.createTempDirectory("graft_chunkidx2").toString
+    def drive(ckpt: String, out: String)(bs: Seq[(Long, Array[Byte])]*): Unit = {
+      val input = MemoryStream[(Long, Array[Byte])]
+      val q = DocStreams.chunkIndexStream(
+        input.toDS().toDF("doc_id", "payload"),
+        "chunkidx_store2", s"$base/store", out, ckpt)
+      try bs.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    def keys(df: DataFrame) =
+      df.select("doc_id", "n_chunks", "n_dup_chunks", "dup_bytes")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // incarnation 1: b1 lands as batch 0 and its chunks enter the store
+    drive(s"$base/ckpt1", s"$base/out1")(b1.toSeq)
+
+    // crash-mid-batch: a fresh incarnation starts delivering b2 as ITS
+    // batch 0, appends only PART of b2's chunk rows, and dies before the
+    // sink write — simulated by appending a deterministic half directly
+    val chunks2 = Multimodal.chunkFps(b2.toSeq.toDF("doc_id", "payload")).localCheckpoint()
+    chunks2.select(col("doc_id"), col("fp")).distinct()
+      .filter(abs(hash(col("fp"))) % 2 === 0)
+      .withColumn("batch_id", lit(0L))
+      .write.mode("append").option("path", s"$base/store")
+      .bucketBy(8, "fp").saveAsTable("chunkidx_store2")
+
+    // replay: b2 re-delivers as batch 0 on a fresh checkpoint. The partial
+    // rows carry (batch_id=0, b2 doc_ids) and must be invisible; b1's
+    // batch-0 rows are for OTHER doc_ids and must stay visible — so the
+    // report equals the batch computation against b1's chunks exactly
+    val chunks1 = Multimodal.chunkFps(b1.toSeq.toDF("doc_id", "payload"))
+    drive(s"$base/ckpt2", s"$base/out2")(b2.toSeq)
+    assert(keys(spark.read.parquet(s"$base/out2/batch=0")) ==
+      keys(Multimodal.chunkDedupAgainst(chunks2, chunks1)),
+      "partial-append replay must hide only the crashed batch's own rows")
+
+    // later LEGITIMATE re-ingestion of b1's doc_ids (arrives as batch 1 of
+    // a new stream): their earlier store rows carry batch_id 0 ≠ 1, so the
+    // probe must still see them — every chunk dups against itself. The old
+    // doc_id-only exclusion would hide them and misreport b1 as fully novel
+    drive(s"$base/ckpt3", s"$base/out3")(b2.toSeq, b1.toSeq)
+    val reingested = spark.read.parquet(s"$base/out3/batch=1")
+    assert(reingested.filter(col("n_dup_chunks") =!= col("n_chunks")).count() == 0,
+      "re-ingested doc's earlier chunks must stay visible to the probe")
+    assert(reingested.count() == b1.length)
+  }
 }
