@@ -126,6 +126,68 @@ object Multimodal {
         sum(when(col("__hit") === 1, col("clen")).otherwise(0L)).as("dup_bytes"))
   }
 
+  /** P6 PPM header: "P6", then width/height/maxval as ASCII decimal tokens
+    * separated by whitespace runs, then exactly ONE whitespace byte before
+    * the binary RGB triplets — the public netpbm layout. */
+  final case class Ppm(width: Int, height: Int, maxval: Int, pixOff: Int)
+
+  /** Parse a P6 PPM header starting at `off`, with real tokenizer semantics
+    * (arbitrary whitespace runs, `#` comment lines — the netpbm spec), and
+    * validate that exactly width*height*3 pixel bytes follow. Fails loudly
+    * on anything else: quarantine, never guess. */
+  def parsePpm(p: Array[Byte], off: Int): Ppm = {
+    require(p.length >= off + 2 && p(off) == 'P' && p(off + 1) == '6',
+      s"not a P6 raster at offset $off")
+    var i = off + 2
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def nextInt(): Int = {
+      while (i < p.length && (isWs(p(i)) || p(i) == '#')) {
+        if (p(i) == '#') { while (i < p.length && p(i) != '\n') i += 1 }
+        else i += 1
+      }
+      require(i < p.length && p(i) >= '0' && p(i) <= '9', s"PPM: expected digit at $i")
+      var v = 0
+      while (i < p.length && p(i) >= '0' && p(i) <= '9') { v = v * 10 + (p(i) - '0'); i += 1 }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val mv = nextInt()
+    require(i < p.length && isWs(p(i)), "PPM: missing whitespace after maxval")
+    i += 1 // exactly one whitespace byte, per spec
+    require(mv == 255, s"unsupported PPM maxval $mv")
+    require(p.length - i == w * h * 3,
+      s"PPM: ${p.length - i} pixel bytes for ${w}x$h x3")
+    Ppm(w, h, mv, i)
+  }
+
+  /** Raster fixture for the decode→resize path (m38): each document becomes
+    * a GRFT1 container whose BODY is a real P6 PPM — ASCII header plus
+    * w*h*3 binary RGB bytes, dims w = n%48+1, h = n*7%32+1 (n = text byte
+    * count), pixel byte k = the text byte at k % n. The generator contract
+    * lets the SQL oracle predict every pixel from `text`, while the Spark
+    * side parses and resamples the ACTUAL bytes. Built partition-wise like
+    * [[mediaPayload]]; payloads never visit the driver. */
+  private[graft] def rasterPayload(s: SparkSession, d: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 0)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val t = r.getString(1).getBytes(StandardCharsets.UTF_8)
+          val n = t.length
+          val w = n % 48 + 1
+          val h = n * 7 % 32 + 1
+          val hdr = s"P6\n$w $h\n255\n".getBytes(StandardCharsets.UTF_8)
+          val body = new Array[Byte](hdr.length + w * h * 3)
+          System.arraycopy(hdr, 0, body, 0, hdr.length)
+          var k = 0
+          while (k < w * h * 3) { body(hdr.length + k) = t(k % n); k += 1 }
+          Row(r.getLong(0), packPayload(body))
+        }
+      }(RowEncoder.encoderFor(outSchema))
+  }
+
   private[graft] def mediaPayload(s: SparkSession, d: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
@@ -320,17 +382,24 @@ object Multimodal {
              |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
 
-    // ----- m38: partition-wise resize planning over parsed image metadata -----
-    // The resize step of an image pipeline: from each container's PARSED
-    // (width, height), compute the target dimensions that fit a 224×224
-    // training square while preserving aspect ratio — scale = 224/max(w,h),
-    // targets rounded half-up, never upscaled (scale capped at 1). The
-    // arithmetic runs in the same mapPartitions decode pass a real
-    // resampler would (the pixel resample itself is the one step that
-    // needs a codec; the header parse, dimension plan, batch shape, and
-    // schema are the real plumbing).
+    // ----- m38: decode → resize-plan → ACTUAL nearest-neighbor resample -----
+    // The full resize step of an image pipeline, end to end on real bytes:
+    // each payload's body is a genuine P6 PPM raster ([[rasterPayload]] —
+    // ASCII header + binary RGB triplets, the public netpbm layout); one
+    // mapPartitions pass parses the GRFT1 container, parses the P6 header
+    // with real tokenizer semantics ([[parsePpm]]), plans the aspect-
+    // preserving fit into a 16×16 thumbnail square (integer per-mille
+    // scale, rounded half-up, never upscaled — the same arithmetic as a
+    // 224-square training plan; the fixture rasters are ≤48×32 so a 224
+    // target would never downscale), and then EXECUTES the resample:
+    // nearest-neighbor source mapping sx = ⌊tx·w/tw⌋ over the actual pixel
+    // bytes, all integer, so the SQL oracle (which predicts the pixels
+    // from the generator contract) is exact. Output per doc: the parsed
+    // dims, the plan, and the resampled-byte count/sum — the checksum a
+    // thumbnail-generation stage would verify. Payloads never leave the
+    // executor; the pass is projection-pruned to (doc_id, payload).
     Q(
-      "m38_resize_stub",
+      "m38_resize",
       (s, d) => {
         val outSchema = StructType(Seq(
           StructField("doc_id", LongType),
@@ -338,38 +407,66 @@ object Multimodal {
           StructField("height", LongType),
           StructField("target_w", LongType),
           StructField("target_h", LongType),
-          StructField("scale_pm", LongType))) // scale in per-mille
-        mediaPayload(s, d).mapPartitions { rows =>
+          StructField("scale_pm", LongType), // scale in per-mille
+          StructField("n_px", LongType),
+          StructField("px_sum", LongType)))
+        rasterPayload(s, d).mapPartitions { rows =>
           rows.map { r =>
             val id = r.getLong(0)
-            val h0 = parseHeader(r.getAs[Array[Byte]](1))
-            // degenerate dims floored to 1 px (body_len % 640 can be 0)
-            val w = math.max(h0.width, 1L)
-            val h = math.max(h0.height, 1L)
-            val side = math.max(w, h)
-            // integer per-mille scale avoids float disagreement with the
-            // oracle; capped at 1000 (never upscale)
-            val scalePm = math.min(1000L, (224L * 1000L) / side)
-            val tw = (w * scalePm + 500L) / 1000L
-            val th = (h * scalePm + 500L) / 1000L
-            Row(id, w, h, tw, th, scalePm)
+            val p = r.getAs[Array[Byte]](1)
+            parseHeader(p) // container validation (magic/version/body_len)
+            val img = parsePpm(p, HeaderLen)
+            val w = img.width.toLong
+            val h = img.height.toLong
+            val scalePm = math.min(1000L, 16000L / math.max(w, h))
+            val tw = math.max(1L, (w * scalePm + 500L) / 1000L)
+            val th = math.max(1L, (h * scalePm + 500L) / 1000L)
+            var sum = 0L
+            var ty = 0L
+            while (ty < th) {
+              val sy = ty * h / th
+              var tx = 0L
+              while (tx < tw) {
+                val sx = tx * w / tw
+                val base = img.pixOff + ((sy * w + sx) * 3L).toInt
+                sum += (p(base) & 0xffL) + (p(base + 1) & 0xffL) + (p(base + 2) & 0xffL)
+                tx += 1
+              }
+              ty += 1
+            }
+            Row(id, w, h, tw, th, scalePm, tw * th * 3L, sum)
           }
         }(RowEncoder.encoderFor(outSchema)).orderBy("doc_id")
       },
+      // The oracle reconstructs every sampled pixel from the generator
+      // contract (pixel byte k = text byte at k % n), mirrors the integer
+      // plan and NN mapping, and sums — exact because everything is
+      // integer and the corpus is ASCII (byte == codepoint).
       Some("""WITH m AS (
-             |  SELECT doc_id,
-             |    GREATEST(octet_length(encode(text)) % 640, 1) AS w,
-             |    GREATEST(octet_length(encode(text)) * 7 % 480, 1) AS h
-             |  FROM documents),
+             |  SELECT doc_id, text AS t, length(text) AS n,
+             |    length(text) % 48 + 1 AS w, length(text) * 7 % 32 + 1 AS h
+             |  FROM documents WHERE length(text) > 0),
              |p AS (
-             |  SELECT doc_id, w, h,
-             |    LEAST(1000, 224000 // GREATEST(w, h)) AS scale_pm
-             |  FROM m)
+             |  SELECT *, LEAST(1000, 16000 // GREATEST(w, h)) AS spm FROM m),
+             |p2 AS (
+             |  SELECT *, GREATEST(1, (w * spm + 500) // 1000) AS tw,
+             |            GREATEST(1, (h * spm + 500) // 1000) AS th
+             |  FROM p),
+             |ys AS (SELECT *, unnest(generate_series(0, th - 1)) AS ty FROM p2),
+             |xs AS (SELECT *, unnest(generate_series(0, tw - 1)) AS tx FROM ys),
+             |cs AS (SELECT *, unnest([0, 1, 2]) AS c FROM xs),
+             |v AS (
+             |  SELECT doc_id, w, h, tw, th, spm,
+             |    unicode(substring(t,
+             |      CAST((((ty * h // th) * w + (tx * w // tw)) * 3 + c) % n AS INT) + 1,
+             |      1)) AS b
+             |  FROM cs)
              |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-             |  CAST((w * scale_pm + 500) // 1000 AS BIGINT) AS target_w,
-             |  CAST((h * scale_pm + 500) // 1000 AS BIGINT) AS target_h,
-             |  CAST(scale_pm AS BIGINT) AS scale_pm
-             |FROM p ORDER BY doc_id""".stripMargin),
+             |  CAST(tw AS BIGINT) AS target_w, CAST(th AS BIGINT) AS target_h,
+             |  CAST(spm AS BIGINT) AS scale_pm,
+             |  CAST(COUNT(*) AS BIGINT) AS n_px,
+             |  CAST(SUM(b) AS BIGINT) AS px_sum
+             |FROM v GROUP BY doc_id, w, h, tw, th, spm ORDER BY doc_id""".stripMargin),
     ),
 
     // ----- m39: content-defined chunk dedup over binary payloads -----

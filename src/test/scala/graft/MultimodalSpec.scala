@@ -125,4 +125,51 @@ class MultimodalSpec extends SparkTestBase {
       java.nio.file.Files.delete(dir)
     }
   }
+
+  test("parsePpm handles real netpbm header forms and rejects malformed rasters") {
+    def ppm(hdr: String, px: Int): Array[Byte] =
+      hdr.getBytes(StandardCharsets.UTF_8) ++ Array.fill[Byte](px)(7)
+    // canonical single-newline form
+    val a = Multimodal.parsePpm(ppm("P6\n3 2\n255\n", 18), 0)
+    assert((a.width, a.height, a.maxval) == ((3, 2, 255)))
+    assert(a.pixOff == 11)
+    // whitespace runs, tabs, CR, and a comment line — all legal netpbm
+    val b = Multimodal.parsePpm(ppm("P6  \t\n# a comment\n 4\r\n1 \n255 ", 12), 0)
+    assert((b.width, b.height) == ((4, 1)))
+    // nonzero offset (inside a GRFT1 container)
+    val inGrft = Multimodal.packPayload(ppm("P6\n2 2\n255\n", 12))
+    val c = Multimodal.parsePpm(inGrft, Multimodal.HeaderLen)
+    assert((c.width, c.height) == ((2, 2)))
+    // rejections: wrong magic, unsupported maxval, pixel-count mismatch,
+    // missing whitespace after maxval (digits run into pixel data)
+    intercept[IllegalArgumentException](Multimodal.parsePpm(ppm("P5\n3 2\n255\n", 18), 0))
+    intercept[IllegalArgumentException](Multimodal.parsePpm(ppm("P6\n3 2\n65535\n", 18), 0))
+    intercept[IllegalArgumentException](Multimodal.parsePpm(ppm("P6\n3 2\n255\n", 17), 0))
+    intercept[IllegalArgumentException](
+      Multimodal.parsePpm("P6\n1 1\n255".getBytes(StandardCharsets.UTF_8), 0))
+  }
+
+  test("raster fixture packs genuine P6 bodies the resample contract predicts") {
+    val rows = graft.queries.Multimodal
+      .rasterPayload(spark, "/root/testdata/sf0.001")
+      .limit(50).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val p = r.getAs[Array[Byte]](1)
+      Multimodal.parseHeader(p) // container header must validate
+      val img = Multimodal.parsePpm(p, Multimodal.HeaderLen)
+      val t = texts(r.getLong(0)).getBytes(StandardCharsets.UTF_8)
+      val n = t.length
+      assert(img.width == n % 48 + 1 && img.height == n * 7 % 32 + 1)
+      // generator contract: pixel byte k = text byte at k % n
+      var k = 0
+      while (k < img.width * img.height * 3) {
+        assert(p(img.pixOff + k) == t(k % n), s"pixel $k of doc ${r.getLong(0)}")
+        k += 1
+      }
+    }
+  }
 }
