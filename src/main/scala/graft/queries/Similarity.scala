@@ -2510,5 +2510,95 @@ object Similarity {
               |  ROUND((SELECT COUNT(*) FROM hit) * 1.0
               |    / GREATEST((SELECT COUNT(*) FROM lsh), 1), 4) AS precision""".stripMargin),
     ),
+
+    // ----- t161: bounded-cadence LSH recall certification -----
+    // t157's full-corpus certification is exact but inherently superlinear
+    // (the truth arm's candidate count grows ~n²/|universe| on a closed
+    // trigram universe — measured exponent 1.57 at the sf1 rehearsal), so
+    // it's an offline/cadence tool. THIS is the registered production-
+    // cadence form: the truth arm runs on a DETERMINISTIC BOUNDED SLICE —
+    // the 200 docs with the lowest md5(doc_id) (a pseudo-random,
+    // corpus-size-independent sample; md5 order is identical across
+    // engines) — so its cost is O(200²) candidate pairs at ANY corpus
+    // size, while the MEASURED arm stays the untouched production
+    // pipeline (full-corpus banding with the REAL [2,20] bucket caps,
+    // then exact verify — minhashDupPairs, the t31 arm verbatim)
+    // restricted to slice-internal pairs. Estimating recall on the slice's
+    // n_true pairs is a binomial proportion: the reported ci95_bp states
+    // the statistical power explicitly — 1.96·√(r(1−r)/n_true)·10⁴ in the
+    // interior, and the rule-of-three bound 3/n_true·10⁴ at the r∈{0,1}
+    // boundaries where the normal half-width degenerates to a false 0.
+    // The slice size is the power knob: true-pair yield grows ~quadratically
+    // in it (200 docs on this corpus yields only a handful of true pairs —
+    // honest ±wide; 2000 docs ⇒ ~100× pairs ⇒ ~10× tighter), while the
+    // truth arm stays O(slice²) at ANY corpus size. Unlike t102 (which
+    // slices BOTH arms and therefore under-measures the mega-bucket cap),
+    // the full-corpus banding here prices the caps at their production
+    // sizes.
+    Q(
+      "t161_lsh_recall_cadence",
+      (s, d) => {
+        val sh = shingled(s, d)
+        // orderBy+limit → TakeOrderedAndProject: no global sort materializes
+        val slice = sh
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+          .limit(200)
+          .localCheckpoint()
+        val ids = slice.select(col("doc_id")).localCheckpoint()
+        val truth = graft.operators.SetSimJoin.join(slice, "doc_id", "shingles", tauPct = 80)
+          .select(col("doc_id1"), col("doc_id2")).localCheckpoint()
+        val lsh = minhashDupPairs(s, d)
+          .join(broadcast(ids.withColumnRenamed("doc_id", "doc_id1")), Seq("doc_id1"), "left_semi")
+          .join(broadcast(ids.withColumnRenamed("doc_id", "doc_id2")), Seq("doc_id2"), "left_semi")
+          .select(col("doc_id1"), col("doc_id2")).localCheckpoint()
+        val hit = truth.join(lsh, Seq("doc_id1", "doc_id2"))
+        truth.agg(count(lit(1)).as("n_true"))
+          .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select(
+            col("n_true"), col("n_lsh"), col("n_hit"),
+            expr("n_hit * 10000 div greatest(n_true, 1L)").as("recall_bp"),
+            expr("""CASE WHEN n_hit = n_true OR n_hit = 0
+                     THEN 30000 div greatest(n_true, 1L)
+                     ELSE CAST(ROUND(19600.0 * sqrt(
+                       (n_hit * 1.0 / n_true)
+                       * (1.0 - n_hit * 1.0 / n_true)
+                       / n_true)) AS BIGINT) END""").as("ci95_bp"))
+      },
+      Some(s"""WITH $minhashPairsSqlCtes,
+              |lsh AS (SELECT doc_id1, doc_id2 FROM j WHERE jac >= 0.8),
+              |slice AS (SELECT doc_id FROM sh
+              |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 200),
+              |hss AS (SELECT hs.* FROM hs JOIN slice USING (doc_id)),
+              |hsz AS (SELECT sh.doc_id, CAST(len(shingles) AS BIGINT) AS n
+              |        FROM sh JOIN slice USING (doc_id)),
+              |tp AS (
+              |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+              |  FROM hss a JOIN hss b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+              |truth AS (
+              |  SELECT d1, d2 FROM tp JOIN hsz s1 ON tp.d1 = s1.doc_id
+              |  JOIN hsz s2 ON tp.d2 = s2.doc_id
+              |  WHERE inter * 100 >= 80 * (s1.n + s2.n - inter)),
+              |lshs AS (
+              |  SELECT l.* FROM lsh l JOIN slice a ON l.doc_id1 = a.doc_id
+              |  JOIN slice b ON l.doc_id2 = b.doc_id),
+              |hit AS (
+              |  SELECT t.d1 FROM truth t
+              |  JOIN lshs ON t.d1 = lshs.doc_id1 AND t.d2 = lshs.doc_id2)
+              |SELECT
+              |  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+              |  CAST((SELECT COUNT(*) FROM lshs) AS BIGINT) AS n_lsh,
+              |  CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+              |  CAST(((SELECT COUNT(*) FROM hit) * 10000)
+              |       // GREATEST((SELECT COUNT(*) FROM truth), 1) AS BIGINT) AS recall_bp,
+              |  CASE WHEN (SELECT COUNT(*) FROM hit) = (SELECT COUNT(*) FROM truth)
+              |         OR (SELECT COUNT(*) FROM hit) = 0
+              |    THEN CAST(30000 // GREATEST((SELECT COUNT(*) FROM truth), 1) AS BIGINT)
+              |    ELSE CAST(ROUND(19600.0 * sqrt(
+              |      ((SELECT COUNT(*) FROM hit) * 1.0 / (SELECT COUNT(*) FROM truth))
+              |      * (1.0 - (SELECT COUNT(*) FROM hit) * 1.0
+              |               / (SELECT COUNT(*) FROM truth))
+              |      / (SELECT COUNT(*) FROM truth))) AS BIGINT) END AS ci95_bp""".stripMargin),
+    ),
   )
 }
