@@ -587,13 +587,14 @@ object Relational {
         val ranged = li.repartitionByRange(parts, col("g"), col("v"))
           .sortWithinPartitions("g", "v")
           .localCheckpoint()
-        // driver state will be O(parts × groups) — fine for a percentile
-        // REPORT over ≤ thousands of groups, but fail fast if someone
-        // points this at a high-cardinality group column. The guard must
-        // run BEFORE the entries are collected (a post-collect require
-        // can't prevent the OOM it documents), so a cheap pre-pass ships
-        // one Long per partition: partitions are sorted by (g, v), so the
-        // group count is a run count, no map materialized anywhere.
+        // driver state will be O(parts + groups) run entries — fine for a
+        // percentile REPORT over ≤ thousands of groups; a high-cardinality
+        // group column routes to the fully distributed path instead. The
+        // route decision must run BEFORE the entries are collected (a
+        // post-collect check can't prevent the OOM it documents), so a
+        // cheap pre-pass ships one Long per partition: partitions are
+        // sorted by (g, v), so the group count is a run count, no map
+        // materialized anywhere.
         val stateEntries = ranged
           .mapPartitions { it =>
             var n = 0L; var prev: String = null; var first = true
@@ -603,12 +604,25 @@ object Relational {
             Iterator.single(n)
           }
           .collect().sum
-        require(
-          stateEntries <= Relational.PercentileDriverStateBudget,
-          s"t41 holds parts×groups = $stateEntries rank-offset entries on the driver, " +
-            s"over budget ${Relational.PercentileDriverStateBudget}; exact per-group " +
-            "order statistics need a group-cardinality this small — use " +
-            "approx_percentile for high-cardinality groups")
+        if (stateEntries > Relational.PercentileDriverStateBudget) {
+          // past the driver-state budget: same two-pass ordered selection,
+          // but rank offsets and selection both stay on executors
+          // (operators.GroupedQuantiles — zero driver state, no per-group
+          // single-task sort), so a 10⁶-group column degrades to a slower
+          // distributed plan instead of a require() wall. Identical output
+          // (same interpolation form) — proven in GroupedQuantilesSpec by
+          // forcing the budget to 1 and comparing the two paths.
+          ranged.unpersist(blocking = false)
+          graft.operators.GroupedQuantiles
+            .exact(Tables.lineitem(s, d)
+              .select(col("l_returnflag"), col("l_extendedprice")),
+              "l_returnflag", "l_extendedprice", Seq(0.5, 0.9), parts)
+            .select(
+              col("l_returnflag"), col("cnt"),
+              round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"),
+              round(col("lo"), 4).as("lo"), round(col("hi"), 4).as("hi"))
+            .orderBy("l_returnflag")
+        } else {
         val partCounts: Array[Array[(String, Long)]] = ranged
           .mapPartitions { it =>
             val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -671,6 +685,7 @@ object Relational {
             round(col("p50r"), 4).as("p50"), round(col("p90r"), 4).as("p90"),
             round(col("lor"), 4).as("lo"), round(col("hir"), 4).as("hi"))
           .orderBy("l_returnflag")
+        }
       },
       Some("""SELECT l_returnflag, COUNT(*) AS cnt,
              |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

@@ -38,16 +38,16 @@ class GuardsSpec extends SparkTestBase {
     assert(e.getMessage.contains("exportOnly"))
   }
 
-  test("t41 fails fast when parts x groups exceeds the driver-state budget") {
+  test("t41 past the driver-state budget routes to the distributed path, same answer") {
+    val t41 = SparkEntry.registry.find(_.name == "t41_percentiles").get
+    def run() = t41.build(spark, "/root/testdata/sf0.001").collect().map(_.toSeq).toSeq
+    val driverPath = run()
     val saved = Relational.PercentileDriverStateBudget
-    try {
-      Relational.PercentileDriverStateBudget = 1L
-      val t41 = SparkEntry.registry.find(_.name == "t41_percentiles").get
-      val e = intercept[IllegalArgumentException] {
-        t41.build(spark, "/root/testdata/sf0.001").collect()
-      }
-      assert(e.getMessage.contains("approx_percentile"))
-    } finally Relational.PercentileDriverStateBudget = saved
+    val distributed =
+      try { Relational.PercentileDriverStateBudget = 1L; run() }
+      finally Relational.PercentileDriverStateBudget = saved
+    assert(distributed == driverPath,
+      s"distributed fallback diverged from the driver path:\n$distributed\nvs\n$driverPath")
   }
 
   test("t41 under budget still answers (guard does not change the happy path)") {
