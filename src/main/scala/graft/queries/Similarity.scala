@@ -243,6 +243,26 @@ object Similarity {
   /** Read a persisted admission index back as a frame (bucketed scan). */
   def loadBandIndex(s: SparkSession, table: String): DataFrame = s.table(table)
 
+  /** Persist IVF inverted lists (cid, neighbor_id, ne) as a cid-bucketed
+    * table — the ANN-side twin of [[writeBandIndex]]: `overwrite = false`
+    * APPENDS a newly ingested batch's assignments, which is the whole
+    * 100 TB maintenance path (the codebook is trained offline at cadence;
+    * an append scores ONLY the batch against the broadcast codebook and
+    * never touches existing list rows). Unlike the band index there is no
+    * probe-time admission cap to re-derive: IVF assignment is a pure
+    * per-vector function of (vector, codebook), so append == rebuild holds
+    * row-for-row by construction — and the t162 oracle gate proves it
+    * cross-engine by computing the REBUILD while Spark probes the APPENDED
+    * table. Bucketing by cid keeps the probe join and any occupancy count
+    * Exchange-free on the index side. */
+  def writeIvfIndex(inverted: DataFrame, table: String, path: String,
+      overwrite: Boolean): Unit =
+    inverted
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .option("path", path)
+      .bucketBy(IndexBuckets, "cid")
+      .saveAsTable(table)
+
   /** Compact the append-only admission index into a fresh table at a new
     * path: distinct surviving rows, re-bucketed by the same (band, sig)
     * scheme, ONE file per bucket. The streaming maintenance loop
@@ -2599,6 +2619,97 @@ object Similarity {
               |      * (1.0 - (SELECT COUNT(*) FROM hit) * 1.0
               |               / (SELECT COUNT(*) FROM truth))
               |      / (SELECT COUNT(*) FROM truth))) AS BIGINT) END AS ci95_bp""".stripMargin),
+    ),
+
+    // ----- t162: incremental IVF index maintenance (append == rebuild) -----
+    // The ANN-side completion of the persisted-index maintenance story
+    // (t96/writeBandIndex own the dedup side): the existing corpus's
+    // inverted lists live as a cid-bucketed TABLE; ingesting a batch
+    // scores ONLY the batch against the broadcast codebook (|batch|×K
+    // work — the codebook is trained offline at cadence, so appends never
+    // re-assign existing vectors) and APPENDS its rows; probes then search
+    // the appended table with t61's exact machinery, reporting each hit's
+    // source list. Because IVF assignment is a pure per-vector function of
+    // (vector, codebook), append == rebuild holds row-for-row — and the
+    // gate PROVES it cross-engine: the oracle computes the full REBUILD
+    // while the Spark side probes the APPENDED persisted table. At 100 TB
+    // this is the production loop: lists grow file-by-file per bucket,
+    // compaction is the same periodic rewrite as compactBandIndex, and a
+    // codebook refresh is the one operation that forces a rebuild.
+    Q(
+      "t162_ivf_append",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        def assign(vecs: DataFrame): DataFrame = {
+          val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+          vecs.join(broadcast(cents))
+            .withColumn("csim", cosine(col("embedding"), col("cemb")))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("cid"), col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+        }
+        val base =
+          sys.props("java.io.tmpdir") + "/graft_t162_wh_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        writeIvfIndex(assign(e.filter(col("vec_id") % 3 =!= 0)),
+          "t162_ivf_index", base, overwrite = true)
+        writeIvfIndex(assign(e.filter(col("vec_id") % 3 === 0)),
+          "t162_ivf_index", base, overwrite = false)
+        val inverted = s.table("t162_ivf_index")
+        val wProbe = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cid"))
+        val probes = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+          .join(broadcast(cents))
+          .withColumn("csim", cosine(col("qe"), col("cemb")))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= 4)
+          .select(col("query_id"), col("qe"), col("cid"))
+        val wRank = Window.partitionBy(col("query_id")).orderBy(col("sim_raw").desc, col("neighbor_id"))
+        probes.join(inverted, Seq("cid"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("sim_raw", cosine(col("qe"), col("ne")))
+          .withColumn("rank", row_number().over(wRank).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("cid"),
+            (round(col("sim_raw"), 4) + lit(0.0)).as("sim"))
+          .orderBy("query_id", "rank")
+      },
+      // the REBUILD: full-corpus assignment (old ∪ batch = every vector),
+      // identical to t61's oracle with the source list (cid) carried
+      // through — equality with the Spark side's appended-table probe IS
+      // the append==rebuild certification
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+             |asg AS (
+             |  SELECT cid, vec_id AS neighbor_id, emb AS ne FROM (
+             |    SELECT e.vec_id, e.emb, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             |        list_sum(list_transform(generate_series(1, len(e.emb)), i -> e.emb[i] * c.cemb[i]))
+             |          / (sqrt(list_sum(list_transform(e.emb, x -> x*x)))
+             |             * sqrt(list_sum(list_transform(c.cemb, x -> x*x)))) DESC, c.cid) AS rn
+             |    FROM e, c) WHERE rn = 1),
+             |probes AS (
+             |  SELECT query_id, qe, cid FROM (
+             |    SELECT q.vec_id AS query_id, q.emb AS qe, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             |        list_sum(list_transform(generate_series(1, len(q.emb)), i -> q.emb[i] * c.cemb[i]))
+             |          / (sqrt(list_sum(list_transform(q.emb, x -> x*x)))
+             |             * sqrt(list_sum(list_transform(c.cemb, x -> x*x)))) DESC, c.cid) AS rn
+             |    FROM e q, c WHERE q.vec_id < 20) WHERE rn <= 4),
+             |cand AS (
+             |  SELECT p.query_id, a.neighbor_id, a.cid,
+             |    list_sum(list_transform(generate_series(1, len(p.qe)), i -> p.qe[i] * a.ne[i]))
+             |      / (sqrt(list_sum(list_transform(p.qe, x -> x*x)))
+             |         * sqrt(list_sum(list_transform(a.ne, x -> x*x)))) AS sim_raw
+             |  FROM probes p JOIN asg a ON p.cid = a.cid
+             |  WHERE a.neighbor_id <> p.query_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, cid, sim_raw,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id) AS rank
+             |  FROM cand)
+             |SELECT query_id, rank, neighbor_id, cid, ROUND(sim_raw, 4) + 0.0 AS sim
+             |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     ),
   )
 }

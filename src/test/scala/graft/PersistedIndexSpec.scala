@@ -235,4 +235,41 @@ class PersistedIndexSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"),
       s"grouping by the bucket keys of a bucketed table must not shuffle:\n$plan")
   }
+
+  test("IVF inverted lists: append == rebuild, row for row, and occupancy counts shuffle-free") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    def assign(vecs: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+      vecs.join(broadcast(cents))
+        .withColumn("csim", graft.functions.ArrayFns.cosineSim(col("embedding"), col("cemb")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cid"), col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    }
+    val base = Files.createTempDirectory("graft_ivf_idx").toString
+    // incremental: old corpus overwritten, batch appended
+    Similarity.writeIvfIndex(assign(e.filter(col("vec_id") % 3 =!= 0)),
+      "ivf_inc", s"$base/inc", overwrite = true)
+    Similarity.writeIvfIndex(assign(e.filter(col("vec_id") % 3 === 0)),
+      "ivf_inc", s"$base/inc", overwrite = false)
+    // rebuild: everything in one shot
+    Similarity.writeIvfIndex(assign(e), "ivf_full", s"$base/full", overwrite = true)
+    def rows(t: String) = spark.table(t)
+      .select(col("cid"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = rows("ivf_inc")
+    assert(inc == rows("ivf_full"), "appended lists must equal the rebuilt lists")
+    assert(inc.nonEmpty && inc.map(_._1).size > 1, "degenerate fixture: one list")
+    // occupancy accounting (the list-balance health check a production IVF
+    // watches) groups by exactly the bucket key — must not shuffle
+    val occ = spark.table("ivf_inc").groupBy(col("cid")).agg(count(lit(1)).as("n"))
+    occ.collect()
+    val plan = occ.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"occupancy count over the cid-bucketed table must not shuffle:\n$plan")
+  }
 }
