@@ -263,6 +263,49 @@ object Similarity {
       .bucketBy(IndexBuckets, "cid")
       .saveAsTable(table)
 
+  /** IVF coarse assignment: each (vec_id, embedding) row to its max-cosine
+    * centroid (ties to the lowest cid — the t61 convention) → inverted-list
+    * rows (cid, neighbor_id, ne). Map-side after a broadcast of the
+    * codebook; zero shuffle beyond the per-vector window on vec_id, so a
+    * streaming micro-batch runs it unchanged
+    * ([[graft.streaming.VecStreams]]). */
+  def ivfAssign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    vecs.join(broadcast(cents))
+      .withColumn("csim", cosine(col("embedding"), col("cemb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+  }
+
+  /** IVF probe: top-k by exact cosine among the candidates in each query's
+    * `nprobe` closest lists — t61's machinery over ANY inverted-list frame
+    * (in-memory or the persisted cid-bucketed table). List rows are
+    * deduplicated by (cid, neighbor_id) first: identical append rows —
+    * exactly what a replayed streaming micro-batch leaves behind
+    * ([[graft.streaming.VecStreams.ivfIngestStream]]'s crash window) —
+    * must not double-count a candidate and shift every rank below it.
+    * Returns (query_id, rank, neighbor_id, cid, sim) with sim rounded to
+    * 4 dp (+0.0 canonicalizes IEEE −0). */
+  def ivfProbe(queries: DataFrame, lists: DataFrame, cents: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cid"))
+    val probes = queries
+      .join(broadcast(cents))
+      .withColumn("csim", cosine(col("qe"), col("cemb")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cid"))
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("sim_raw").desc, col("neighbor_id"))
+    probes.join(lists.dropDuplicates("cid", "neighbor_id"), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim_raw", cosine(col("qe"), col("ne")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cid"),
+        (round(col("sim_raw"), 4) + lit(0.0)).as("sim"))
+  }
+
   /** Compact the append-only admission index into a fresh table at a new
     * path: distinct surviving rows, re-bucketed by the same (band, sig)
     * scheme, ONE file per bucket. The streaming maintenance loop
@@ -2642,37 +2685,16 @@ object Similarity {
         val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
         val cents = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-        def assign(vecs: DataFrame): DataFrame = {
-          val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-          vecs.join(broadcast(cents))
-            .withColumn("csim", cosine(col("embedding"), col("cemb")))
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1)
-            .select(col("cid"), col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
-        }
         val base =
           sys.props("java.io.tmpdir") + "/graft_t162_wh_" + d.replaceAll("[^A-Za-z0-9]", "_")
-        writeIvfIndex(assign(e.filter(col("vec_id") % 3 =!= 0)),
+        writeIvfIndex(ivfAssign(e.filter(col("vec_id") % 3 =!= 0), cents),
           "t162_ivf_index", base, overwrite = true)
-        writeIvfIndex(assign(e.filter(col("vec_id") % 3 === 0)),
+        writeIvfIndex(ivfAssign(e.filter(col("vec_id") % 3 === 0), cents),
           "t162_ivf_index", base, overwrite = false)
-        val inverted = s.table("t162_ivf_index")
-        val wProbe = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cid"))
-        val probes = e.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-          .join(broadcast(cents))
-          .withColumn("csim", cosine(col("qe"), col("cemb")))
-          .withColumn("rn", row_number().over(wProbe))
-          .filter(col("rn") <= 4)
-          .select(col("query_id"), col("qe"), col("cid"))
-        val wRank = Window.partitionBy(col("query_id")).orderBy(col("sim_raw").desc, col("neighbor_id"))
-        probes.join(inverted, Seq("cid"))
-          .filter(col("query_id") =!= col("neighbor_id"))
-          .withColumn("sim_raw", cosine(col("qe"), col("ne")))
-          .withColumn("rank", row_number().over(wRank).cast("long"))
-          .filter(col("rank") <= 5)
-          .select(col("query_id"), col("rank"), col("neighbor_id"), col("cid"),
-            (round(col("sim_raw"), 4) + lit(0.0)).as("sim"))
+        ivfProbe(
+            e.filter(col("vec_id") < 20)
+              .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+            s.table("t162_ivf_index"), cents, nprobe = 4, k = 5)
           .orderBy("query_id", "rank")
       },
       // the REBUILD: full-corpus assignment (old ∪ batch = every vector),

@@ -756,6 +756,69 @@ class StreamingSpec extends SparkTestBase {
       "replayed batch must exclude its own previously-appended chunks")
   }
 
+  test("IVF ingest stream: probes equal the rebuild after every batch; replay duplicates are probe-invisible") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.Similarity
+    import graft.streaming.VecStreams
+
+    spark.sql("DROP TABLE IF EXISTS ivf_stream")
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      .localCheckpoint()
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .localCheckpoint()
+    val vecs = e.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (b1, b2) = vecs.splitAt(vecs.length / 2)
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toString
+
+    def probe(lists: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfProbe(queries, lists, cents, nprobe = 4, k = 5)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    // appends land from the stream's CLONED session; this session's relation
+    // cache still holds the old file listing — readers refresh between
+    // batches (the VecStreams reader contract)
+    def liveLists() = {
+      spark.catalog.refreshTable("ivf_stream")
+      spark.table("ivf_stream")
+    }
+    def rebuildOf(bs: Array[(Long, Array[Float])]) =
+      Similarity.ivfAssign(bs.toSeq.toDF("vec_id", "embedding"), cents)
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = VecStreams.ivfIngestStream(
+      input.toDS().toDF("vec_id", "embedding"), cents,
+      "ivf_stream", s"$base/store", s"$base/ckpt")
+    try {
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      assert(probe(liveLists()) == probe(rebuildOf(b1)),
+        "after batch 1 the streamed index must answer like the rebuild")
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val afterAll = probe(liveLists())
+    assert(afterAll == probe(rebuildOf(b1 ++ b2)),
+      "after batch 2 the streamed index must answer like the rebuild of the union")
+    assert(afterAll.nonEmpty)
+
+    // replay: a fresh checkpoint re-delivers b1 — the store now carries b1's
+    // rows TWICE. Probes must not move: ivfProbe dedups candidates by
+    // (cid, neighbor_id), so replay duplicates are invisible until the
+    // compaction rewrite drops them for good
+    val input2 = MemoryStream[(Long, Array[Float])]
+    val q2 = VecStreams.ivfIngestStream(
+      input2.toDS().toDF("vec_id", "embedding"), cents,
+      "ivf_stream", s"$base/store", s"$base/ckpt2")
+    try { input2.addData(b1.toSeq: _*); q2.processAllAvailable() } finally q2.stop()
+    val dupRows = liveLists().count()
+    assert(dupRows == (b1.length * 2 + b2.length).toLong,
+      s"replay should leave duplicate rows in the append-only store, got $dupRows")
+    assert(probe(liveLists()) == afterAll,
+      "replay-duplicated list rows must not change any probe answer")
+  }
+
   test("chunk index: crash mid PARTIAL append replays clean; later re-ingestion stays visible") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
