@@ -23,8 +23,13 @@ generator as measured from sf0.1:
     words replaced (measured: 25 bigram-Jaccard>=0.8 pairs per 500 docs);
   - exact dups: 0.2% verbatim copies (measured: 8 per 5000).
 
-Everything is seeded; the other tables are copied from sf0.1 unscaled (the
-rehearsal times documents-family queries only).
+Everything is seeded. Round 11 adds a 10x embeddings table (20k vectors)
+so the ANN/index-maintenance family can rehearse at 10x too: per-label
+per-dimension Gaussians fitted from sf0.1 (mean/std over each of the 64
+dims within each of the 10 labels), labels resampled from the empirical
+marginal -- preserving the label-cluster structure the IVF/centroid
+queries exploit. The remaining tables are copied from sf0.1 unscaled
+(the rehearsal times documents- and embeddings-family queries only).
 
 Usage: gen_sf1.py [outDir]   (default /root/repo/testdata-sf1)
 """
@@ -37,6 +42,7 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 N_DOCS = 50_000
+N_VECS = 20_000
 P_NEAR = 0.05
 P_EXACT = 0.002
 SEED = 20260814
@@ -76,12 +82,36 @@ def main():
                 "source VARCHAR, n_chars BIGINT)")
     con.executemany("INSERT INTO d VALUES (?, ?, ?, ?, ?)", docs)
     con.execute(f"COPY d TO '{out}/documents.parquet' (FORMAT PARQUET)")
+
+    # 10x embeddings: per-(label, dim) Gaussian fit from sf0.1, labels
+    # from the empirical marginal — same 64-dim float32 list schema
+    stats = con.execute(
+        f"""SELECT label, pos - 1, avg(x), stddev_samp(x)
+            FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                         unnest(embedding) AS x
+                  FROM '{SRC}/embeddings.parquet')
+            GROUP BY 1, 2""").fetchall()
+    mu = {(int(l), int(p)): (m, s) for l, p, m, s in stats}
+    label_marginal = [int(r[0]) for r in con.execute(
+        f"SELECT label FROM '{SRC}/embeddings.parquet'").fetchall()]
+    dims = 1 + max(p for _, p in mu.keys())
+    vrnd = random.Random(SEED + 1)
+    vecs = []
+    for vid in range(N_VECS):
+        lab = label_marginal[vrnd.randrange(len(label_marginal))]
+        emb = [vrnd.gauss(*mu[(lab, p)]) for p in range(dims)]
+        vecs.append((vid, emb, lab))
+    con.execute("CREATE TABLE e (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
+    con.executemany("INSERT INTO e VALUES (?, ?, ?)", vecs)
+    con.execute(f"COPY e TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+
     for f in os.listdir(SRC):
-        if f != "documents.parquet":
+        if f not in ("documents.parquet", "embeddings.parquet"):
             shutil.copy(os.path.join(SRC, f), os.path.join(out, f))
     n, avg = con.execute(f"SELECT count(*), avg(length(text)) "
                          f"FROM '{out}/documents.parquet'").fetchone()
-    print(f"wrote {out}: {n} docs, avg len {avg:.0f}")
+    nv = con.execute(f"SELECT count(*) FROM '{out}/embeddings.parquet'").fetchone()[0]
+    print(f"wrote {out}: {n} docs, avg len {avg:.0f}; {nv} vecs")
 
 
 if __name__ == "__main__":
