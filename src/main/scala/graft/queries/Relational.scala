@@ -695,6 +695,39 @@ object Relational {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     ),
 
+    // ----- t163: exact grouped quantiles, fully distributed path -----
+    // The zero-driver-state operator behind t41's past-budget route, under
+    // the oracle gate in its own right: exact p50/p90/min/max of
+    // l_extendedprice per l_suppkey via operators.GroupedQuantiles — the
+    // two-pass range-partitioned ordered selection (window-computed rank
+    // offsets, pid-keyed zipPartitions lookup delivery), NEVER a per-group
+    // value buffer or a driver fold. t41 proves the driver path and the
+    // route; this proves the distributed arithmetic end-to-end against
+    // DuckDB's quantile_cont (same interpolation form, so agreement holds
+    // under the standard ROUND(…,4) canonicalization). 100 groups at
+    // sf0.01 — small here, but the plan is the one that survives 10⁶
+    // groups by construction (GroupedQuantilesSpec runs it at 20k).
+    Q(
+      "t163_grouped_quantiles",
+      (s, d) =>
+        graft.operators.GroupedQuantiles
+          .exact(
+            Tables.lineitem(s, d).select(col("l_suppkey"), col("l_extendedprice")),
+            "l_suppkey", "l_extendedprice", Seq(0.5, 0.9),
+            s.sparkContext.defaultParallelism)
+          .select(
+            col("l_suppkey").cast("long").as("l_suppkey"), col("cnt"),
+            round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"),
+            round(col("lo"), 4).as("lo"), round(col("hi"), 4).as("hi"))
+          .orderBy("l_suppkey"),
+      Some("""SELECT l_suppkey, COUNT(*) AS cnt,
+             |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+             |  ROUND(MIN(l_extendedprice), 4) AS lo,
+             |  ROUND(MAX(l_extendedprice), 4) AS hi
+             |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
+    ),
+
     // ----- pivot (wide aggregation by category value) -----
     Q(
       "t42_pivot",
