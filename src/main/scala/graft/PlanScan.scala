@@ -70,16 +70,17 @@ object PlanScan {
     }
     println(totals.map { case (k, n) => s"$k=$n" }.mkString("TOTALS ", " ", ""))
     sys.env.get("SPARK_GRAFT_PLANSCAN_OUT").foreach { path =>
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       def obj(kvs: Seq[(String, Int)]) =
-        kvs.map { case (k, n) => s""""$k": $n""" }.mkString("{", ", ", "}")
+        kvs.map { case (k, n) => s""""${esc(k)}": $n""" }.mkString("{", ", ", "}")
       val queries = perQuery.toSeq.sortBy(_._1)
-        .map { case (name, kvs) => s"""    "$name": ${obj(kvs)}""" }
+        .map { case (name, kvs) => s"""    "${esc(name)}": ${obj(kvs)}""" }
         .mkString(",\n")
       val json =
         s"""{
-           |  "sf_dir": "$sfDir",
+           |  "sf_dir": "${esc(sfDir)}",
            |  "n_queries": ${perQuery.size},
-           |  "fails": ${fails.sorted.map(n => s""""$n"""").mkString("[", ", ", "]")},
+           |  "fails": ${fails.sorted.map(n => s""""${esc(n)}"""").mkString("[", ", ", "]")},
            |  "totals": ${obj(totals.toSeq)},
            |  "queries": {
            |$queries

@@ -32,10 +32,15 @@ import org.apache.spark.sql.functions._
   * Interpolation is quantile_cont's v_lo·(⌈p⌉−pos) + v_hi·(pos−⌊p⌋), the
   * same form as t41's driver path, so the two paths agree bit-for-bit.
   *
-  * Contract: `groupCol` is cast to string, `valueCol` to double; output is
-  * one row per group: (groupCol, cnt, p<q·100> per quantile, lo, hi).
-  * Intermediates are localCheckpoint'ed (the sorted data once; the count
-  * and picked tables, both ≤ a few rows per group, once each); the caller's
+  * Contract: `groupCol` is cast to string, `valueCol` to double; BOTH must
+  * be non-null — a null in either fails loudly per row (quarantine, never
+  * guess: a silently dropped null group would make this disagree with
+  * groupBy semantics, and a null value has no place in an order
+  * statistic). Quantile labels must be distinct at integer-percent
+  * granularity (columns are named p<round(q·100)>). Output is one row per
+  * group: (groupCol, cnt, p<q·100> per quantile, lo, hi). Intermediates
+  * are localCheckpoint'ed (the sorted data once; the count and picked
+  * tables, both ≤ a few rows per group, once each); the caller's
   * job-level RDD sweep reclaims them, as for every other checkpointing
   * query in the registry.
   */
@@ -47,17 +52,41 @@ object GroupedQuantiles {
       valueCol: String,
       quantiles: Seq[Double],
       parts: Int): DataFrame = {
-    require(quantiles.nonEmpty && quantiles.forall(q => q >= 0.0 && q <= 1.0),
-      s"quantiles must be in [0,1]: $quantiles")
     val spark = df.sparkSession
     import spark.implicits._
-
     val ranged = df
-      .select(col(groupCol).cast("string").as("g"), col(valueCol).cast("double").as("v"))
+      .select(
+        when(col(groupCol).isNull,
+          raise_error(lit(s"GroupedQuantiles: null in group column `$groupCol`")))
+          .otherwise(col(groupCol).cast("string")).as("g"),
+        when(col(valueCol).isNull,
+          raise_error(lit(s"GroupedQuantiles: null in value column `$valueCol`"))
+            .cast("double"))
+          .otherwise(col(valueCol).cast("double")).as("v"))
       .as[(String, Double)]
       .repartitionByRange(parts, col("g"), col("v"))
       .sortWithinPartitions("g", "v")
       .localCheckpoint()
+    exactRanged(ranged, groupCol, quantiles)
+  }
+
+  /** [[exact]] over an ALREADY range-partitioned-by-(g, v),
+    * sorted-within-partitions, checkpointed (g, v) dataset — the entry
+    * point for callers that have paid for that sort already (t41's
+    * past-budget route hands its own frame over instead of re-sorting
+    * lineitem a second time on exactly the path chosen for being huge).
+    * The partitioning/sort/null-free properties are a CONTRACT here, not
+    * re-checked: rank arithmetic silently misselects on unsorted input. */
+  private[graft] def exactRanged(
+      ranged: org.apache.spark.sql.Dataset[(String, Double)],
+      groupCol: String,
+      quantiles: Seq[Double]): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1]: $quantiles")
+    require(quantiles.map(q => math.round(q * 100)).distinct.size == quantiles.size,
+      s"quantile labels collide at integer-percent granularity: $quantiles")
+    val spark = ranged.sparkSession
+    import spark.implicits._
 
     // pass 1: run-length (pid, g, cnt) — partitions are sorted, so runs
     // are contiguous and the table is ≤ parts + groups rows, distributed

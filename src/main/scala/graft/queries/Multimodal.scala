@@ -154,6 +154,9 @@ object Multimodal {
     require(i < p.length && isWs(p(i)), "PPM: missing whitespace after maxval")
     i += 1 // exactly one whitespace byte, per spec
     require(mv == 255, s"unsupported PPM maxval $mv")
+    // zero-pixel rasters would "validate" the byte count below and then
+    // blow up downstream as a division by zero — quarantine here instead
+    require(w >= 1 && h >= 1, s"PPM: degenerate dimensions ${w}x$h")
     require(p.length - i == w * h * 3,
       s"PPM: ${p.length - i} pixel bytes for ${w}x$h x3")
     Ppm(w, h, mv, i)

@@ -611,12 +611,12 @@ object Relational {
           // single-task sort), so a 10⁶-group column degrades to a slower
           // distributed plan instead of a require() wall. Identical output
           // (same interpolation form) — proven in GroupedQuantilesSpec by
-          // forcing the budget to 1 and comparing the two paths.
-          ranged.unpersist(blocking = false)
+          // forcing the budget to 1 and comparing the two paths. The
+          // already-ranged, sorted, checkpointed frame is handed over
+          // as-is — the fallback must not redo the full distributed sort
+          // on exactly the path chosen for being huge.
           graft.operators.GroupedQuantiles
-            .exact(Tables.lineitem(s, d)
-              .select(col("l_returnflag"), col("l_extendedprice")),
-              "l_returnflag", "l_extendedprice", Seq(0.5, 0.9), parts)
+            .exactRanged(ranged, "l_returnflag", Seq(0.5, 0.9))
             .select(
               col("l_returnflag"), col("cnt"),
               round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"),

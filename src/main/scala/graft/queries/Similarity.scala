@@ -2601,7 +2601,7 @@ object Similarity {
     Q(
       "t161_lsh_recall_cadence",
       (s, d) => {
-        val sh = shingled(s, d)
+        val sh = shingled(s, d).localCheckpoint()
         // orderBy+limit → TakeOrderedAndProject: no global sort materializes
         val slice = sh
           .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
@@ -2610,9 +2610,19 @@ object Similarity {
         val ids = slice.select(col("doc_id")).localCheckpoint()
         val truth = graft.operators.SetSimJoin.join(slice, "doc_id", "shingles", tauPct = 80)
           .select(col("doc_id1"), col("doc_id2")).localCheckpoint()
-        val lsh = minhashDupPairs(s, d)
+        // candidate generation stays FULL-corpus (the bucket caps being
+        // priced are corpus-sized), but the exact verify — the dominant
+        // cost of the t31 pipeline — runs only on slice-internal
+        // candidates: verification is per-pair, so the surviving pair set
+        // is identical and the cadence query never pays a corpus-wide
+        // intersect pass
+        val cand = minhashCandPairs(sh)
           .join(broadcast(ids.withColumnRenamed("doc_id", "doc_id1")), Seq("doc_id1"), "left_semi")
           .join(broadcast(ids.withColumnRenamed("doc_id", "doc_id2")), Seq("doc_id2"), "left_semi")
+        val s1 = sh.select(col("doc_id").as("doc_id1"), col("shingles").as("s1"))
+        val s2 = sh.select(col("doc_id").as("doc_id2"), col("shingles").as("s2"))
+        val lsh = jaccardPairs(cand.join(s1, "doc_id1").join(s2, "doc_id2"))
+          .filter(col("jac") >= 0.8)
           .select(col("doc_id1"), col("doc_id2")).localCheckpoint()
         val hit = truth.join(lsh, Seq("doc_id1", "doc_id2"))
         truth.agg(count(lit(1)).as("n_true"))

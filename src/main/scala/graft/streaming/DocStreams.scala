@@ -237,7 +237,16 @@ object DocStreams {
     *    misreporting as fully novel;
     *  - the store is an fp-bucketed table maintained by per-batch APPEND
     *    (the q24/t96 on-disk index shape at chunk granularity); compaction
-    *    is the same periodic-rewrite story as the band index. */
+    *    is the same periodic-rewrite story as the band index;
+    *  - LINEAGE CONTRACT: the store's batch_id column is meaningful only
+    *    within ONE checkpoint lineage — a fresh checkpoint restarts batch
+    *    ids at 0, so attaching a new stream to an existing store risks a
+    *    (batch_id, doc_id) collision with an old incarnation's rows (the
+    *    probe would hide them and misreport a legitimately re-ingested
+    *    blob as novel). Run [[rebaseChunkStore]] before attaching a fresh
+    *    checkpoint: it re-stamps every committed row to batch_id = −1,
+    *    which no live batch (ids ≥ 0) can ever collide with
+    *    (StreamingSpec exercises the rebased re-ingestion). */
   def chunkIndexStream(
       docs: DataFrame,
       storeTable: String,
@@ -272,6 +281,28 @@ object DocStreams {
       .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append())
       .start()
+
+  /** Rebase a chunk store onto a new checkpoint lineage: rewrite the
+    * distinct committed (doc_id, fp) rows with batch_id = −1 into a NEW
+    * table+path (the [[graft.queries.Similarity.compactBandIndex]]
+    * crash-safety pattern — the live store stays readable until the
+    * caller flips names). −1 collides with no live batch id (ids ≥ 0), so
+    * after a rebase every row is permanently visible to probes and a
+    * fresh checkpoint can safely restart at batch 0; being a distinct
+    * rewrite, this is also the store's compaction (replay-duplicated rows
+    * and small files both go away). */
+  def rebaseChunkStore(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      newTable: String,
+      newPath: String): Unit =
+    spark.table(table)
+      .select(col("doc_id"), col("fp")).distinct()
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(-1L))
+      .write.mode("overwrite")
+      .option("path", newPath)
+      .bucketBy(8, "fp")
+      .saveAsTable(newTable)
 
   /** Streaming DSIR weighting — [[qualityScoreStream]]'s importance-
     * resampling sibling: micro-batches score against a PRE-FITTED λ table

@@ -145,6 +145,10 @@ class MultimodalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Multimodal.parsePpm(ppm("P5\n3 2\n255\n", 18), 0))
     intercept[IllegalArgumentException](Multimodal.parsePpm(ppm("P6\n3 2\n65535\n", 18), 0))
     intercept[IllegalArgumentException](Multimodal.parsePpm(ppm("P6\n3 2\n255\n", 17), 0))
+    // zero-pixel rasters must quarantine at the parser, not divide-by-zero
+    // in whatever resample plan consumes the dims
+    intercept[IllegalArgumentException](Multimodal.parsePpm(ppm("P6\n0 0\n255\n", 0), 0))
+    intercept[IllegalArgumentException](Multimodal.parsePpm(ppm("P6\n5 0\n255\n", 0), 0))
     intercept[IllegalArgumentException](
       Multimodal.parsePpm("P6\n1 1\n255".getBytes(StandardCharsets.UTF_8), 0))
   }

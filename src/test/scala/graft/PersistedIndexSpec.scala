@@ -238,18 +238,12 @@ class PersistedIndexSpec extends SparkTestBase {
 
   test("IVF inverted lists: append == rebuild, row for row, and occupancy counts shuffle-free") {
     import org.apache.spark.sql.DataFrame
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-    def assign(vecs: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-      vecs.join(broadcast(cents))
-        .withColumn("csim", graft.functions.ArrayFns.cosineSim(col("embedding"), col("cemb")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("cid"), col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
-    }
+    // the SHARED arm, deliberately: a private re-implementation here would
+    // keep passing while t162/VecStreams drift
+    def assign(vecs: DataFrame): DataFrame = Similarity.ivfAssign(vecs, cents)
     val base = Files.createTempDirectory("graft_ivf_idx").toString
     // incremental: old corpus overwritten, batch appended
     Similarity.writeIvfIndex(assign(e.filter(col("vec_id") % 3 =!= 0)),

@@ -875,5 +875,22 @@ class StreamingSpec extends SparkTestBase {
     assert(reingested.filter(col("n_dup_chunks") =!= col("n_chunks")).count() == 0,
       "re-ingested doc's earlier chunks must stay visible to the probe")
     assert(reingested.count() == b1.length)
+
+    // cross-incarnation collision, resolved by rebase: without it, a NEW
+    // stream re-ingesting b1 as ITS batch 0 would collide with b1's
+    // original batch_id=0 rows and misreport the blobs as novel. Rebase
+    // re-stamps committed rows to batch_id=-1 (and compacts duplicates);
+    // the fresh-lineage batch 0 then sees them all — full self-dup
+    spark.sql("DROP TABLE IF EXISTS chunkidx_store2r")
+    DocStreams.rebaseChunkStore(spark, "chunkidx_store2", "chunkidx_store2r", s"$base/store_r")
+    assert(spark.table("chunkidx_store2r").filter(col("batch_id") =!= -1L).count() == 0)
+    val input4 = MemoryStream[(Long, Array[Byte])]
+    val q4 = DocStreams.chunkIndexStream(
+      input4.toDS().toDF("doc_id", "payload"),
+      "chunkidx_store2r", s"$base/store_r", s"$base/out4", s"$base/ckpt4")
+    try { input4.addData(b1.toSeq: _*); q4.processAllAvailable() } finally q4.stop()
+    val rebased = spark.read.parquet(s"$base/out4/batch=0")
+    assert(rebased.filter(col("n_dup_chunks") =!= col("n_chunks")).count() == 0,
+      "after rebase, a new lineage's batch 0 must see all committed chunks")
   }
 }
