@@ -1096,11 +1096,15 @@ object Text {
     // Score each document by the fraction of its distinct 8-grams that
     // first appear in it (min doc_id over the corpus) — the novelty signal
     // data-curation orderings use to de-prioritize derivative documents.
-    // The gram key is the portable md5 hex (identical in both engines, so
-    // the oracle gate is exact even under the astronomically-unlikely
-    // collision — a collision merges the same two grams on BOTH sides); a
-    // production run would swap in 8-byte xxhash64 keys exactly as
-    // DupSpans does. Shape: one corpus-sized explode → distinct (doc,
+    // The gram key is the 8-byte xxhash64 fingerprint, exactly as DupSpans
+    // keys its k-grams — the corpus-sized distinct/agg shuffles move longs,
+    // never the 32-char md5 hex the first cut shipped (~4× the bytes per
+    // row). The fingerprint never reaches the output, so the oracle gate
+    // stays the exact per-doc counts; the engines hash differently (oracle
+    // keeps md5) but both are deterministic, and a count-visible collision
+    // needs two of this corpus's ~10⁶ grams to collide in 64 (resp. 128)
+    // bits — P ≈ 10⁻⁷, and a collision would be a permanent, visible gate
+    // failure, not a flake. Shape: one corpus-sized explode → distinct (doc,
     // gram), then TWO aggregations off it — per-doc gram counts and
     // gram-keyed min-doc rolled up to per-doc novel counts — joined at
     // document cardinality. The novel count comes straight off the
@@ -1113,7 +1117,7 @@ object Text {
           .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("t"))
           .filter(size(col("t")) >= 8)
           .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(t) - 7), i -> md5(CAST(concat_ws(' ', slice(t, i, 8)) AS BINARY)))")).as("h"))
+            "transform(sequence(1, size(t) - 7), i -> xxhash64(concat_ws(' ', slice(t, i, 8))))")).as("h"))
           .distinct()
           // both aggregations below consume the distinct gram sites; the
           // checkpoint materializes the explode+distinct once (t30-t32's
@@ -2368,6 +2372,83 @@ object Text {
              |SELECT source, n_tokens, CAST(base AS BIGINT) AS base,
              |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
              |FROM r ORDER BY source""".stripMargin),
+    ),
+
+    // ----- t164: template-gram boilerplate coverage (per-source report) -----
+    // CCNet-style boilerplate detection re-expressed at phrase granularity
+    // (the synthetic corpus has no line structure to hash): a token 4-gram
+    // whose corpus document-frequency is >= 3 is a template phrase, and
+    // each source is reported with how many of its docs such phrases touch,
+    // how many are >= 5% covered (the strip-candidates), the mean coverage
+    // in basis points, and how many distinct template grams its docs carry.
+    // Grams are keyed by 8-byte xxhash64 fingerprints (t117's convention —
+    // the fingerprint never reaches the output, so the oracle gate stays
+    // the exact integer report). Shape: one corpus-sized explode → distinct
+    // (source, doc, gram) — checkpointed once for its three consumers —
+    // then a gram-keyed df agg; the template set (df >= 3) is
+    // frequency-thresholded and therefore FAR smaller than the gram
+    // universe, so the coverage joins against it carry no hint and AQE
+    // broadcasts it from real sizes (at web scale the threshold would be a
+    // df *fraction*, which keeps the same plan shape). Everything after is
+    // doc- or source-cardinality.
+    Q(
+      "t164_boilerplate",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("t"))
+          .filter(size(col("t")) >= 4)
+          .select(col("source"), col("doc_id"), explode(expr(
+            "transform(sequence(1, size(t) - 3), i -> xxhash64(concat_ws(' ', slice(t, i, 4))))"))
+            .as("h"))
+          .distinct()
+          .localCheckpoint()
+        val tpl = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 3).select(col("h"))
+        val perDocAll = grams.groupBy(col("source"), col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"))
+        val perDocTpl = grams.join(tpl, Seq("h"))
+          .groupBy(col("source"), col("doc_id")).agg(count(lit(1)).as("n_tpl"))
+        val perDoc = perDocAll.join(perDocTpl, Seq("source", "doc_id"), "left")
+          .withColumn("n_tpl", coalesce(col("n_tpl"), lit(0L)))
+          .withColumn("cover_bp", expr("n_tpl * 10000 div n_grams"))
+        val tplPerSource = grams.join(tpl, Seq("h"))
+          .select(col("source"), col("h")).distinct()
+          .groupBy(col("source")).agg(count(lit(1)).as("n_template_grams"))
+        perDoc.groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("n_tpl") > 0, 1L).otherwise(0L)).as("n_touched"),
+            sum(when(col("cover_bp") >= 500, 1L).otherwise(0L)).as("n_flagged"),
+            expr("sum(cover_bp) div count(1)").as("avg_cover_bp"))
+          .join(tplPerSource, Seq("source"), "left")
+          .withColumn("n_template_grams", coalesce(col("n_template_grams"), lit(0L)))
+          .orderBy("source")
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+             |g AS (
+             |  SELECT DISTINCT source, doc_id, md5(array_to_string(t[i:i+3], ' ')) AS h
+             |  FROM (SELECT source, doc_id, t, unnest(range(1, len(t) - 2)) AS i
+             |        FROM toks WHERE len(t) >= 4)),
+             |tpl AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 3),
+             |pa AS (SELECT source, doc_id, COUNT(*) AS n_grams FROM g GROUP BY source, doc_id),
+             |pt AS (SELECT g.source, g.doc_id, COUNT(*) AS n_tpl
+             |       FROM g JOIN tpl USING (h) GROUP BY g.source, g.doc_id),
+             |pd AS (
+             |  SELECT pa.source, pa.doc_id, pa.n_grams, COALESCE(pt.n_tpl, 0) AS n_tpl,
+             |         COALESCE(pt.n_tpl, 0) * 10000 // pa.n_grams AS cover_bp
+             |  FROM pa LEFT JOIN pt ON pa.source = pt.source AND pa.doc_id = pt.doc_id),
+             |ts AS (
+             |  SELECT source, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_template_grams
+             |  FROM g JOIN tpl USING (h) GROUP BY source)
+             |SELECT p.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(CASE WHEN n_tpl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_touched,
+             |  CAST(SUM(CASE WHEN cover_bp >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+             |  CAST(SUM(cover_bp) // COUNT(*) AS BIGINT) AS avg_cover_bp,
+             |  COALESCE(MAX(ts.n_template_grams), 0) AS n_template_grams
+             |FROM pd p LEFT JOIN ts ON p.source = ts.source
+             |GROUP BY p.source ORDER BY p.source""".stripMargin),
     ),
   )
 
