@@ -2450,6 +2450,68 @@ object Text {
              |FROM pd p LEFT JOIN ts ON p.source = ts.source
              |GROUP BY p.source ORDER BY p.source""".stripMargin),
     ),
+
+    // ----- t165: incremental template-df maintenance (append == rebuild) --
+    // t164's template set is a corpus-global df table — the one piece of
+    // state a rolling crawl must MAINTAIN, not recompute. The store is
+    // log-structured: each batch appends its PARTIAL per-gram df rows
+    // (h, df_part, batch) to an h-bucketed table (t162's warehouse
+    // pattern), and readers compact by summing — bucketBy("h") makes that
+    // read-side groupBy shuffle-free, and a periodic rewrite of the summed
+    // rows is the compaction, exactly the LSM shape a 100-TB df store
+    // needs (counts are associative, so partials merge without ever
+    // rebuilding). The query writes a base snapshot, appends a delta batch
+    // (doc_id % 10 == 0), then reports the merged df histogram with
+    // promotion accounting: grams crossing the df >= 3 template threshold
+    // only via the delta (n_promoted), and grams first seen in it (n_new).
+    // The oracle computes the same histogram from a full-corpus REBUILD —
+    // equality IS the append+compact == rebuild certification.
+    Q(
+      "t165_template_delta",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("t"))
+          .filter(size(col("t")) >= 4)
+        def partial(part: org.apache.spark.sql.DataFrame, tag: String) = part
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(t) - 3), i -> xxhash64(concat_ws(' ', slice(t, i, 4))))"))
+            .as("h"))
+          .distinct()
+          .groupBy(col("h")).agg(count(lit(1)).as("df_part"))
+          .withColumn("batch", lit(tag))
+        val base =
+          sys.props("java.io.tmpdir") + "/graft_t165_wh_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        partial(docs.filter(col("doc_id") % 10 =!= 0), "base")
+          .write.mode("overwrite").option("path", base)
+          .bucketBy(8, "h").saveAsTable("t165_gram_df")
+        partial(docs.filter(col("doc_id") % 10 === 0), "delta")
+          .write.mode("append").option("path", base)
+          .bucketBy(8, "h").saveAsTable("t165_gram_df")
+        s.table("t165_gram_df")
+          .groupBy(col("h"))
+          .agg(sum(col("df_part")).as("df"),
+            sum(when(col("batch") === "base", col("df_part")).otherwise(0L)).as("df_base"))
+          .groupBy(col("df"))
+          .agg(
+            count(lit(1)).as("n_grams"),
+            sum(when(col("df_base") < 3 && col("df") >= 3, 1L).otherwise(0L)).as("n_promoted"),
+            sum(when(col("df_base") === 0L, 1L).otherwise(0L)).as("n_new"))
+          .orderBy("df")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+             |g AS (
+             |  SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+3], ' ')) AS h
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i
+             |        FROM toks WHERE len(t) >= 4)),
+             |m AS (SELECT h, COUNT(*) AS df,
+             |        SUM(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS df_base
+             |      FROM g GROUP BY h)
+             |SELECT CAST(df AS BIGINT) AS df, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             |  CAST(SUM(CASE WHEN df_base < 3 AND df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_promoted,
+             |  CAST(SUM(CASE WHEN df_base = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+             |FROM m GROUP BY df ORDER BY df""".stripMargin),
+    ),
   )
 
 }
