@@ -2394,14 +2394,9 @@ object Text {
     Q(
       "t164_boilerplate",
       (s, d) => {
-        val grams = Tables.documents(s, d)
-          .select(col("source"), col("doc_id"),
-            expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("t"))
-          .filter(size(col("t")) >= 4)
-          .select(col("source"), col("doc_id"), explode(expr(
-            "transform(sequence(1, size(t) - 3), i -> xxhash64(concat_ws(' ', slice(t, i, 4))))"))
-            .as("h"))
-          .distinct()
+        val grams = graft.operators.TemplateGrams
+          .grams(Tables.documents(s, d).select(col("source"), col("doc_id"), col("text")),
+            "text", 4)
           .localCheckpoint()
         val tpl = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .filter(col("df") >= 3).select(col("h"))
@@ -2469,16 +2464,10 @@ object Text {
     Q(
       "t165_template_delta",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("t"))
-          .filter(size(col("t")) >= 4)
-        def partial(part: org.apache.spark.sql.DataFrame, tag: String) = part
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(t) - 3), i -> xxhash64(concat_ws(' ', slice(t, i, 4))))"))
-            .as("h"))
-          .distinct()
-          .groupBy(col("h")).agg(count(lit(1)).as("df_part"))
-          .withColumn("batch", lit(tag))
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        def partial(part: org.apache.spark.sql.DataFrame, tag: String) =
+          graft.operators.TemplateGrams.partialDf(part, "doc_id", "text", 4)
+            .withColumn("batch", lit(tag))
         val base =
           sys.props("java.io.tmpdir") + "/graft_t165_wh_" + d.replaceAll("[^A-Za-z0-9]", "_")
         partial(docs.filter(col("doc_id") % 10 =!= 0), "base")

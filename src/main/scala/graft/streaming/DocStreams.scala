@@ -304,6 +304,84 @@ object DocStreams {
       .bucketBy(8, "fp")
       .saveAsTable(newTable)
 
+  /** Streaming template-df maintenance — the live twin of batch t165.
+    * Each micro-batch appends its PARTIAL per-gram document frequencies
+    * (h, df_part, batch_id) to the h-bucketed log-structured store
+    * ([[graft.operators.TemplateGrams.partialDf]], the exact batch arm),
+    * and emits the batch's PROMOTIONS — grams whose df first crosses the
+    * template threshold because of this batch — to `path/batch=<id>`
+    * (batch-id-keyed overwrite, so replays land on the same path).
+    *
+    * Replay/crash contract (the chunk-store rules, df-shaped): the
+    * df_before probe excludes rows with THIS batch_id — the
+    * append-then-crash window — and collapses literal duplicate rows
+    * with `distinct` (a committed batch writes exactly one row per gram,
+    * so a replayed append duplicates rows verbatim; see
+    * [[graft.operators.TemplateGrams.mergedDf]]). df never decreases, so
+    * each gram promotes at most once across the stream's life. batch_id
+    * is meaningful only within one checkpoint lineage —
+    * [[rebaseTemplateStore]] re-stamps (and compacts) the store before a
+    * fresh stream attaches, exactly like [[rebaseChunkStore]]. */
+  def templateDfStream(
+      docs: DataFrame,
+      storeTable: String,
+      storePath: String,
+      path: String,
+      ckpt: String,
+      k: Int = 4,
+      threshold: Long = 3L): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.{coalesce, lit, sum}
+        val spark = batch.sparkSession
+        // consumed by the report join AND the store append; the barrier
+        // also pins the partials before the append changes the store
+        val part = graft.operators.TemplateGrams.partialDf(batch, "doc_id", "text", k)
+          .withColumn("batch_id", lit(batchId))
+          .localCheckpoint()
+        val before =
+          if (spark.catalog.tableExists(storeTable))
+            spark.table(storeTable)
+              .filter(col("batch_id") =!= batchId)
+              .distinct()
+              .groupBy(col("h")).agg(sum(col("df_part")).as("df_before"))
+          else part.select(col("h"), col("df_part").as("df_before")).limit(0)
+        val report = part.join(before, Seq("h"), "left")
+          .withColumn("df_before", coalesce(col("df_before"), lit(0L)))
+          .withColumn("df_after", col("df_before") + col("df_part"))
+          .filter(col("df_before") < threshold && col("df_after") >= threshold)
+          .select(col("h"), col("df_before"), col("df_after"))
+          .localCheckpoint() // pin before the append below grows the store
+        report.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+        part.select(col("h"), col("df_part"), col("batch_id"))
+          .write.mode("append")
+          .option("path", storePath)
+          .bucketBy(8, "h")
+          .saveAsTable(storeTable)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
+
+  /** Rebase a template-df store onto a new checkpoint lineage: collapse
+    * replay duplicates, sum the partials, and rewrite as single
+    * batch_id = −1 rows into a NEW table+path (live ids are ≥ 0, so the
+    * rebased rows stay permanently visible to every future probe). Being
+    * a distinct+sum rewrite, this is also the store's LSM compaction —
+    * run it between batches and flip table names. */
+  def rebaseTemplateStore(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      newTable: String,
+      newPath: String): Unit =
+    graft.operators.TemplateGrams.mergedDf(spark.table(table))
+      .select(col("h"), col("df").as("df_part"))
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(-1L))
+      .write.mode("overwrite")
+      .option("path", newPath)
+      .bucketBy(8, "h")
+      .saveAsTable(newTable)
+
   /** Streaming DSIR weighting — [[qualityScoreStream]]'s importance-
     * resampling sibling: micro-batches score against a PRE-FITTED λ table
     * ([[graft.operators.Dsir.lambdaTable]], refreshed out-of-band like the

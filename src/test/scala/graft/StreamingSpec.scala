@@ -893,4 +893,89 @@ class StreamingSpec extends SparkTestBase {
     assert(rebased.filter(col("n_dup_chunks") =!= col("n_chunks")).count() == 0,
       "after rebase, a new lineage's batch 0 must see all committed chunks")
   }
+
+  test("template df stream: store compacts to the rebuild, promotions fire once, replays idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TemplateGrams
+    import graft.streaming.DocStreams
+
+    spark.sql("DROP TABLE IF EXISTS tpl_store")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, rest) = docs.splitAt(docs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val base = java.nio.file.Files.createTempDirectory("graft_tpl_stream").toString
+    val out = s"$base/out"
+    def drive(ckpt: String)(bs: Seq[(Long, String)]*): Unit = {
+      val input = MemoryStream[(Long, String)]
+      val q = DocStreams.templateDfStream(
+        input.toDS().toDF("doc_id", "text"), "tpl_store", s"$base/store", out, ckpt)
+      try bs.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    drive(s"$base/ckpt")(b1.toSeq, b2.toSeq, b3.toSeq)
+
+    def dfOf(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def partial(b: Seq[(Long, String)]) = dfOf(
+      TemplateGrams.partialDf(b.toDF("doc_id", "text"), "doc_id", "text", 4)
+        .select(col("h"), col("df_part")))
+
+    // 1) the compacted store equals the one-shot full-corpus rebuild —
+    //    df partials from disjoint batches are associative
+    val rebuild = dfOf(
+      TemplateGrams.partialDf(docs.toSeq.toDF("doc_id", "text"), "doc_id", "text", 4)
+        .select(col("h"), col("df_part")))
+    assert(dfOf(TemplateGrams.mergedDf(spark.table("tpl_store"))) == rebuild,
+      "compacted store must equal the batch rebuild")
+
+    // 2) each batch's promotion report equals the sequential expectation,
+    //    and no gram promotes twice (df never decreases)
+    var cum = Map.empty[Long, Long]
+    val expProm = scala.collection.mutable.Map[Int, Set[(Long, Long, Long)]]()
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      val p = partial(b.toSeq)
+      expProm(i) = p.collect {
+        case (h, dp) if cum.getOrElse(h, 0L) < 3 && cum.getOrElse(h, 0L) + dp >= 3 =>
+          (h, cum.getOrElse(h, 0L), cum.getOrElse(h, 0L) + dp)
+      }.toSet
+      cum = cum ++ p.map { case (h, dp) => h -> (cum.getOrElse(h, 0L) + dp) }
+    }
+    def promRows(i: Int) = spark.read.parquet(s"$out/batch=$i")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    (0 to 2).foreach { i =>
+      assert(promRows(i) == expProm(i), s"batch $i promotions diverged")
+    }
+    assert((0 to 2).map(expProm(_).size).sum > 0, "no promotions — degenerate fixture")
+    val promoted = (0 to 2).flatMap(i => promRows(i).toSeq.map(_._1))
+    assert(promoted.distinct.size == promoted.size, "a gram promoted twice")
+
+    // 3) replay: a fresh checkpoint re-delivers b1 as batch 0 while the
+    //    store already holds b1's own batch_id=0 rows (append-then-crash
+    //    window). The exclusion must keep them invisible: df_before comes
+    //    from b2 ∪ b3 only. Were it broken, every b1 gram would count
+    //    itself and the report would shift wholesale.
+    val pB1 = partial(b1.toSeq)
+    val p2 = partial(b2.toSeq); val p3 = partial(b3.toSeq)
+    val others = (p2.keySet ++ p3.keySet).iterator
+      .map(h => h -> (p2.getOrElse(h, 0L) + p3.getOrElse(h, 0L))).toMap
+    val wantReplay = pB1.collect {
+      case (h, dp) if others.getOrElse(h, 0L) < 3 && others.getOrElse(h, 0L) + dp >= 3 =>
+        (h, others.getOrElse(h, 0L), others.getOrElse(h, 0L) + dp)
+    }.toSet
+    drive(s"$base/ckpt2")(b1.toSeq)
+    assert(promRows(0) == wantReplay,
+      "replayed batch must exclude its own previously-appended partials")
+    // the literal duplicate rows the replay appended must collapse
+    assert(dfOf(TemplateGrams.mergedDf(spark.table("tpl_store"))) == rebuild,
+      "replay-duplicated partials must be compaction-invisible")
+
+    // 4) rebase onto a fresh lineage = the store's compaction
+    spark.sql("DROP TABLE IF EXISTS tpl_store_r")
+    DocStreams.rebaseTemplateStore(spark, "tpl_store", "tpl_store_r", s"$base/store_r")
+    assert(spark.table("tpl_store_r").filter(col("batch_id") =!= -1L).count() == 0)
+    assert(dfOf(TemplateGrams.mergedDf(spark.table("tpl_store_r"))) == rebuild,
+      "rebased store must still compact to the rebuild")
+  }
 }
