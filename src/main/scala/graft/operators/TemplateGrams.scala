@@ -23,6 +23,12 @@ object TemplateGrams {
     * the same filter). */
   def grams(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
+    // the internal token column and the output key would silently shadow /
+    // ambiguate same-named input columns (DupSpans sidesteps this by
+    // selecting only what it needs; this operator keeps pass-through
+    // columns, so it must refuse the collision instead)
+    require(!docs.columns.contains("h") && !docs.columns.contains("__t"),
+      "input must not already have columns named 'h' or '__t'")
     val tc = s"`${textCol.replace("`", "``")}`"
     val keep = docs.columns.filter(_ != textCol).map(col).toSeq
     docs

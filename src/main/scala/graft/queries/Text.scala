@@ -1113,12 +1113,8 @@ object Text {
     Q(
       "t117_gram_novelty",
       (s, d) => {
-        val grams = Tables.documents(s, d)
-          .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("t"))
-          .filter(size(col("t")) >= 8)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(t) - 7), i -> xxhash64(concat_ws(' ', slice(t, i, 8))))")).as("h"))
-          .distinct()
+        val grams = graft.operators.TemplateGrams
+          .grams(Tables.documents(s, d).select(col("doc_id"), col("text")), "text", 8)
           // both aggregations below consume the distinct gram sites; the
           // checkpoint materializes the explode+distinct once (t30-t32's
           // shared-subtree pattern) instead of running it per consumer

@@ -332,7 +332,7 @@ object DocStreams {
       threshold: Long = 3L): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import org.apache.spark.sql.functions.{coalesce, lit, sum}
+        import org.apache.spark.sql.functions.{broadcast, coalesce, lit}
         val spark = batch.sparkSession
         // consumed by the report join AND the store append; the barrier
         // also pins the partials before the append changes the store
@@ -341,10 +341,16 @@ object DocStreams {
           .localCheckpoint()
         val before =
           if (spark.catalog.tableExists(storeTable))
-            spark.table(storeTable)
-              .filter(col("batch_id") =!= batchId)
-              .distinct()
-              .groupBy(col("h")).agg(sum(col("df_part")).as("df_before"))
+            // restrict the store scan to THIS batch's grams before the
+            // compaction aggregate — the probe's cost tracks batch size,
+            // not total distinct grams ever seen (chunkIndexStream's
+            // broadcast-semi-join shape); mergedDf then applies the one
+            // certified replay-collapse + sum
+            graft.operators.TemplateGrams.mergedDf(
+              spark.table(storeTable)
+                .filter(col("batch_id") =!= batchId)
+                .join(broadcast(part.select(col("h"))), Seq("h"), "left_semi"))
+              .select(col("h"), col("df").as("df_before"))
           else part.select(col("h"), col("df_part").as("df_before")).limit(0)
         val report = part.join(before, Seq("h"), "left")
           .withColumn("df_before", coalesce(col("df_before"), lit(0L)))
