@@ -141,18 +141,27 @@ object Extended {
     // QuantileSummaries + one 16 KiB HLL register bank PER DISTINCT KEY
     // (~300k buffers; measured 55 s vs 5 s split at sf0.1 — pure
     // allocation/GC). Split, every arm keeps its single global buffer.
-    // The exact median runs over (value, frequency) pairs from a codegen
-    // hash-agg — identical result, ~#distinct-values boxed rows instead of
-    // #rows.
+    // The exact median is the distributed GroupedQuantiles selection over
+    // ONE constant group — never a global `percentile(value, freq)` object
+    // aggregation: that shape funnels every distinct (value, freq) pair
+    // into a single reducer's boxed buffer, and the 10× rehearsal measured
+    // it near-linear (2.1 → 18.5 s, exponent 0.94) because the price
+    // column's distinct-value count grows with the data. The selection's
+    // interpolation is the same quantile_cont form percentile uses, so the
+    // certified boolean is unchanged (proven by the oracle gate at both
+    // scales and by t163 against DuckDB directly).
     Q(
       "t57_sketch_accuracy",
       (s, d) => {
         val li = Tables.lineitem(s, d)
         val exactN = li.select(col("l_orderkey")).distinct()
           .agg(count(lit(1)).as("exact_n"))
-        val exactP = li.groupBy(col("l_extendedprice"))
-          .agg(count(lit(1)).as("freq"))
-          .agg(expr("percentile(l_extendedprice, 0.5D, freq)").as("p50_exact"))
+        val exactP = graft.operators.GroupedQuantiles
+          .exact(
+            li.select(lit("all").as("g"), col("l_extendedprice")),
+            "g", "l_extendedprice", Seq(0.5),
+            s.sparkContext.defaultParallelism)
+          .select(col("p50").as("p50_exact"))
         val sketches = li.agg(
           approx_count_distinct(col("l_orderkey"), 0.01).as("est_n"),
           expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_est"))

@@ -28,8 +28,14 @@ so the ANN/index-maintenance family can rehearse at 10x too: per-label
 per-dimension Gaussians fitted from sf0.1 (mean/std over each of the 64
 dims within each of the 10 labels), labels resampled from the empirical
 marginal -- preserving the label-cluster structure the IVF/centroid
-queries exploit. The remaining tables are copied from sf0.1 unscaled
-(the rehearsal times documents- and embeddings-family queries only).
+queries exploit. A 10x lineitem (6M rows) is synthesized as 10
+orderkey-offset copies of sf0.1 — distinct orderkeys and rows scale
+10x, the per-suppkey group COUNT stays fixed while every group grows
+10x deep (the shape t163's grouped selection must absorb), and a
+per-copy cent-level price shift keeps distinct-value counts growing
+with the data (so t57's exact-median frequency pre-aggregation can't
+cheat by collapsing to the sf0.1 value universe). The remaining tables
+are copied from sf0.1 unscaled.
 
 Usage: gen_sf1.py [outDir]   (default /root/repo/testdata-sf1)
 """
@@ -105,8 +111,19 @@ def main():
     con.executemany("INSERT INTO e VALUES (?, ?, ?)", vecs)
     con.execute(f"COPY e TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
 
+    # 10x lineitem: orderkey-offset copies + cent-level price diversification
+    con.execute(
+        f"""COPY (
+              SELECT li.* REPLACE (
+                li.l_orderkey + c.i * (SELECT max(l_orderkey) + 1
+                                       FROM '{SRC}/lineitem.parquet') AS l_orderkey,
+                li.l_extendedprice + c.i * 0.01 AS l_extendedprice)
+              FROM '{SRC}/lineitem.parquet' li, range(10) c(i)
+            ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
+
     for f in os.listdir(SRC):
-        if f not in ("documents.parquet", "embeddings.parquet"):
+        if f not in ("documents.parquet", "embeddings.parquet",
+                     "lineitem.parquet"):
             shutil.copy(os.path.join(SRC, f), os.path.join(out, f))
     n, avg = con.execute(f"SELECT count(*), avg(length(text)) "
                          f"FROM '{out}/documents.parquet'").fetchone()
