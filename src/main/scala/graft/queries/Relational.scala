@@ -46,12 +46,18 @@ object Relational {
           .select(
             col("l_orderkey"), col("l_linenumber"),
             round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("net"))
-          .orderBy("l_orderkey", "l_linenumber"),
+          // net is in the ORDER BY because (l_orderkey, l_linenumber) is NOT
+          // unique in the shipped data (509 ambiguous tie groups survive the
+          // filter at sf0.01 alone) — without it the output order is an
+          // engine-internal accident and the row-by-row oracle compare only
+          // passes while both engines happen to break ties identically (the
+          // sf1 gate caught exactly that)
+          .orderBy("l_orderkey", "l_linenumber", "net"),
       Some("""SELECT l_orderkey, l_linenumber,
              |  ROUND(l_extendedprice * (1.0 - l_discount), 4) AS net
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_quantity < 10
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+             |ORDER BY l_orderkey, l_linenumber, net""".stripMargin),
     ),
 
     // ----- Q2: hash aggregation, TPC-H Q1 shape -----
