@@ -1560,5 +1560,43 @@ object Extended {
              |  ROUND(CAST(SUM(cl) AS DOUBLE) / 100.0, 4) AS sum_after
              |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin),
     ),
+
+    // ----- t167: XML sink→source round-trip (Spark 4 native XML source) -----
+    // The remaining ingest format a data-exchange pipeline meets (feeds,
+    // sitemaps, legacy enterprise dumps): write a nested projection with
+    // Spark 4's built-in XML source (struct → nested element, array →
+    // repeated rowTag children), read it back under an EXPLICIT schema —
+    // schema-on-read, never inference, same contract as t63/t64/t76 — and
+    // aggregate. The oracle recomputes from parquet, so element nesting,
+    // repeated-element arrays, and the double text round-trip (Java
+    // shortest-repr ↔ parse) must all survive serialization exactly.
+    // Scale: the XML reader splits by rowTag like any text source;
+    // the aggregate is one dim-sized hash agg.
+    Q(
+      "t167_xml_roundtrip",
+      (s, d) => {
+        val tmp = sinkDir("t167_xml", d)
+        Tables.supplier(s, d)
+          .select(
+            col("s_suppkey"),
+            struct(col("s_nationkey"), col("s_acctbal")).as("geo"),
+            split(col("s_name"), "#").as("name_words"))
+          .write.mode("overwrite").option("rowTag", "supplier").xml(tmp)
+        s.read
+          .schema("s_suppkey BIGINT, geo STRUCT<s_nationkey: BIGINT, s_acctbal: DOUBLE>, name_words ARRAY<STRING>")
+          .option("rowTag", "supplier")
+          .xml(tmp)
+          .groupBy(col("geo.s_nationkey").as("s_nationkey"))
+          .agg(
+            count(lit(1)).as("n_supp"),
+            sum(size(col("name_words")).cast("long")).as("total_words"),
+            money(sum(cents(col("geo.s_acctbal")))).as("total_bal"))
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT s_nationkey, COUNT(*) AS n_supp,
+             |  CAST(SUM(len(string_split(s_name, '#'))) AS BIGINT) AS total_words,
+             |  ROUND(CAST(SUM(CAST(ROUND(s_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0, 4) AS total_bal
+             |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin),
+    ),
   )
 }

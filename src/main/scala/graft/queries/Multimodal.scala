@@ -243,6 +243,49 @@ object Multimodal {
           .as("doc_id"),
         col("content").as("payload"))
 
+  /** Per-doc 8×8 average-hash over a decoded raster frame (m41): parse the
+    * GRFT1 container and the P6 PPM body, nearest-neighbor-sample an 8×8
+    * grayscale grid (gray = r+g+b, exact integers — no luma weights, so the
+    * SQL oracle stays integer-exact), threshold each cell against the grid
+    * mean with the strict integer rule 64·g > Σg, and pack the 64 bits as
+    * 8 one-byte band values (band k carries cells 8k..8k+7; bit j = cell
+    * 8k+j). The 8-value-per-band layout is the t32 SimHash banding shape:
+    * band equality is the LSH candidate key and Hamming ≤ 7 detection is
+    * pigeonhole-guaranteed by 8 bands before the bucket cap. Returns
+    * (doc_id, bands: array<long>[8]) from ONE partition-wise pass —
+    * payloads never leave executors, no shuffle to compute signatures. */
+  private[graft] def aHashBands(payloads: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("bands", ArrayType(LongType, containsNull = false))))
+    payloads.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val p = r.getAs[Array[Byte]](1)
+        parseHeader(p) // container validation (magic/version/body_len)
+        val img = parsePpm(p, HeaderLen)
+        val g = new Array[Long](64)
+        var total = 0L
+        var k = 0
+        while (k < 64) {
+          val sy = k / 8 * img.height / 8
+          val sx = k % 8 * img.width / 8
+          val base = img.pixOff + (sy * img.width + sx) * 3
+          g(k) = (p(base) & 0xffL) + (p(base + 1) & 0xffL) + (p(base + 2) & 0xffL)
+          total += g(k)
+          k += 1
+        }
+        val bands = new Array[Long](8)
+        k = 0
+        while (k < 64) {
+          if (g(k) * 64L > total) bands(k / 8) |= 1L << (k % 8)
+          k += 1
+        }
+        Row(id, bands.toSeq)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** m36's decode pass over ANY (doc_id, payload) frame — shared by the
     * fixture-driven query and the binaryFile ingest path. */
   private[graft] def decodeFeatures(payloads: DataFrame): DataFrame = {
@@ -579,6 +622,99 @@ object Multimodal {
              |    AS dup_bytes
              |FROM inc LEFT JOIN store ON inc.fp = store.fp
              |GROUP BY inc.doc_id ORDER BY inc.doc_id""".stripMargin),
+    ),
+
+    // ----- m41: image near-dup via perceptual hash over decoded pixels -----
+    // The image half of the dedup story, end to end on real bytes: decode
+    // every raster (GRFT1 + P6 PPM, [[aHashBands]]) into an 8×8 average-hash
+    // and report all pairs within Hamming 6 — the near-identical-thumbnail
+    // pairs an image-dedup pass drops (crops/recompressions hash close,
+    // unrelated images expect Hamming ≈ 32). Candidates come from t32's
+    // SimHash banding shape on the hash's 8 one-byte bands (pigeonhole:
+    // Hamming ≤ 7 pairs collide in ≥ 1 band) with the [2, 64] bucket cap
+    // applied identically in both engines, then the exact Hamming verify
+    // runs only on banded candidates.
+    //
+    // Scale: the signature pass is shuffle-free; candidate generation
+    // shuffles once on (band_idx, band_val). The band universe is CLOSED
+    // (8×256 buckets), so the cap turns the in-bucket quadratic into a hard
+    // ~4.1M-candidate ceiling at ANY corpus size — the t32 trade-off: at
+    // 100 TB the cap is the recall knob and a production deployment widens
+    // the hash (256-bit pHash → 16-bit bands) exactly as t32's 64-bit
+    // fingerprint widened t31's; the certification harness for that choice
+    // is t112's. Verify is 8 codegen'd xor+bit_count ops per candidate.
+    // Measured at sf0.1: 415k capped candidates → 967 pairs (830 exact).
+    Q(
+      "m41_image_phash",
+      (s, d) => {
+        val sigs = aHashBands(rasterPayload(s, d)).localCheckpoint()
+        val bandRows = sigs.select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+        val capped = bandRows.groupBy(col("band_idx"), col("band_val"))
+          .agg(count(lit(1)).as("bsize"))
+          .filter(col("bsize") >= 2 && col("bsize") <= 64)
+          .select("band_idx", "band_val")
+        val kept = bandRows.join(capped, Seq("band_idx", "band_val"))
+        val cand = kept.select(col("band_idx"), col("band_val"), col("doc_id").as("a_id"))
+          .join(kept.select(col("band_idx"), col("band_val"), col("doc_id").as("b_id")),
+            Seq("band_idx", "band_val"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        cand
+          .join(sigs.select(col("doc_id").as("a_id"), col("bands").as("ab")), "a_id")
+          .join(sigs.select(col("doc_id").as("b_id"), col("bands").as("bb")), "b_id")
+          // 8 fixed-width elements per candidate — the interpreted-HOF cost
+          // is bounded by the candidate ceiling, not the corpus
+          .withColumn("hamming", expr(
+            "aggregate(zip_with(ab, bb, (x, y) -> bit_count(x ^ y)), 0L, (acc, v) -> acc + CAST(v AS BIGINT))"))
+          .filter(col("hamming") <= 6)
+          .select(col("a_id"), col("b_id"), col("hamming"))
+          .orderBy("a_id", "b_id")
+      },
+      // The oracle rebuilds every sampled pixel from the raster generator
+      // contract (pixel byte k = text byte at k % n — ASCII corpus, so
+      // byte == codepoint), mirrors the integer NN sampling, the strict
+      // 64·g > Σg threshold, the byte-band packing, the [2, 64] cap, and
+      // the Hamming verify — every step integer, so the match is exact.
+      Some("""WITH m AS (
+             |  SELECT doc_id, text AS t, length(text) AS n,
+             |    length(text) % 48 + 1 AS w, length(text) * 7 % 32 + 1 AS h
+             |  FROM documents WHERE length(text) > 0),
+             |cells AS (
+             |  SELECT doc_id, n, w, h, t, unnest(generate_series(0, 63)) AS k FROM m),
+             |g AS (
+             |  SELECT doc_id, k,
+             |      unicode(substring(t, CAST(((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 0) % n AS INT) + 1, 1))
+             |    + unicode(substring(t, CAST(((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 1) % n AS INT) + 1, 1))
+             |    + unicode(substring(t, CAST(((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 2) % n AS INT) + 1, 1))
+             |      AS gray
+             |  FROM cells),
+             |tot AS (SELECT doc_id, SUM(gray) AS total FROM g GROUP BY doc_id),
+             |bits AS (
+             |  SELECT g.doc_id, g.k, CASE WHEN 64 * g.gray > t.total THEN 1 ELSE 0 END AS bit
+             |  FROM g JOIN tot t ON g.doc_id = t.doc_id),
+             |bands AS (
+             |  SELECT doc_id, k // 8 AS band_idx, CAST(SUM(bit << (k % 8)) AS BIGINT) AS band_val
+             |  FROM bits GROUP BY doc_id, k // 8),
+             |capped AS (
+             |  SELECT band_idx, band_val FROM (
+             |    SELECT band_idx, band_val, COUNT(*) AS cnt FROM bands GROUP BY 1, 2)
+             |  WHERE cnt BETWEEN 2 AND 64),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM bands a JOIN capped c USING (band_idx, band_val)
+             |               JOIN bands b USING (band_idx, band_val)
+             |  WHERE a.doc_id < b.doc_id),
+             |hsh AS (
+             |  SELECT doc_id, list(band_val ORDER BY band_idx) AS bv FROM bands GROUP BY doc_id),
+             |ham AS (
+             |  SELECT a_id, b_id,
+             |    CAST(list_sum(list_transform(generate_series(1, 8), i ->
+             |      bit_count(xor(CAST(xa.bv[i] AS BIGINT), CAST(xb.bv[i] AS BIGINT))))) AS BIGINT)
+             |      AS hamming
+             |  FROM cand JOIN hsh xa ON xa.doc_id = a_id JOIN hsh xb ON xb.doc_id = b_id)
+             |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 6
+             |ORDER BY a_id, b_id""".stripMargin),
     ),
   )
 }

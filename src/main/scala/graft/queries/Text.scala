@@ -2497,6 +2497,104 @@ object Text {
              |  CAST(SUM(CASE WHEN df_base = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
              |FROM m GROUP BY df ORDER BY df""".stripMargin),
     ),
+
+    // ----- t166: within-document repetition (the degenerate-text filter) -----
+    // The Gopher repetition rules nothing else in the registry covers: the
+    // CROSS-document family (t31/t110/t147) finds text shared between
+    // documents, while a looping generator or boilerplate-stuffed page
+    // repeats itself INSIDE one document. Per document and per n ∈ {2,3,4},
+    // the duplicate word-n-gram fraction in basis points —
+    // (occurrences beyond each gram's first) / total grams, which reduces to
+    // (total − distinct)/total, so the whole statistic is two counts — plus
+    // the Rae et al. 2021-style rule flags (dup2 ≤ 20%, dup3 ≤ 18%,
+    // dup4 ≤ 16%) and their conjunction. t50's type-token ratio is the
+    // 1-gram corner of this; t138's top_frac sees only the single hottest
+    // word — a doc alternating two phrases passes both and fails here.
+    //
+    // Gram keys are 8-byte xxhash64 fingerprints (t117's convention and
+    // collision argument — the fingerprint never reaches the output, the
+    // oracle counts the gram strings themselves). Shape: three codegen'd
+    // gram explodes unioned (one corpus pass each), ONE hash-agg keyed
+    // (doc_id, n) with an exact distinct (partial-agg'd on both levels),
+    // then a doc-cardinality pivot and left join back to the doc list so
+    // wordless documents report zeros instead of vanishing. No windows, no
+    // driver state; at 100 TB this is wordcount-shaped work ×3.
+    Q(
+      "t166_intra_repetition",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("w"))
+        val grams = Seq(2, 3, 4).map { n =>
+          docs.filter(size(col("w")) >= n)
+            .select(col("doc_id"), lit(n).as("n"),
+              explode(expr(s"transform(sequence(1, size(w) - ${n - 1}), " +
+                s"i -> xxhash64(concat_ws(' ', slice(w, i, $n))))")).as("h"))
+        }.reduce(_ union _)
+        val stats = grams.groupBy(col("doc_id"), col("n"))
+          .agg(count(lit(1)).as("total"), count_distinct(col("h")).as("dist"))
+          .withColumn("dup_bp", expr("(total - dist) * 10000 div total"))
+        val pick = (n: Int, c: String) => max(when(col("n") === n, col(c)))
+        val wide = stats.groupBy(col("doc_id"))
+          .agg(
+            pick(2, "total").as("g2"), pick(2, "dup_bp").as("d2"),
+            pick(3, "total").as("g3"), pick(3, "dup_bp").as("d3"),
+            pick(4, "total").as("g4"), pick(4, "dup_bp").as("d4"))
+        val flag = (c: Column) => when(c, lit(1)).otherwise(lit(0))
+        docs.select(col("doc_id"))
+          .join(wide, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("g2"), lit(0L)).as("n2_grams"),
+            coalesce(col("d2"), lit(0L)).as("dup2_bp"),
+            coalesce(col("g3"), lit(0L)).as("n3_grams"),
+            coalesce(col("d3"), lit(0L)).as("dup3_bp"),
+            coalesce(col("g4"), lit(0L)).as("n4_grams"),
+            coalesce(col("d4"), lit(0L)).as("dup4_bp"))
+          .select(col("*"),
+            flag(col("dup2_bp") <= 2000L).as("r_dup2"),
+            flag(col("dup3_bp") <= 1800L).as("r_dup3"),
+            flag(col("dup4_bp") <= 1600L).as("r_dup4"))
+          .withColumn("pass",
+            flag(col("r_dup2") + col("r_dup3") + col("r_dup4") === 3))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+             |pos AS (
+             |  SELECT doc_id, nn.n AS n, t,
+             |         unnest(generate_series(1, len(t) - nn.n + 1)) AS i
+             |  FROM toks CROSS JOIN (SELECT unnest([2, 3, 4]) AS n) nn
+             |  WHERE len(t) >= nn.n),
+             |g AS (SELECT doc_id, n, array_to_string(t[i:i+n-1], ' ') AS gram FROM pos),
+             |st AS (
+             |  SELECT doc_id, n, COUNT(*) AS total, COUNT(DISTINCT gram) AS dist
+             |  FROM g GROUP BY doc_id, n),
+             |st2 AS (SELECT *, (total - dist) * 10000 // total AS dup_bp FROM st),
+             |wide AS (
+             |  SELECT doc_id,
+             |    MAX(CASE WHEN n = 2 THEN total END) AS g2,
+             |    MAX(CASE WHEN n = 2 THEN dup_bp END) AS d2,
+             |    MAX(CASE WHEN n = 3 THEN total END) AS g3,
+             |    MAX(CASE WHEN n = 3 THEN dup_bp END) AS d3,
+             |    MAX(CASE WHEN n = 4 THEN total END) AS g4,
+             |    MAX(CASE WHEN n = 4 THEN dup_bp END) AS d4
+             |  FROM st2 GROUP BY doc_id),
+             |r AS (
+             |  SELECT d.doc_id,
+             |    COALESCE(g2, 0) AS n2_grams, COALESCE(d2, 0) AS dup2_bp,
+             |    COALESCE(g3, 0) AS n3_grams, COALESCE(d3, 0) AS dup3_bp,
+             |    COALESCE(g4, 0) AS n4_grams, COALESCE(d4, 0) AS dup4_bp
+             |  FROM documents d LEFT JOIN wide ON d.doc_id = wide.doc_id),
+             |f AS (
+             |  SELECT *,
+             |    CASE WHEN dup2_bp <= 2000 THEN 1 ELSE 0 END AS r_dup2,
+             |    CASE WHEN dup3_bp <= 1800 THEN 1 ELSE 0 END AS r_dup3,
+             |    CASE WHEN dup4_bp <= 1600 THEN 1 ELSE 0 END AS r_dup4
+             |  FROM r)
+             |SELECT *,
+             |  CASE WHEN r_dup2 + r_dup3 + r_dup4 = 3 THEN 1 ELSE 0 END AS pass
+             |FROM f ORDER BY doc_id""".stripMargin),
+    ),
   )
 
 }

@@ -82,4 +82,50 @@ class CurationQueriesSpec extends SparkTestBase {
         "csim must be non-increasing along pos")
     }
   }
+
+  test("t166: planted repetition scores exactly, edge docs report zeros") {
+    import spark.implicits._
+    // doc 1 alternates two words: 2-grams 5 total/2 distinct → 6000 bp,
+    // 3-grams 4/2 → 5000 bp, 4-grams 3/2 → 3333 bp — fails every rule.
+    // doc 2 is all-distinct; doc 3 has one word (no grams at any n);
+    // doc 4 has no [a-z] words at all and must still report a zero row.
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "one two three four five"),
+      (3L, "word"),
+      (4L, "1234 !!! 99")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("planted"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val base = java.nio.file.Files.createTempDirectory("graft_t166").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val out = SparkEntry.queries("t166_intra_repetition")(spark, base)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (2 to 10).map(i => r.get(i).toString.toLong))
+      .toMap
+    //                 n2 d2bp  n3 d3bp  n4 d4bp  r2 r3 r4 pass (n2 at idx 1)
+    assert(out(1L) == Seq(6000L, 4L, 5000L, 3L, 3333L, 0L, 0L, 0L, 0L),
+      s"planted repeater: ${out(1L)}")
+    assert(out(2L) == Seq(0L, 3L, 0L, 2L, 0L, 1L, 1L, 1L, 1L))
+    assert(out(3L) == Seq(0L, 0L, 0L, 0L, 0L, 1L, 1L, 1L, 1L))
+    assert(out(4L) == Seq(0L, 0L, 0L, 0L, 0L, 1L, 1L, 1L, 1L))
+  }
+
+  test("t166: one row per document, gram totals match the token counts") {
+    val n = Tables.documents(spark, dir).count()
+    val out = run("t166_intra_repetition")
+    assert(out.count() == n)
+    // n-gram totals are determined by the word count alone:
+    // total_n = max(words - n + 1, 0) — pins the explode plumbing
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).cast("long").as("nw"))
+    val bad = out.join(words, "doc_id")
+      .filter(col("n2_grams") =!= greatest(col("nw") - 1, lit(0L)) ||
+        col("n3_grams") =!= greatest(col("nw") - 2, lit(0L)) ||
+        col("n4_grams") =!= greatest(col("nw") - 3, lit(0L)))
+      .count()
+    assert(bad == 0L, "gram totals must equal max(words - n + 1, 0)")
+  }
 }

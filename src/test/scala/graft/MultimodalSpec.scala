@@ -153,6 +153,60 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.parsePpm("P6\n1 1\n255".getBytes(StandardCharsets.UTF_8), 0))
   }
 
+  // ---- m41: 8×8 average-hash over decoded pixels ----
+
+  /** A GRFT1 container holding a P6 raster with pixel (x,y) = px(x,y) on
+    * all three channels. */
+  private def raster(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+    val hdr = s"P6\n$w $h\n255\n".getBytes(StandardCharsets.UTF_8)
+    val p = new Array[Byte](hdr.length + w * h * 3)
+    System.arraycopy(hdr, 0, p, 0, hdr.length)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      p(hdr.length + (y * w + x) * 3 + c) = px(x, y).toByte
+    Multimodal.packPayload(p)
+  }
+
+  private def bandsOf(payloads: (Long, Array[Byte])*): Map[Long, Seq[Long]] = {
+    import spark.implicits._
+    Multimodal.aHashBands(payloads.toSeq.toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+  }
+
+  test("aHash matches a hand-computed reference and is stable under upscale") {
+    // left half black, right half white: grid mean sits exactly between,
+    // so the strict 64·g > Σg rule sets precisely the right-half cells —
+    // every band (one per grid row) is 0b11110000 = 240
+    val half8 = raster(8, 8)((x, _) => if (x < 4) 0 else 255)
+    // the same image at 2×: NN sampling (sx = ⌊tx·w/8⌋) must land on the
+    // same half split, so the hash is scale-invariant by construction
+    val half16 = raster(16, 16)((x, _) => if (x < 8) 0 else 255)
+    // a constant image has g == mean everywhere; strict > ⇒ all bits clear
+    val flat = raster(5, 3)((_, _) => 77)
+    val b = bandsOf(1L -> half8, 2L -> half16, 3L -> flat, 4L -> half8)
+    assert(b(1L) == Seq.fill(8)(240L), s"reference hash: ${b(1L)}")
+    assert(b(2L) == b(1L), "2x upscale must hash identically (NN sampling)")
+    assert(b(3L) == Seq.fill(8)(0L), "constant raster must hash to zero")
+    assert(b(4L) == b(1L), "identical payloads must hash identically")
+  }
+
+  test("aHash quarantines non-raster payloads loudly") {
+    val bad = Multimodal.packPayload("not a P6 raster body".getBytes(StandardCharsets.UTF_8))
+    val ex = intercept[Exception] { bandsOf(9L -> bad) }
+    assert(ex.getMessage != null)
+  }
+
+  test("m41: pairs are canonical, verified, and duplicate-free") {
+    val rows = SparkEntry.queries("m41_image_phash")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "sf0.001 plants exact dups; the pair set must not be empty")
+    rows.foreach { case (a, bId, ham) =>
+      assert(a < bId, s"pair ($a,$bId) must be canonical a < b")
+      assert(ham >= 0L && ham <= 6L, s"hamming $ham outside the verify bound")
+    }
+    assert(rows.map(p => (p._1, p._2)).distinct.length == rows.length,
+      "banding across 8 bands must not emit a pair twice")
+  }
+
   test("raster fixture packs genuine P6 bodies the resample contract predicts") {
     val rows = graft.queries.Multimodal
       .rasterPayload(spark, "/root/testdata/sf0.001")
