@@ -88,6 +88,7 @@ object GraftExtensions {
     fixed("graft_token_hashes64", 1)(a => TokenHashes64(a.head)),
     fixed("graft_word_ngram_hashes", 2)(a =>
       WordNgramHashes(a.head, intLit(a(1), "graft_word_ngram_hashes"))),
+    fixed("graft_intra_dup_counts", 1)(a => IntraDupCounts(a.head)),
     fixed("graft_minhash_sig", 1)(a => MinHashSig(a.head)),
     fixed("graft_simhash64", 1)(a => SimHash64(a.head)),
     fixed("graft_cosine_sim", 2)(a => CosineSim(a.head, a(1))),

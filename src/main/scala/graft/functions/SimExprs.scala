@@ -98,6 +98,23 @@ case class WordNgramHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Per-document intra-repetition counts [t2,s2,t3,s3,t4,s4] of a
+  * (lowercased) string — word-n-gram totals and distincts for
+  * n ∈ {2,3,4} in ONE tokenization pass (t166's kernel). */
+case class IntraDupCounts(child: Expression)
+    extends UnaryExpression with SimKitCall {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    requireType(child, _ == StringType, "string")
+  override def nullSafeEval(s: Any): Any =
+    SimKit.intraDupCounts(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kit.intraDupCounts($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** K=32 minhash signature over a shingle-hash array. */
 case class MinHashSig(child: Expression)
     extends UnaryExpression with SimKitCall {

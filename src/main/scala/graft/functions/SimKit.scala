@@ -78,6 +78,63 @@ object SimKit {
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
 
+  /** Per-document intra-repetition counts (t166): tokenize the (already
+    * lowercased) string as maximal `[a-z]+` runs — a byte scan, equivalent
+    * to `regexp_extract_all(lower(text), '[a-z]+')` because multi-byte
+    * UTF-8 units are ≥ 0x80 and never match — then for each n ∈ {2, 3, 4}
+    * count word-n-grams and DISTINCT word-n-grams. Returns
+    * [t2, s2, t3, s3, t4, s4]. Only within-document hash EQUALITY matters
+    * (the counts are what surfaces), so grams are keyed by an FNV-1a token
+    * hash folded across the window — equal token sequences always collide,
+    * different ones with P ≈ m²/2⁶⁵ per doc (t117's collision argument; a
+    * hit would be a deterministic, visible gate failure, not a flake). */
+  def intraDupCounts(text: UTF8String): ArrayData = {
+    val b = text.getBytes
+    // token hashes: FNV-1a over each [a-z]+ run
+    var toks = new Array[Long](16)
+    var nTok = 0
+    var i = 0
+    while (i < b.length) {
+      if (b(i) >= 'a' && b(i) <= 'z') {
+        var h = -3750763034362895579L // FNV-1a offset basis
+        while (i < b.length && b(i) >= 'a' && b(i) <= 'z') {
+          h = (h ^ (b(i) & 0xffL)) * 1099511628211L
+          i += 1
+        }
+        if (nTok == toks.length) toks = java.util.Arrays.copyOf(toks, nTok * 2)
+        toks(nTok) = h
+        nTok += 1
+      } else i += 1
+    }
+    val out = new Array[Long](6)
+    var n = 2
+    while (n <= 4) {
+      val count = nTok - n + 1
+      if (count > 0) {
+        val g = new Array[Long](count)
+        var j = 0
+        while (j < count) {
+          var h = -7046029254386353131L
+          var k = 0
+          while (k < n) { h = (h ^ toks(j + k)) * -7070675565921424023L; k += 1 }
+          g(j) = h
+          j += 1
+        }
+        java.util.Arrays.sort(g)
+        var distinct = 0
+        j = 0
+        while (j < count) {
+          if (j == 0 || g(j - 1) != g(j)) distinct += 1
+          j += 1
+        }
+        out((n - 2) * 2) = count.toLong
+        out((n - 2) * 2 + 1) = distinct.toLong
+      }
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** First 8 md5 bytes as a big-endian 64-bit value (the signed Long carries
     * the same bit pattern the oracle reads as
     * `CAST('0x' || substring(md5(s), 1, 16) AS UBIGINT)`). */

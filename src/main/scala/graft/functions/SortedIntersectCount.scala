@@ -86,6 +86,8 @@ object ArrayFns {
     GraftColumnBridge.column(TokenHashes64(GraftColumnBridge.expression(text)))
   def wordNgramHashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(WordNgramHashes(GraftColumnBridge.expression(text), n))
+  def intraDupCounts(text: Column): Column =
+    GraftColumnBridge.column(IntraDupCounts(GraftColumnBridge.expression(text)))
   def minhashSig(shingles: Column): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(shingles)))
   def simhash64(hashes: Column): Column =

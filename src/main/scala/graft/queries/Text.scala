@@ -2511,45 +2511,38 @@ object Text {
     // 1-gram corner of this; t138's top_frac sees only the single hottest
     // word — a doc alternating two phrases passes both and fails here.
     //
-    // Gram keys are 8-byte xxhash64 fingerprints (t117's convention and
-    // collision argument — the fingerprint never reaches the output, the
-    // oracle counts the gram strings themselves). Shape: three codegen'd
-    // gram explodes unioned (one corpus pass each), ONE hash-agg keyed
-    // (doc_id, n) with an exact distinct (partial-agg'd on both levels),
-    // then a doc-cardinality pivot and left join back to the doc list so
-    // wordless documents report zeros instead of vanishing. No windows, no
-    // driver state; at 100 TB this is wordcount-shaped work ×3.
+    // The statistic is a PURE per-document function, so it never leaves
+    // the row: ONE codegen'd kernel call per document
+    // (functions.SimKit.intraDupCounts — a single [a-z]+ tokenization
+    // pass computing all six counts natively; the gram keys are 64-bit
+    // FNV folds with t117's collision argument, and only the counts
+    // surface, so the oracle counts the gram strings themselves). ZERO
+    // corpus shuffle anywhere. The sf10 rehearsal priced the rejected
+    // shapes: explode into a corpus-wide (doc_id, n)-keyed distinct agg =
+    // 1.6 GB shuffle + 10 GB hash-table spill (34 s); interpreted
+    // transform/array_distinct HOFs = 31 s of lambda overhead; the native
+    // kernel does the same work inside whole-stage codegen. At 100 TB
+    // this is one embarrassingly parallel scan.
     Q(
       "t166_intra_repetition",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("w"))
-        val grams = Seq(2, 3, 4).map { n =>
-          docs.filter(size(col("w")) >= n)
-            .select(col("doc_id"), lit(n).as("n"),
-              explode(expr(s"transform(sequence(1, size(w) - ${n - 1}), " +
-                s"i -> xxhash64(concat_ws(' ', slice(w, i, $n))))")).as("h"))
-        }.reduce(_ union _)
-        val stats = grams.groupBy(col("doc_id"), col("n"))
-          .agg(count(lit(1)).as("total"), count_distinct(col("h")).as("dist"))
-          .withColumn("dup_bp", expr("(total - dist) * 10000 div total"))
-        val pick = (n: Int, c: String) => max(when(col("n") === n, col(c)))
-        val wide = stats.groupBy(col("doc_id"))
-          .agg(
-            pick(2, "total").as("g2"), pick(2, "dup_bp").as("d2"),
-            pick(3, "total").as("g3"), pick(3, "dup_bp").as("d3"),
-            pick(4, "total").as("g4"), pick(4, "dup_bp").as("d4"))
+        // `div`, not `/`: Column./ on longs is DOUBLE division; both
+        // engines must floor in exact integer arithmetic
+        def dupBp(n: Int): Column =
+          expr(s"CASE WHEN t$n > 0 THEN (t$n - s$n) * 10000 div t$n ELSE 0L END")
         val flag = (c: Column) => when(c, lit(1)).otherwise(lit(0))
-        docs.select(col("doc_id"))
-          .join(wide, Seq("doc_id"), "left")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.functions.ArrayFns.intraDupCounts(lower(col("text"))).as("c"))
+          .select(col("doc_id"),
+            col("c")(0).as("t2"), col("c")(1).as("s2"),
+            col("c")(2).as("t3"), col("c")(3).as("s3"),
+            col("c")(4).as("t4"), col("c")(5).as("s4"))
           .select(
             col("doc_id"),
-            coalesce(col("g2"), lit(0L)).as("n2_grams"),
-            coalesce(col("d2"), lit(0L)).as("dup2_bp"),
-            coalesce(col("g3"), lit(0L)).as("n3_grams"),
-            coalesce(col("d3"), lit(0L)).as("dup3_bp"),
-            coalesce(col("g4"), lit(0L)).as("n4_grams"),
-            coalesce(col("d4"), lit(0L)).as("dup4_bp"))
+            col("t2").as("n2_grams"), dupBp(2).as("dup2_bp"),
+            col("t3").as("n3_grams"), dupBp(3).as("dup3_bp"),
+            col("t4").as("n4_grams"), dupBp(4).as("dup4_bp"))
           .select(col("*"),
             flag(col("dup2_bp") <= 2000L).as("r_dup2"),
             flag(col("dup3_bp") <= 1800L).as("r_dup3"),

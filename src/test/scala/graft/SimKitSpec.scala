@@ -119,4 +119,27 @@ class SimKitSpec extends SparkTestBase {
     // whitespace runs and leading/trailing space don't change tokenization
     assert(grams("  a   b  c ", 3) == grams("a b c", 3))
   }
+
+  test("intraDupCounts matches a string-gram reference on random corpora") {
+    import spark.implicits._
+    // reference: regex tokenization + literal gram-string distinct counts
+    def ref(s: String): Seq[Long] = {
+      val toks = "[a-z]+".r.findAllIn(s.toLowerCase).toSeq
+      (2 to 4).flatMap { n =>
+        val g = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        Seq(g.length.toLong, g.distinct.length.toLong)
+      }
+    }
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "word", "xyz")
+    val cases = Seq("", "word", "1234 !!!", "a b a b a b",
+      "héllo wörld mixed CASE tokens") ++
+      (1 to 60).map(_ => (1 to rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    val got = cases.toDF("t")
+      .select(ArrayFns.intraDupCounts(lower(col("t"))).as("c"))
+      .collect().map(_.getSeq[Long](0))
+    cases.zip(got).foreach { case (s, c) =>
+      assert(c == ref(s), s"intraDupCounts drift on '$s': got $c want ${ref(s)}")
+    }
+  }
 }

@@ -37,7 +37,16 @@ with the data (so t57's exact-median frequency pre-aggregation can't
 cheat by collapsing to the sf0.1 value universe). The remaining tables
 are copied from sf0.1 unscaled.
 
-Usage: gen_sf1.py [outDir]   (default /root/repo/testdata-sf1)
+The round-11 continuation adds a scale multiplier so the SAME generator
+contract produces the sf10 corpus (100x sf0.1) for the second decade of
+the rehearsal: mult=10 gives 500k docs, 200k vectors, and a 5000-word
+vocabulary (the open-vocabulary rule again — Heaps-law-style ~10x type
+growth per 10x corpus, for the same degenerate-Jaccard reason as sf1).
+The scaled lineitem stays at 10 copies for any mult (the relational
+rehearsal is a separate axis; scaling it 100x would just slow the
+documents-family runs this corpus exists for).
+
+Usage: gen_sf1.py [outDir] [mult]   (default /root/repo/testdata-sf1 1)
 """
 import os
 import random
@@ -56,6 +65,8 @@ SEED = 20260814
 
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata-sf1"
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    n_docs, n_vecs, n_vocab = N_DOCS * mult, N_VECS * mult, 500 * mult
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     wordcounts = [r[0] for r in con.execute(
@@ -67,9 +78,9 @@ def main():
     rnd = random.Random(SEED)
     vocab = sorted({"".join(rnd.choice("abcdefghijklmnopqrstuvwxyz")
                             for _ in range(rnd.randint(3, 8)))
-                    for _ in range(520)})[:500]
+                    for _ in range(n_vocab + 20 * mult)})[:n_vocab]
     docs = []
-    for i in range(N_DOCS):
+    for i in range(n_docs):
         u = rnd.random()
         if docs and u < P_EXACT:
             text = docs[rnd.randrange(len(docs))][1]
@@ -84,9 +95,13 @@ def main():
         source, lang = srclang[rnd.randrange(len(srclang))]
         docs.append((i, text, lang, source, len(text)))
 
-    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
-                "source VARCHAR, n_chars BIGINT)")
-    con.executemany("INSERT INTO d VALUES (?, ?, ?, ?, ?)", docs)
+    # arrow-backed bulk load: executemany is row-at-a-time and crawls at
+    # the 500k-doc scale
+    import pandas as pd
+    ddf = pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    con.register("ddf", ddf)
+    con.execute("CREATE TABLE d AS SELECT CAST(doc_id AS BIGINT) AS doc_id, text, "
+                "lang, source, CAST(n_chars AS BIGINT) AS n_chars FROM ddf")
     con.execute(f"COPY d TO '{out}/documents.parquet' (FORMAT PARQUET)")
 
     # 10x embeddings: per-(label, dim) Gaussian fit from sf0.1, labels
@@ -103,12 +118,15 @@ def main():
     dims = 1 + max(p for _, p in mu.keys())
     vrnd = random.Random(SEED + 1)
     vecs = []
-    for vid in range(N_VECS):
+    for vid in range(n_vecs):
         lab = label_marginal[vrnd.randrange(len(label_marginal))]
         emb = [vrnd.gauss(*mu[(lab, p)]) for p in range(dims)]
         vecs.append((vid, emb, lab))
-    con.execute("CREATE TABLE e (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
-    con.executemany("INSERT INTO e VALUES (?, ?, ?)", vecs)
+    edf = pd.DataFrame(vecs, columns=["vec_id", "embedding", "label"])
+    con.register("edf", edf)
+    con.execute("CREATE TABLE e AS SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+                "CAST(embedding AS FLOAT[]) AS embedding, "
+                "CAST(label AS INTEGER) AS label FROM edf")
     con.execute(f"COPY e TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
 
     # 10x lineitem: orderkey-offset copies + cent-level price diversification
