@@ -286,6 +286,50 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /** Image near-dup ADMISSION of a batch of aHash signatures against a
+    * STATIC signature store — the asymmetric (batch ⋈ store) form of m41's
+    * pair report, shared by the batch query's machinery and the streaming
+    * ingest twin ([[graft.streaming.DocStreams.imagePhashStream]]).
+    * Returns one row per batch doc: (doc_id, n_dups, admitted) where
+    * n_dups counts store images within Hamming 6 and admitted = no match.
+    *
+    * Contracts the streaming loop relies on:
+    *  - per-document purity: each verdict is a function of (batch doc,
+    *    store) only — batch docs are NOT compared to each other (t96's
+    *    intra-batch contract), so per-micro-batch outputs equal the batch
+    *    computation at the same boundaries;
+    *  - replay robustness: the store is deduped by doc_id up front, so
+    *    literal duplicate rows from a crashed-and-replayed append cannot
+    *    flip a verdict or inflate the bucket cap;
+    *  - the mega-bucket guard (store buckets > 64 skipped) is counted at
+    *    probe time over the DEDUPED store, so it stays correct as the
+    *    store grows — same probe-time rule as t96's band index. */
+  def phashAdmission(batchSigs: DataFrame, storeSigs: DataFrame): DataFrame = {
+    val store = storeSigs.dropDuplicates("doc_id")
+    val sb = store.select(col("doc_id").as("s_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val caps = sb.groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") <= 64)
+      .select("band_idx", "band_val")
+    val bb = batchSigs.select(col("doc_id").as("b_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val cand = bb
+      .join(sb.join(caps, Seq("band_idx", "band_val")), Seq("band_idx", "band_val"))
+      .select("b_id", "s_id").distinct()
+    val dups = cand
+      .join(batchSigs.select(col("doc_id").as("b_id"), col("bands").as("ab")), "b_id")
+      .join(store.select(col("doc_id").as("s_id"), col("bands").as("sb2")), "s_id")
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(ab, sb2, (x, y) -> bit_count(x ^ y)), 0L, (acc, v) -> acc + CAST(v AS BIGINT))"))
+      .filter(col("hamming") <= 6)
+      .groupBy(col("b_id")).agg(count(lit(1)).as("nd"))
+    batchSigs.select(col("doc_id"))
+      .join(dups.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("nd"), lit(0L)).as("n_dups"))
+      .withColumn("admitted", col("n_dups") === 0L)
+  }
+
   /** m36's decode pass over ANY (doc_id, payload) frame — shared by the
     * fixture-driven query and the binaryFile ingest path. */
   private[graft] def decodeFeatures(payloads: DataFrame): DataFrame = {

@@ -282,6 +282,81 @@ object DocStreams {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Streaming image near-dup admission — the live twin of batch m41 and
+    * the image-modality sibling of [[selfMaintainingAdmissionStream]].
+    * Each micro-batch of (doc_id, payload) GRFT1 rasters is hashed
+    * partition-wise ([[graft.queries.Multimodal.aHashBands]] — decode +
+    * 8×8 average-hash, payloads never leave executors), probed against
+    * the persisted signature store
+    * ([[graft.queries.Multimodal.phashAdmission]] — banded candidates,
+    * probe-time bucket cap, exact Hamming ≤ 6 verify), and the per-doc
+    * verdicts land in a batch-id-keyed sink. ADMITTED images append their
+    * signatures to the store, so later micro-batches dedup against
+    * everything admitted before them — near-identical thumbnails are
+    * rejected at ingest instead of at the next full m41 sweep.
+    *
+    * Crash/replay contract (the chunk-store rules): verdicts are pinned
+    * (localCheckpoint + per-batch-id overwrite) BEFORE the append; the
+    * store probe excludes rows with THIS (batch_id, doc_id) — the
+    * append-then-crash window — and phashAdmission dedups store rows by
+    * doc_id, so a replayed batch recomputes identical verdicts and its
+    * re-append leaves only probe-invisible duplicates. batch_id is
+    * meaningful within one checkpoint lineage; [[rebasePhashStore]]
+    * re-stamps (and compacts) before a fresh stream attaches. Signatures
+    * are 8 longs per image — the store is metadata-scale next to the
+    * payload bytes, and the append is one bucketed write per batch. */
+  def imagePhashStream(
+      payloads: DataFrame,
+      storeTable: String,
+      storePath: String,
+      path: String,
+      ckpt: String): StreamingQuery =
+    payloads.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val sigs = graft.queries.Multimodal.aHashBands(batch).localCheckpoint()
+        val store =
+          if (spark.catalog.tableExists(storeTable))
+            spark.table(storeTable).join(
+              org.apache.spark.sql.functions.broadcast(
+                batch.select(col("doc_id"))
+                  .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))),
+              Seq("doc_id", "batch_id"), "left_anti")
+              .select(col("doc_id"), col("bands"))
+          else sigs.limit(0)
+        val verdicts = graft.queries.Multimodal.phashAdmission(sigs, store)
+          .localCheckpoint() // pin verdicts before the store grows
+        verdicts.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+        sigs.join(verdicts.filter(col("admitted")).select("doc_id"), Seq("doc_id"))
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+          .write.mode("append")
+          .option("path", storePath)
+          .bucketBy(8, "doc_id")
+          .saveAsTable(storeTable)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
+
+  /** Rebase an image-signature store onto a new checkpoint lineage:
+    * rewrite the per-doc-distinct committed (doc_id, bands) rows with
+    * batch_id = −1 into a NEW table+path — the [[rebaseChunkStore]]
+    * pattern (−1 collides with no live id, the distinct rewrite doubles
+    * as compaction, and the live store stays readable until the caller
+    * flips names). */
+  def rebasePhashStore(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      newTable: String,
+      newPath: String): Unit =
+    spark.table(table)
+      .select(col("doc_id"), col("bands")).dropDuplicates("doc_id")
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(-1L))
+      .write.mode("overwrite")
+      .option("path", newPath)
+      .bucketBy(8, "doc_id")
+      .saveAsTable(newTable)
+
   /** Rebase a chunk store onto a new checkpoint lineage: rewrite the
     * distinct committed (doc_id, fp) rows with batch_id = −1 into a NEW
     * table+path (the [[graft.queries.Similarity.compactBandIndex]]

@@ -756,6 +756,70 @@ class StreamingSpec extends SparkTestBase {
       "replayed batch must exclude its own previously-appended chunks")
   }
 
+  test("image phash stream: admitted signatures gate later batches, replays idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.Multimodal
+    import graft.streaming.DocStreams
+    import org.apache.spark.sql.DataFrame
+
+    spark.sql("DROP TABLE IF EXISTS phash_store")
+    val payloads = Multimodal.rasterPayload(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val (b1, rest) = payloads.splitAt(payloads.length / 3)
+    val (b2, b3tail) = rest.splitAt(rest.length / 2)
+    // plant a guaranteed cross-batch near-dup: a byte-identical copy of a
+    // batch-1 raster under a fresh id — batch 1 probes an empty store so
+    // its original is ALWAYS admitted, making the copy's rejection
+    // deterministic rather than fixture luck
+    val b3 = b3tail :+ ((900001L, b1.head._2))
+    val base = java.nio.file.Files.createTempDirectory("graft_phash").toString
+    val out = s"$base/out"
+    def drive(ckpt: String)(bs: Seq[(Long, Array[Byte])]*): Unit = {
+      val input = MemoryStream[(Long, Array[Byte])]
+      val q = DocStreams.imagePhashStream(
+        input.toDS().toDF("doc_id", "payload"),
+        "phash_store", s"$base/store", out, ckpt)
+      try bs.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    drive(s"$base/ckpt")(b1.toSeq, b2.toSeq, b3.toSeq)
+    def batchRows(i: Int) =
+      spark.read.parquet(s"$out/batch=$i").select("doc_id", "n_dups", "admitted")
+    def keys(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+    // each batch's verdicts must equal phashAdmission against the admitted
+    // signatures of strictly earlier batches (per-doc purity + the
+    // self-maintenance loop)
+    var store: DataFrame = null
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      val sigs = Multimodal.aHashBands(b.toSeq.toDF("doc_id", "payload")).localCheckpoint()
+      val st = if (store == null) sigs.limit(0) else store
+      val want = Multimodal.phashAdmission(sigs, st).localCheckpoint()
+      assert(keys(batchRows(i)) == keys(want.select("doc_id", "n_dups", "admitted")),
+        s"batch $i diverged from the sequential reference fold")
+      val adm = sigs.join(want.filter(col("admitted")).select("doc_id"), Seq("doc_id"))
+      store = if (store == null) adm.localCheckpoint() else store.union(adm).localCheckpoint()
+    }
+    assert(!batchRows(2).filter(col("doc_id") === 900001L).head().getBoolean(2),
+      "the planted byte-identical copy must be rejected against the store")
+    assert(batchRows(0).filter(!col("admitted")).count() == 0,
+      "batch 1 probes an empty store: everything admits")
+
+    // replay: fresh checkpoint re-delivers b1 as batch 0. The store holds
+    // b1's OWN batch-0 signatures (the append-then-crash window) — the
+    // (doc_id, batch_id) exclusion must hide exactly those, so verdicts
+    // equal admission against the OTHER batches' admitted signatures
+    val sigs1 = Multimodal.aHashBands(b1.toSeq.toDF("doc_id", "payload")).localCheckpoint()
+    val others = store.join(sigs1.select("doc_id"), Seq("doc_id"), "left_anti")
+    val wantReplay = keys(Multimodal.phashAdmission(sigs1, others)
+      .select("doc_id", "n_dups", "admitted"))
+    drive(s"$base/ckpt2")(b1.toSeq)
+    assert(keys(batchRows(0)) == wantReplay,
+      "replayed batch must exclude its own previously-appended signatures")
+  }
+
   test("IVF ingest stream: probes equal the rebuild after every batch; replay duplicates are probe-invisible") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
