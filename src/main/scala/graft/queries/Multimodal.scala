@@ -330,6 +330,81 @@ object Multimodal {
       .withColumn("admitted", col("n_dups") === 0L)
   }
 
+  /** m41's pair machinery over a corpus dir: decode + aHash signatures
+    * ([[aHashBands]]), t32-shaped banded candidates with the [2, 64]
+    * bucket cap, exact Hamming ≤ 6 verify — (a_id, b_id, hamming) with
+    * a_id < b_id. Shared by the pair report (m41) and the cluster/keep-one
+    * arm (m43). */
+  private[graft] def phashPairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = aHashBands(rasterPayload(s, d)).localCheckpoint()
+    val bandRows = sigs.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val capped = bandRows.groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") >= 2 && col("bsize") <= 64)
+      .select("band_idx", "band_val")
+    val kept = bandRows.join(capped, Seq("band_idx", "band_val"))
+    val cand = kept.select(col("band_idx"), col("band_val"), col("doc_id").as("a_id"))
+      .join(kept.select(col("band_idx"), col("band_val"), col("doc_id").as("b_id")),
+        Seq("band_idx", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("a_id"), col("bands").as("ab")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("bands").as("bb")), "b_id")
+      // 8 fixed-width elements per candidate — the interpreted-HOF cost
+      // is bounded by the candidate ceiling, not the corpus
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(ab, bb, (x, y) -> bit_count(x ^ y)), 0L, (acc, v) -> acc + CAST(v AS BIGINT))"))
+      .filter(col("hamming") <= 6)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** The m41 oracle's shared CTE chain (through `ham`): every sampled
+    * pixel rebuilt from the raster generator contract, integer NN
+    * sampling, strict 64·g > Σg threshold, byte-band packing, [2, 64]
+    * cap, Hamming verify. Interpolated by both the m41 and m43 oracles so
+    * the pair arithmetic cannot drift between them (the
+    * minhashPairsSqlCtes pattern). */
+  private val phashPairsSqlCtes: String =
+    """m AS (
+      |  SELECT doc_id, text AS t, length(text) AS n,
+      |    length(text) % 48 + 1 AS w, length(text) * 7 % 32 + 1 AS h
+      |  FROM documents WHERE length(text) > 0),
+      |cells AS (
+      |  SELECT doc_id, n, w, h, t, unnest(generate_series(0, 63)) AS k FROM m),
+      |g AS (
+      |  SELECT doc_id, k,
+      |      unicode(substring(t, CAST(((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 0) % n AS INT) + 1, 1))
+      |    + unicode(substring(t, CAST(((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 1) % n AS INT) + 1, 1))
+      |    + unicode(substring(t, CAST(((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 2) % n AS INT) + 1, 1))
+      |      AS gray
+      |  FROM cells),
+      |tot AS (SELECT doc_id, SUM(gray) AS total FROM g GROUP BY doc_id),
+      |bits AS (
+      |  SELECT g.doc_id, g.k, CASE WHEN 64 * g.gray > t.total THEN 1 ELSE 0 END AS bit
+      |  FROM g JOIN tot t ON g.doc_id = t.doc_id),
+      |bands AS (
+      |  SELECT doc_id, k // 8 AS band_idx, CAST(SUM(bit << (k % 8)) AS BIGINT) AS band_val
+      |  FROM bits GROUP BY doc_id, k // 8),
+      |capped AS (
+      |  SELECT band_idx, band_val FROM (
+      |    SELECT band_idx, band_val, COUNT(*) AS cnt FROM bands GROUP BY 1, 2)
+      |  WHERE cnt BETWEEN 2 AND 64),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN capped c USING (band_idx, band_val)
+      |               JOIN bands b USING (band_idx, band_val)
+      |  WHERE a.doc_id < b.doc_id),
+      |hsh AS (
+      |  SELECT doc_id, list(band_val ORDER BY band_idx) AS bv FROM bands GROUP BY doc_id),
+      |ham AS (
+      |  SELECT a_id, b_id,
+      |    CAST(list_sum(list_transform(generate_series(1, 8), i ->
+      |      bit_count(xor(CAST(xa.bv[i] AS BIGINT), CAST(xb.bv[i] AS BIGINT))))) AS BIGINT)
+      |      AS hamming
+      |  FROM cand JOIN hsh xa ON xa.doc_id = a_id JOIN hsh xb ON xb.doc_id = b_id)""".stripMargin
+
   /** m36's decode pass over ANY (doc_id, payload) frame — shared by the
     * fixture-driven query and the binaryFile ingest path. */
   private[graft] def decodeFeatures(payloads: DataFrame): DataFrame = {
@@ -690,75 +765,170 @@ object Multimodal {
     // Measured at sf0.1: 415k capped candidates → 967 pairs (830 exact).
     Q(
       "m41_image_phash",
-      (s, d) => {
-        val sigs = aHashBands(rasterPayload(s, d)).localCheckpoint()
-        val bandRows = sigs.select(col("doc_id"),
-          posexplode(col("bands")).as(Seq("band_idx", "band_val")))
-        val capped = bandRows.groupBy(col("band_idx"), col("band_val"))
-          .agg(count(lit(1)).as("bsize"))
-          .filter(col("bsize") >= 2 && col("bsize") <= 64)
-          .select("band_idx", "band_val")
-        val kept = bandRows.join(capped, Seq("band_idx", "band_val"))
-        val cand = kept.select(col("band_idx"), col("band_val"), col("doc_id").as("a_id"))
-          .join(kept.select(col("band_idx"), col("band_val"), col("doc_id").as("b_id")),
-            Seq("band_idx", "band_val"))
-          .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id").distinct()
-        cand
-          .join(sigs.select(col("doc_id").as("a_id"), col("bands").as("ab")), "a_id")
-          .join(sigs.select(col("doc_id").as("b_id"), col("bands").as("bb")), "b_id")
-          // 8 fixed-width elements per candidate — the interpreted-HOF cost
-          // is bounded by the candidate ceiling, not the corpus
-          .withColumn("hamming", expr(
-            "aggregate(zip_with(ab, bb, (x, y) -> bit_count(x ^ y)), 0L, (acc, v) -> acc + CAST(v AS BIGINT))"))
-          .filter(col("hamming") <= 6)
-          .select(col("a_id"), col("b_id"), col("hamming"))
-          .orderBy("a_id", "b_id")
-      },
+      (s, d) => phashPairs(s, d).orderBy("a_id", "b_id"),
       // The oracle rebuilds every sampled pixel from the raster generator
       // contract (pixel byte k = text byte at k % n — ASCII corpus, so
       // byte == codepoint), mirrors the integer NN sampling, the strict
       // 64·g > Σg threshold, the byte-band packing, the [2, 64] cap, and
       // the Hamming verify — every step integer, so the match is exact.
-      Some("""WITH m AS (
-             |  SELECT doc_id, text AS t, length(text) AS n,
-             |    length(text) % 48 + 1 AS w, length(text) * 7 % 32 + 1 AS h
-             |  FROM documents WHERE length(text) > 0),
-             |cells AS (
-             |  SELECT doc_id, n, w, h, t, unnest(generate_series(0, 63)) AS k FROM m),
-             |g AS (
-             |  SELECT doc_id, k,
-             |      unicode(substring(t, CAST(((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 0) % n AS INT) + 1, 1))
-             |    + unicode(substring(t, CAST(((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 1) % n AS INT) + 1, 1))
-             |    + unicode(substring(t, CAST(((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 2) % n AS INT) + 1, 1))
-             |      AS gray
-             |  FROM cells),
-             |tot AS (SELECT doc_id, SUM(gray) AS total FROM g GROUP BY doc_id),
-             |bits AS (
-             |  SELECT g.doc_id, g.k, CASE WHEN 64 * g.gray > t.total THEN 1 ELSE 0 END AS bit
-             |  FROM g JOIN tot t ON g.doc_id = t.doc_id),
-             |bands AS (
-             |  SELECT doc_id, k // 8 AS band_idx, CAST(SUM(bit << (k % 8)) AS BIGINT) AS band_val
-             |  FROM bits GROUP BY doc_id, k // 8),
-             |capped AS (
-             |  SELECT band_idx, band_val FROM (
-             |    SELECT band_idx, band_val, COUNT(*) AS cnt FROM bands GROUP BY 1, 2)
-             |  WHERE cnt BETWEEN 2 AND 64),
-             |cand AS (
-             |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-             |  FROM bands a JOIN capped c USING (band_idx, band_val)
-             |               JOIN bands b USING (band_idx, band_val)
-             |  WHERE a.doc_id < b.doc_id),
-             |hsh AS (
-             |  SELECT doc_id, list(band_val ORDER BY band_idx) AS bv FROM bands GROUP BY doc_id),
-             |ham AS (
-             |  SELECT a_id, b_id,
-             |    CAST(list_sum(list_transform(generate_series(1, 8), i ->
-             |      bit_count(xor(CAST(xa.bv[i] AS BIGINT), CAST(xb.bv[i] AS BIGINT))))) AS BIGINT)
-             |      AS hamming
-             |  FROM cand JOIN hsh xa ON xa.doc_id = a_id JOIN hsh xb ON xb.doc_id = b_id)
+      Some(s"""WITH $phashPairsSqlCtes
              |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 6
              |ORDER BY a_id, b_id""".stripMargin),
+    ),
+
+    // ----- m42: audio-style energy scan + silence-trim plan -----
+    // The audio leg of the modality triple (image = m38/m41, video-ish
+    // frame access = m37): treat each container's body as 8-bit unsigned
+    // PCM samples and run the standard VAD-prep pass — per 64-sample
+    // window the exact integer energy Σ(s−128)², a quiet threshold, the
+    // longest quiet run, and the head/tail trim plan (leading/trailing
+    // quiet windows) with the post-trim sample count. One partition-wise
+    // pass computes ALL of it per doc (the gaps-and-islands logic is a
+    // sequential scan over that doc's windows — no window functions, no
+    // shuffle; payloads never leave executors). The trailing partial
+    // window is deliberately ignored (floor(n/64) windows) so both
+    // engines see identical window sets.
+    Q(
+      "m42_audio_energy",
+      (s, d) => {
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("n_windows", LongType),
+          StructField("n_quiet", LongType),
+          StructField("longest_quiet", LongType),
+          StructField("lead_trim", LongType),
+          StructField("tail_trim", LongType),
+          StructField("kept_samples", LongType)))
+        mediaPayload(s, d).mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val p = r.getAs[Array[Byte]](1)
+            parseHeader(p)
+            val n = p.length - HeaderLen
+            val nw = n / 64
+            var quiet = 0L
+            var longest = 0L
+            var run = 0L
+            var firstLoud = -1L
+            var lastLoud = -1L
+            var w = 0
+            while (w < nw) {
+              var e = 0L
+              var i = 0
+              while (i < 64) {
+                val v = (p(HeaderLen + w * 64 + i) & 0xff) - 128
+                e += (v * v).toLong
+                i += 1
+              }
+              if (e < 125000L) {
+                quiet += 1; run += 1
+                if (run > longest) longest = run
+              } else {
+                run = 0
+                if (firstLoud < 0) firstLoud = w
+                lastLoud = w
+              }
+              w += 1
+            }
+            val lead = if (firstLoud < 0) nw.toLong else firstLoud
+            val tail = if (lastLoud < 0) 0L else nw - 1L - lastLoud
+            val kept = math.max(nw - lead - tail, 0L) * 64L
+            Row(id, nw.toLong, quiet, longest, lead, tail, kept)
+          }
+        }(RowEncoder.encoderFor(outSchema)).orderBy("doc_id")
+      },
+      // ASCII corpus: body byte k = codepoint of text char k+1 (the
+      // m36/m37 contract), so the oracle rebuilds every sample, mirrors
+      // the integer energy and threshold, and derives the runs with the
+      // classic w − ROW_NUMBER() islands trick — all integer-exact.
+      Some("""WITH d AS (
+             |  SELECT doc_id, text AS t, length(text) AS n FROM documents),
+             |w AS (
+             |  SELECT doc_id, t, unnest(generate_series(0, n // 64 - 1)) AS w
+             |  FROM d WHERE n >= 64),
+             |smp AS (
+             |  SELECT doc_id, w, t, unnest(generate_series(1, 64)) AS i FROM w),
+             |en AS (
+             |  SELECT doc_id, w,
+             |    SUM((unicode(substring(t, CAST(w * 64 + i AS INT), 1)) - 128)
+             |      * (unicode(substring(t, CAST(w * 64 + i AS INT), 1)) - 128)) AS energy
+             |  FROM smp GROUP BY doc_id, w),
+             |q AS (
+             |  SELECT doc_id, w, CASE WHEN energy < 125000 THEN 1 ELSE 0 END AS quiet
+             |  FROM en),
+             |runs AS (
+             |  SELECT doc_id, w, quiet,
+             |    w - ROW_NUMBER() OVER (PARTITION BY doc_id, quiet ORDER BY w) AS grp
+             |  FROM q),
+             |qruns AS (
+             |  SELECT doc_id, COUNT(*) AS len FROM runs WHERE quiet = 1
+             |  GROUP BY doc_id, grp),
+             |lr AS (SELECT doc_id, MAX(len) AS longest FROM qruns GROUP BY doc_id),
+             |agg AS (
+             |  SELECT doc_id, COUNT(*) AS nw, SUM(quiet) AS n_quiet,
+             |    MIN(CASE WHEN quiet = 0 THEN w END) AS first_loud,
+             |    MAX(CASE WHEN quiet = 0 THEN w END) AS last_loud
+             |  FROM q GROUP BY doc_id),
+             |f AS (
+             |  SELECT d.doc_id,
+             |    COALESCE(agg.nw, 0) AS n_windows,
+             |    COALESCE(agg.n_quiet, 0) AS n_quiet,
+             |    COALESCE(lr.longest, 0) AS longest_quiet,
+             |    CASE WHEN agg.nw IS NULL THEN 0
+             |         WHEN agg.first_loud IS NULL THEN agg.nw
+             |         ELSE agg.first_loud END AS lead_trim,
+             |    CASE WHEN agg.nw IS NULL OR agg.last_loud IS NULL THEN 0
+             |         ELSE agg.nw - 1 - agg.last_loud END AS tail_trim
+             |  FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+             |         LEFT JOIN lr ON d.doc_id = lr.doc_id)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(n_windows AS BIGINT) AS n_windows,
+             |  CAST(n_quiet AS BIGINT) AS n_quiet,
+             |  CAST(longest_quiet AS BIGINT) AS longest_quiet,
+             |  CAST(lead_trim AS BIGINT) AS lead_trim,
+             |  CAST(tail_trim AS BIGINT) AS tail_trim,
+             |  CAST(GREATEST(n_windows - lead_trim - tail_trim, 0) * 64 AS BIGINT)
+             |    AS kept_samples
+             |FROM f ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ----- m43: image dedup selection (clusters + keep-one) -----
+    // The step after m41's pair report, mirroring what t49/t87 do for
+    // text: group the verified Hamming ≤ 6 pairs into connected
+    // components (operators.ConnectedComponents.largeSmallStar — O(log n)
+    // rounds, hot-star collapse) and report each near-identical image
+    // cluster with its canonical survivor (min doc_id = the component
+    // label) and how many copies a keep-one pass drops. Only docs that
+    // appear in a pair show up — singletons are implicitly kept.
+    Q(
+      "m43_image_dedup_select",
+      (s, d) => {
+        // checkpoint: largeSmallStar unions the edge list with its flip,
+        // and both branches would otherwise re-run the whole decode +
+        // banding + verify subtree
+        val pairs = phashPairs(s, d).select("a_id", "b_id").localCheckpoint()
+        graft.operators.ConnectedComponents
+          .largeSmallStar(pairs, "a_id", "b_id")
+          .groupBy(col("component").as("keep_id"))
+          .agg(count(lit(1)).as("n_members"))
+          .withColumn("n_dropped", col("n_members") - 1L)
+          .orderBy("keep_id")
+      },
+      // Oracle: m41's shared pair CTEs + the t49 recursive-closure
+      // pattern (transitive reach over the tiny verified pair set, min
+      // reachable id = component), rolled up per component.
+      Some(s"""WITH RECURSIVE $phashPairsSqlCtes,
+             |p AS (SELECT a_id, b_id FROM ham WHERE hamming <= 6),
+             |e AS (SELECT a_id AS a, b_id AS b2 FROM p
+             |      UNION ALL SELECT b_id, a_id FROM p),
+             |reach(id, r) AS (
+             |  SELECT a, a FROM e
+             |  UNION
+             |  SELECT reach.id, e.b2 FROM reach JOIN e ON reach.r = e.a),
+             |comp AS (SELECT id, MIN(r) AS keep_id FROM reach GROUP BY id)
+             |SELECT keep_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+             |  CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+             |FROM comp GROUP BY keep_id ORDER BY keep_id""".stripMargin),
     ),
   )
 }

@@ -207,6 +207,39 @@ class MultimodalSpec extends SparkTestBase {
       "banding across 8 bands must not emit a pair twice")
   }
 
+  test("m42: trim-plan arithmetic is internally consistent on every doc") {
+    val rows = SparkEntry.queries("m42_audio_energy")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.length == Tables.documents(spark, "/root/testdata/sf0.001").count())
+    rows.foreach { case (id, nw, nq, longest, lead, tail, kept) =>
+      assert(nq <= nw && longest <= nq, s"doc $id: quiet counts inconsistent")
+      assert(kept == math.max(nw - lead - tail, 0L) * 64L, s"doc $id: kept_samples identity")
+      if (nq == nw) assert(lead == nw && tail == 0L, s"doc $id: all-quiet trim convention")
+      else assert(lead + tail <= nq, s"doc $id: trims can only eat quiet windows")
+    }
+    // the threshold must actually split the corpus — a degenerate all-loud
+    // or all-quiet fixture would make the islands logic vacuous
+    assert(rows.exists(_._3 > 0) && rows.exists(r => r._2 > 0 && r._3 < r._2),
+      "fixture must contain both quiet and loud windows")
+  }
+
+  test("m43: clusters are non-trivial and conserve m41's pair nodes") {
+    val pairs = SparkEntry.queries("m41_image_phash")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val clusters = SparkEntry.queries("m43_image_dedup_select")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(clusters.nonEmpty)
+    clusters.foreach { case (keep, members, dropped) =>
+      assert(members >= 2L && dropped == members - 1L)
+      assert(nodes.contains(keep), s"survivor $keep must be a paired node")
+    }
+    assert(clusters.map(_._2).sum == nodes.size.toLong,
+      "clusters must partition exactly the paired nodes")
+    assert(clusters.map(_._1).distinct.length == clusters.length)
+  }
+
   test("raster fixture packs genuine P6 bodies the resample contract predicts") {
     val rows = graft.queries.Multimodal
       .rasterPayload(spark, "/root/testdata/sf0.001")
