@@ -2588,6 +2588,114 @@ object Text {
              |  CASE WHEN r_dup2 + r_dup3 + r_dup4 = 3 THEN 1 ELSE 0 END AS pass
              |FROM f ORDER BY doc_id""".stripMargin),
     ),
+
+    // ----- t168: quality-score calibration curve vs the rule-table label -----
+    // Before a curation run commits to a keep threshold on the cheap t27
+    // heuristic score, it calibrates the score against the expensive rule
+    // label it approximates (t138's Gopher conjunction): for each candidate
+    // threshold τ, the confusion counts and precision/recall in basis
+    // points — the ROC-style table that picks the operating point (t92's
+    // curve-not-a-point pattern turned on the quality axis). Score arm =
+    // t27/t143's integer-quantized grid; label arm = t138's conjunction —
+    // both verbatim, so the curve measures exactly the production pair.
+    //
+    // Scale: the score arm is codegen'd regex (no shuffle); the label arm
+    // is t138's two wordcount-shaped hash-aggs; the join is doc-keyed and
+    // the 5-row τ dimension broadcasts, leaving one 5-group hash-agg. All
+    // counts exact integers; precision/recall in integer basis points.
+    Q(
+      "t168_calibration",
+      (s, d) => {
+        val scored = Tables.documents(s, d)
+          .withColumn("n_words", regexp_count(col("text"), lit("[A-Za-z]+")).cast("long"))
+          .withColumn("n_punct", regexp_count(col("text"), lit("[.,!?;:]")).cast("long"))
+          .withColumn("n_stop", regexp_count(col("text"), lit(stopPat)).cast("long"))
+          .select(col("doc_id"),
+            round((least(col("n_words") / 100.0, lit(1.0)) * 0.5
+              + (col("n_stop") * 1.0 / greatest(col("n_words"), lit(1L))) * 0.3
+              + (lit(1.0) - least(col("n_punct") * 1.0 / greatest(col("n_words"), lit(1L)), lit(1.0))) * 0.2)
+              * 10000).cast("long").as("se"))
+        val stats = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("c")).as("n_words"),
+            sum(length(col("w")).cast("long") * col("c")).as("n_alpha"),
+            max(col("c")).as("top_c"))
+        val labeled = Tables.documents(s, d)
+          .select(col("doc_id"),
+            regexp_count(col("text"), lit(stopPat)).cast("long").as("n_stop"))
+          .join(stats, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (coalesce(col("n_words"), lit(0L)).between(20L, 100000L) &&
+              round(coalesce(col("n_alpha"), lit(0L)) * 1.0
+                / greatest(coalesce(col("n_words"), lit(0L)), lit(1L)), 4).between(3.0, 10.0) &&
+              round(coalesce(col("top_c"), lit(0L)) * 1.0
+                / greatest(coalesce(col("n_words"), lit(0L)), lit(1L)), 4) <= 0.125 &&
+              col("n_stop") >= 2L).cast("int").as("label"))
+        val taus = s.range(1)
+          .select(explode(typedLit(Seq(3000L, 4000L, 5000L, 6000L, 7000L))).as("tau"))
+        scored.join(labeled, "doc_id")
+          .crossJoin(broadcast(taus))
+          .withColumn("pred", (col("se") >= col("tau")).cast("int"))
+          .groupBy(col("tau"))
+          .agg(
+            sum(when(col("pred") === 1 && col("label") === 1, 1L).otherwise(0L)).as("tp"),
+            sum(when(col("pred") === 1 && col("label") === 0, 1L).otherwise(0L)).as("fp"),
+            sum(when(col("pred") === 0 && col("label") === 1, 1L).otherwise(0L)).as("fn"),
+            sum(when(col("pred") === 0 && col("label") === 0, 1L).otherwise(0L)).as("tn"))
+          .withColumn("precision_bp",
+            expr("CASE WHEN tp + fp > 0 THEN tp * 10000 div (tp + fp) ELSE 0L END"))
+          .withColumn("recall_bp",
+            expr("CASE WHEN tp + fn > 0 THEN tp * 10000 div (tp + fn) ELSE 0L END"))
+          .orderBy("tau")
+      },
+      Some(s"""WITH sc AS (
+             |  SELECT doc_id,
+             |    CAST(ROUND((LEAST(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)/100.0, 1.0)*0.5
+             |      + (CAST(len(regexp_extract_all(text, '$stopPat')) AS BIGINT)*1.0
+             |         / GREATEST(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT), 1))*0.3
+             |      + (1.0 - LEAST(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)*1.0
+             |         / GREATEST(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT), 1), 1.0))*0.2)
+             |      * 10000) AS BIGINT) AS se
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+             |  FROM documents),
+             |wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+             |st AS (
+             |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             |         CAST(SUM(len(w) * c) AS BIGINT) AS n_alpha,
+             |         CAST(MAX(c) AS BIGINT) AS top_c
+             |  FROM wc GROUP BY doc_id),
+             |lab AS (
+             |  SELECT d.doc_id,
+             |    CASE WHEN COALESCE(st.n_words, 0) BETWEEN 20 AND 100000
+             |          AND ROUND(COALESCE(st.n_alpha, 0) * 1.0
+             |              / GREATEST(COALESCE(st.n_words, 0), 1), 4) BETWEEN 3.0 AND 10.0
+             |          AND ROUND(COALESCE(st.top_c, 0) * 1.0
+             |              / GREATEST(COALESCE(st.n_words, 0), 1), 4) <= 0.125
+             |          AND CAST(len(regexp_extract_all(d.text, '$stopPat')) AS BIGINT) >= 2
+             |         THEN 1 ELSE 0 END AS label
+             |  FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id),
+             |j AS (
+             |  SELECT sc.se, lab.label, tt.tau
+             |  FROM sc JOIN lab ON sc.doc_id = lab.doc_id
+             |  CROSS JOIN (SELECT unnest([3000, 4000, 5000, 6000, 7000]) AS tau) tt),
+             |cm AS (
+             |  SELECT tau,
+             |    CAST(SUM(CASE WHEN se >= tau AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             |    CAST(SUM(CASE WHEN se >= tau AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             |    CAST(SUM(CASE WHEN se < tau AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             |    CAST(SUM(CASE WHEN se < tau AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+             |  FROM j GROUP BY tau)
+             |SELECT CAST(tau AS BIGINT) AS tau, tp, fp, fn, tn,
+             |  CASE WHEN tp + fp > 0 THEN tp * 10000 // (tp + fp) ELSE 0 END AS precision_bp,
+             |  CASE WHEN tp + fn > 0 THEN tp * 10000 // (tp + fn) ELSE 0 END AS recall_bp
+             |FROM cm ORDER BY tau""".stripMargin),
+    ),
   )
 
 }

@@ -112,6 +112,27 @@ class CurationQueriesSpec extends SparkTestBase {
     assert(out(4L) == Seq(0L, 0L, 0L, 0L, 0L, 1L, 1L, 1L, 1L))
   }
 
+  test("t168: the calibration curve is a coherent confusion-table sweep") {
+    val rows = run("t168_calibration")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    assert(rows.length == 5)
+    val n = Tables.documents(spark, dir).count()
+    val positives = rows.head._2 + rows.head._4 // tp + fn at any tau
+    rows.foreach { case (_, tp, fp, fn, tn, prec, rec) =>
+      assert(tp + fp + fn + tn == n, "confusion table must cover the corpus")
+      assert(tp + fn == positives, "label positives are threshold-independent")
+      assert(prec == (if (tp + fp > 0) tp * 10000 / (tp + fp) else 0L))
+      assert(rec == (if (tp + fn > 0) tp * 10000 / (tp + fn) else 0L))
+    }
+    // raising tau can only drop predictions: tp/fp non-increasing
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3, s"monotonicity broke between ${a._1} and ${b._1}")
+    }
+    // the sweep must actually move — a flat curve means degenerate thresholds
+    assert(rows.map(_._2).distinct.length > 1, "tp must vary across thresholds")
+  }
+
   test("t166: one row per document, gram totals match the token counts") {
     val n = Tables.documents(spark, dir).count()
     val out = run("t166_intra_repetition")
