@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Empirical scale rehearsal: run a named query subset ONCE-warm/ONCE-timed
@@ -12,6 +14,15 @@ import org.apache.spark.sql.SparkSession
   * log₁₀(t₁/t₀.₁) stays ≲ 1 scales linearly; shuffle bytes growing ≫ 10×
   * or spill appearing at sf1 names the stage that needs attention before
   * 100 TB.
+  *
+  * Metric attribution is keyed by JOB GROUP, not by reset()-window: each
+  * timed run executes under its own `setJobGroup` id, the listener maps
+  * stage → group at job start and accumulates per group, so a stage event
+  * that the async bus delivers late (observed once at sf10: ~1 GB of
+  * t161's banding exchange landing in the next query's window despite the
+  * drain) lands in the RIGHT bucket no matter when it arrives. The
+  * end-of-run drain remains, but only to make the final read complete —
+  * it is no longer what keeps queries from bleeding into each other.
   *
   * Deliberately separate from [[Bench]]: Bench is the driver's
   * fixed-format artifact (min-of-n, DuckDB denominator); this is a
@@ -42,19 +53,25 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // per-query stage-metric totals; queries run one at a time so a simple
-    // shared accumulator scoped by reset() attributes correctly
+    final case class Tot(var shuffle: Long = 0L, var spill: Long = 0L)
     object m extends SparkListener {
-      @volatile var shuffleWrite = 0L
-      @volatile var memSpill = 0L
-      @volatile var diskSpill = 0L
-      def reset(): Unit = { shuffleWrite = 0L; memSpill = 0L; diskSpill = 0L }
+      private val stageGroup = new ConcurrentHashMap[Int, String]()
+      val byGroup = new ConcurrentHashMap[String, Tot]()
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val g = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+          .getOrElse("ungrouped")
+        js.stageIds.foreach(id => stageGroup.put(id, g))
+      }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val tm = sc.stageInfo.taskMetrics
         if (tm != null) {
-          shuffleWrite += tm.shuffleWriteMetrics.bytesWritten
-          memSpill += tm.memoryBytesSpilled
-          diskSpill += tm.diskBytesSpilled
+          val g = Option(stageGroup.get(sc.stageInfo.stageId)).getOrElse("ungrouped")
+          val t = byGroup.computeIfAbsent(g, _ => Tot())
+          t.synchronized {
+            t.shuffle += tm.shuffleWriteMetrics.bytesWritten
+            t.spill += tm.memoryBytesSpilled + tm.diskBytesSpilled
+          }
         }
       }
     }
@@ -69,32 +86,40 @@ object ScaleRehearsal {
     // all land inside one stall; interleaving lets the min come from a
     // clean pass. Pass 0 is an untimed warmup (codegen, file footers).
     val runs = math.max(sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_RUNS", "2").toInt, 1)
-    def once(q: graft.queries.Q): Double = {
-      val t0 = System.nanoTime()
-      q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+    def once(q: graft.queries.Q, group: String): Double = {
+      spark.sparkContext.setJobGroup(group, group, interruptOnCancel = false)
+      val t0 =
+        try {
+          val t = System.nanoTime()
+          q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+          t
+        } finally spark.sparkContext.clearJobGroup()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       dt
     }
-    registry.foreach(once)
+    registry.foreach(q => once(q, s"warmup-${q.name}"))
     case class R(sec: Double, shuffle: Long, spill: Long)
     val best = scala.collection.mutable.Map.empty[String, R]
-    for (_ <- 1 to runs; q <- registry) {
-      m.reset()
-      val sec = once(q)
-      // listener bus is async; drain it deterministically before reading
-      // the counters so a straggler stage event can't land after reset()
-      // and mis-attribute to the next query (shim exposes the private API;
-      // falls back to a settle sleep only if the bus wedges)
-      if (!org.apache.spark.GraftListenerDrain.drain(spark.sparkContext))
-        Thread.sleep(300)
-      val r = R(sec, m.shuffleWrite, m.memSpill + m.diskSpill)
-      if (!best.contains(q.name) || sec < best(q.name).sec) best(q.name) = r
+    val bestGroup = scala.collection.mutable.Map.empty[String, String]
+    for (run <- 1 to runs; q <- registry) {
+      val group = s"run$run-${q.name}"
+      val sec = once(q, group)
+      if (!best.contains(q.name) || sec < best(q.name).sec) {
+        best(q.name) = R(sec, 0L, 0L)
+        bestGroup(q.name) = group
+      }
     }
+    // one drain at the end so the LAST run's stage events are all in;
+    // per-group attribution means a straggler can no longer land in the
+    // wrong bucket, only arrive late for this read
+    if (!org.apache.spark.GraftListenerDrain.drain(spark.sparkContext))
+      Thread.sleep(1000)
     println(f"${"query"}%-28s ${"sec"}%8s ${"shuffleMB"}%10s ${"spillMB"}%8s")
     registry.foreach { q =>
       val r = best(q.name)
-      println(f"${q.name}%-28s ${r.sec}%8.2f ${r.shuffle / 1e6}%10.1f ${r.spill / 1e6}%8.1f")
+      val t = Option(m.byGroup.get(bestGroup(q.name))).getOrElse(Tot())
+      println(f"${q.name}%-28s ${r.sec}%8.2f ${t.shuffle / 1e6}%10.1f ${t.spill / 1e6}%8.1f")
     }
     spark.stop()
   }
