@@ -207,6 +207,44 @@ class MultimodalSpec extends SparkTestBase {
       "banding across 8 bands must not emit a pair twice")
   }
 
+  test("phashAdmission equals brute force on random signatures under the cap") {
+    import spark.implicits._
+    // random 8-band signatures with planted clusters: store stays under
+    // the 64-per-bucket cap so banding must be LOSSLESS here (Hamming ≤ 7
+    // pairs share a band by pigeonhole; the verify bound is 6 < 7) and
+    // admission must equal the all-pairs reference exactly
+    val rnd = new scala.util.Random(7)
+    def sig(): Seq[Long] = Seq.fill(8)(rnd.nextInt(256).toLong)
+    def flip(s: Seq[Long], bits: Int): Seq[Long] = {
+      var v = s.toArray
+      (1 to bits).foreach { _ =>
+        val k = rnd.nextInt(64)
+        v = v.updated(k / 8, v(k / 8) ^ (1L << (k % 8)))
+      }
+      v.toSeq
+    }
+    val storeSigs = (1L to 40L).map(i => (i, sig()))
+    val batchSigs = (101L to 120L).map { i =>
+      val base = storeSigs(rnd.nextInt(storeSigs.length))._2
+      (i, rnd.nextInt(3) match {
+        case 0 => base                      // exact dup of a store image
+        case 1 => flip(base, 1 + rnd.nextInt(6)) // within the verify bound
+        case 2 => sig()                     // unrelated (expected Hamming ≈ 32)
+      })
+    }
+    val store = storeSigs.toDF("doc_id", "bands")
+    val batch = batchSigs.toDF("doc_id", "bands")
+    val got = graft.queries.Multimodal.phashAdmission(batch, store)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    def ham(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    batchSigs.foreach { case (id, s) =>
+      val want = storeSigs.count { case (_, t) => ham(s, t) <= 6 }.toLong
+      assert(got(id) == ((want, want == 0L)),
+        s"doc $id: got ${got(id)}, brute force says $want dups")
+    }
+  }
+
   test("m42: trim-plan arithmetic is internally consistent on every doc") {
     val rows = SparkEntry.queries("m42_audio_energy")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
