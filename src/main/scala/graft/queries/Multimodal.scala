@@ -363,14 +363,15 @@ object Multimodal {
   /** The m41 oracle's shared CTE chain (through `ham`): every sampled
     * pixel rebuilt from the raster generator contract, integer NN
     * sampling, strict 64·g > Σg threshold, byte-band packing, [2, 64]
-    * cap, Hamming verify. Interpolated by both the m41 and m43 oracles so
-    * the pair arithmetic cannot drift between them (the
-    * minhashPairsSqlCtes pattern). */
-  private val phashPairsSqlCtes: String =
-    """m AS (
+    * cap, Hamming verify. Interpolated by the m41, m43, and m44 oracles
+    * so the pair arithmetic cannot drift between them (the
+    * minhashPairsSqlCtes pattern). `docFilter` restricts the corpus
+    * BEFORE hashing/banding — m44's bounded certification slice. */
+  private def phashPairsSqlCtes(docFilter: String = ""): String =
+    s"""m AS (
       |  SELECT doc_id, text AS t, length(text) AS n,
       |    length(text) % 48 + 1 AS w, length(text) * 7 % 32 + 1 AS h
-      |  FROM documents WHERE length(text) > 0),
+      |  FROM documents WHERE length(text) > 0$docFilter),
       |cells AS (
       |  SELECT doc_id, n, w, h, t, unnest(generate_series(0, 63)) AS k FROM m),
       |g AS (
@@ -771,7 +772,7 @@ object Multimodal {
       // byte == codepoint), mirrors the integer NN sampling, the strict
       // 64·g > Σg threshold, the byte-band packing, the [2, 64] cap, and
       // the Hamming verify — every step integer, so the match is exact.
-      Some(s"""WITH $phashPairsSqlCtes
+      Some(s"""WITH ${phashPairsSqlCtes()}
              |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 6
              |ORDER BY a_id, b_id""".stripMargin),
     ),
@@ -917,7 +918,7 @@ object Multimodal {
       // Oracle: m41's shared pair CTEs + the t49 recursive-closure
       // pattern (transitive reach over the tiny verified pair set, min
       // reachable id = component), rolled up per component.
-      Some(s"""WITH RECURSIVE $phashPairsSqlCtes,
+      Some(s"""WITH RECURSIVE ${phashPairsSqlCtes()},
              |p AS (SELECT a_id, b_id FROM ham WHERE hamming <= 6),
              |e AS (SELECT a_id AS a, b_id AS b2 FROM p
              |      UNION ALL SELECT b_id, a_id FROM p),
@@ -929,6 +930,81 @@ object Multimodal {
              |SELECT keep_id, CAST(COUNT(*) AS BIGINT) AS n_members,
              |  CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
              |FROM comp GROUP BY keep_id ORDER BY keep_id""".stripMargin),
+    ),
+
+    // ----- m44: image-banding recall certification -----
+    // Completes the certification pattern for the image modality — every
+    // probabilistic candidate stage in the engine carries an oracle-gated
+    // recall contract (IVF t92, MinHash-LSH t102/t161, SimHash t112; now
+    // aHash banding): exact Hamming ≤ 6 truth from a BOUNDED all-pairs arm
+    // (doc_id < 500 — the t102 slice contract; the production path never
+    // runs this) against m41's banded candidates with the [2, 64] bucket
+    // cap priced inside the measured arm, both restricted to the slice.
+    // Recall/precision in basis points. Unlike MinHash banding (a
+    // per-band probabilistic hash), the 8-band pigeonhole is EXHAUSTIVE at
+    // Hamming ≤ 7 (t112's argument), so the only possible loss is the
+    // bucket cap — exactly what this certifies.
+    Q(
+      "m44_image_recall",
+      (s, d) => {
+        val sigs = aHashBands(rasterPayload(s, d))
+          .filter(col("doc_id") < 500).localCheckpoint()
+        def hamming = expr(
+          "aggregate(zip_with(ab, bb, (x, y) -> bit_count(x ^ y)), 0L, (acc, v) -> acc + CAST(v AS BIGINT))")
+        // truth arm: bounded all-pairs (BroadcastNestedLoop by contract)
+        val truth = sigs.select(col("doc_id").as("a_id"), col("bands").as("ab"))
+          .join(sigs.select(col("doc_id").as("b_id"), col("bands").as("bb")),
+            col("a_id") < col("b_id"))
+          .withColumn("hamming", hamming)
+          .filter(col("hamming") <= 6)
+          .select("a_id", "b_id")
+          .localCheckpoint()
+        // measured arm: m41's banding + cap verbatim, on the same slice
+        val bandRows = sigs.select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+        val capped = bandRows.groupBy(col("band_idx"), col("band_val"))
+          .agg(count(lit(1)).as("bsize"))
+          .filter(col("bsize") >= 2 && col("bsize") <= 64)
+          .select("band_idx", "band_val")
+        val kept = bandRows.join(capped, Seq("band_idx", "band_val"))
+        val lsh = kept.select(col("band_idx"), col("band_val"), col("doc_id").as("a_id"))
+          .join(kept.select(col("band_idx"), col("band_val"), col("doc_id").as("b_id")),
+            Seq("band_idx", "band_val"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+          .join(sigs.select(col("doc_id").as("a_id"), col("bands").as("ab")), "a_id")
+          .join(sigs.select(col("doc_id").as("b_id"), col("bands").as("bb")), "b_id")
+          .withColumn("hamming", hamming)
+          .filter(col("hamming") <= 6)
+          .select("a_id", "b_id")
+          .localCheckpoint()
+        val hit = truth.join(lsh, Seq("a_id", "b_id"))
+        truth.agg(count(lit(1)).as("n_true"))
+          .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select(
+            col("n_true"), col("n_lsh"), col("n_hit"),
+            expr("n_hit * 10000 div greatest(n_true, 1L)").as("recall_bp"),
+            expr("n_hit * 10000 div greatest(n_lsh, 1L)").as("precision_bp"))
+      },
+      Some(s"""WITH ${phashPairsSqlCtes(" AND doc_id < 500")},
+             |truth AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(list_sum(list_transform(generate_series(1, 8), i ->
+             |    bit_count(xor(CAST(a.bv[i] AS BIGINT), CAST(b.bv[i] AS BIGINT))))) AS BIGINT) <= 6),
+             |lsh AS (SELECT a_id, b_id FROM ham WHERE hamming <= 6),
+             |hit AS (
+             |  SELECT t.a_id, t.b_id
+             |  FROM truth t JOIN lsh c ON t.a_id = c.a_id AND t.b_id = c.b_id)
+             |SELECT
+             |  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+             |  CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh,
+             |  CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+             |  CAST(((SELECT COUNT(*) FROM hit) * 10000)
+             |       // GREATEST((SELECT COUNT(*) FROM truth), 1) AS BIGINT) AS recall_bp,
+             |  CAST(((SELECT COUNT(*) FROM hit) * 10000)
+             |       // GREATEST((SELECT COUNT(*) FROM lsh), 1) AS BIGINT) AS precision_bp""".stripMargin),
     ),
   )
 }
