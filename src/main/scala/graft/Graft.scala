@@ -147,6 +147,26 @@ object Graft {
       buckets: Int = 256): DataFrame =
     operators.Dsir.weights(docs, target, raw, id, text, buckets)
 
+  /** 8×8 average-hash signatures of a GRFT1-raster (id, payload) frame —
+    * one shuffle-free partition-wise decode pass; see
+    * [[graft.queries.Multimodal.aHashBands]]. Returns (doc_id, bands). */
+  def imageSignatures(
+      df: DataFrame,
+      id: String = "doc_id",
+      payload: String = "payload"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    queries.Multimodal.aHashBands(
+      df.select(col(id).cast("long").as("doc_id"), col(payload).as("payload")))
+  }
+
+  /** Image near-dup admission of a batch of signatures against a static
+    * signature store (both (doc_id, bands) frames from
+    * [[imageSignatures]]) — banded candidates, probe-time bucket cap,
+    * exact Hamming ≤ 6 verify; see
+    * [[graft.queries.Multimodal.phashAdmission]]. */
+  def imageAdmission(batchSigs: DataFrame, storeSigs: DataFrame): DataFrame =
+    queries.Multimodal.phashAdmission(batchSigs, storeSigs)
+
   /** Inject the graft_* SQL functions into a live session — see
     * [[GraftExtensions.register]] (builder-time sessions can use
     * `.withExtensions(new GraftExtensions)` instead). */

@@ -40,6 +40,26 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(math.abs(cs - 1.0) < 1e-9)
   }
 
+  test("imageSignatures/imageAdmission run on any (id, payload) raster frame") {
+    import spark.implicits._
+    import graft.queries.Multimodal
+    def raster(fill: Int): Array[Byte] = {
+      val hdr = "P6\n4 4\n255\n".getBytes("UTF-8")
+      Multimodal.packPayload(hdr ++ Array.fill[Byte](48)(fill.toByte))
+    }
+    // custom column names + an int id — the facade renames and casts
+    val store = Seq((1, raster(10)), (2, raster(200))).toDF("img", "bytes")
+    val storeSigs = Graft.imageSignatures(store, id = "img", payload = "bytes")
+    assert(storeSigs.columns.toSeq == Seq("doc_id", "bands"))
+    val batch = Seq((7, raster(10)), (8, raster(99))).toDF("img", "bytes")
+    val verdicts = Graft.imageAdmission(
+      Graft.imageSignatures(batch, "img", "bytes"), storeSigs)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // constant rasters all hash to zero (strict-mean rule), so every batch
+    // image collides with the store at Hamming 0 — both rejected
+    assert(verdicts == Map(7L -> false, 8L -> false))
+  }
+
   test("lmQualityScore scores any (id, text) frame against any training slice") {
     import spark.implicits._
     val train = Seq((1L, "the quick brown fox"), (2L, "the lazy dog")).toDF("doc_id", "text")
