@@ -406,6 +406,60 @@ object Multimodal {
       |      AS hamming
       |  FROM cand JOIN hsh xa ON xa.doc_id = a_id JOIN hsh xb ON xb.doc_id = b_id)""".stripMargin
 
+  /** m42's audio VAD-prep pass over ANY (doc_id, payload) frame — per-doc
+    * window energies, quiet runs, and the head/tail trim plan, all in one
+    * partition-wise sequential scan (a pure per-document function, which
+    * is what makes the streaming twin's micro-batch union equal the
+    * one-shot batch report —
+    * [[graft.streaming.DocStreams.audioTrimStream]]). */
+  private[graft] def audioTrimReport(payloads: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_windows", LongType),
+      StructField("n_quiet", LongType),
+      StructField("longest_quiet", LongType),
+      StructField("lead_trim", LongType),
+      StructField("tail_trim", LongType),
+      StructField("kept_samples", LongType)))
+    payloads.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val p = r.getAs[Array[Byte]](1)
+        parseHeader(p)
+        val n = p.length - HeaderLen
+        val nw = n / 64
+        var quiet = 0L
+        var longest = 0L
+        var run = 0L
+        var firstLoud = -1L
+        var lastLoud = -1L
+        var w = 0
+        while (w < nw) {
+          var e = 0L
+          var i = 0
+          while (i < 64) {
+            val v = (p(HeaderLen + w * 64 + i) & 0xff) - 128
+            e += (v * v).toLong
+            i += 1
+          }
+          if (e < 125000L) {
+            quiet += 1; run += 1
+            if (run > longest) longest = run
+          } else {
+            run = 0
+            if (firstLoud < 0) firstLoud = w
+            lastLoud = w
+          }
+          w += 1
+        }
+        val lead = if (firstLoud < 0) nw.toLong else firstLoud
+        val tail = if (lastLoud < 0) 0L else nw - 1L - lastLoud
+        val kept = math.max(nw - lead - tail, 0L) * 64L
+        Row(id, nw.toLong, quiet, longest, lead, tail, kept)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** m36's decode pass over ANY (doc_id, payload) frame — shared by the
     * fixture-driven query and the binaryFile ingest path. */
   private[graft] def decodeFeatures(payloads: DataFrame): DataFrame = {
@@ -791,53 +845,7 @@ object Multimodal {
     // engines see identical window sets.
     Q(
       "m42_audio_energy",
-      (s, d) => {
-        val outSchema = StructType(Seq(
-          StructField("doc_id", LongType),
-          StructField("n_windows", LongType),
-          StructField("n_quiet", LongType),
-          StructField("longest_quiet", LongType),
-          StructField("lead_trim", LongType),
-          StructField("tail_trim", LongType),
-          StructField("kept_samples", LongType)))
-        mediaPayload(s, d).mapPartitions { rows =>
-          rows.map { r =>
-            val id = r.getLong(0)
-            val p = r.getAs[Array[Byte]](1)
-            parseHeader(p)
-            val n = p.length - HeaderLen
-            val nw = n / 64
-            var quiet = 0L
-            var longest = 0L
-            var run = 0L
-            var firstLoud = -1L
-            var lastLoud = -1L
-            var w = 0
-            while (w < nw) {
-              var e = 0L
-              var i = 0
-              while (i < 64) {
-                val v = (p(HeaderLen + w * 64 + i) & 0xff) - 128
-                e += (v * v).toLong
-                i += 1
-              }
-              if (e < 125000L) {
-                quiet += 1; run += 1
-                if (run > longest) longest = run
-              } else {
-                run = 0
-                if (firstLoud < 0) firstLoud = w
-                lastLoud = w
-              }
-              w += 1
-            }
-            val lead = if (firstLoud < 0) nw.toLong else firstLoud
-            val tail = if (lastLoud < 0) 0L else nw - 1L - lastLoud
-            val kept = math.max(nw - lead - tail, 0L) * 64L
-            Row(id, nw.toLong, quiet, longest, lead, tail, kept)
-          }
-        }(RowEncoder.encoderFor(outSchema)).orderBy("doc_id")
-      },
+      (s, d) => audioTrimReport(mediaPayload(s, d)).orderBy("doc_id"),
       // ASCII corpus: body byte k = codepoint of text char k+1 (the
       // m36/m37 contract), so the oracle rebuilds every sample, mirrors
       // the integer energy and threshold, and derives the runs with the

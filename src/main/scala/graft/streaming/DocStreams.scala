@@ -147,6 +147,28 @@ object DocStreams {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Streaming audio triage — the live twin of batch m42: each
+    * micro-batch of (doc_id, payload) containers runs the VAD-prep pass
+    * ([[graft.queries.Multimodal.audioTrimReport]] — per-window integer
+    * energy, quiet runs, head/tail trim plan, one partition-wise scan;
+    * payloads never leave executors) and writes the per-doc trim reports
+    * to the batch-id-keyed idempotent sink. Per-document purity ⇒
+    * micro-batch union == the one-shot batch report (StreamingSpec,
+    * against the m42 arm itself) — the completes-the-set twin next to
+    * text admission and image phash admission. */
+  def audioTrimStream(
+      payloads: DataFrame,
+      path: String,
+      ckpt: String): StreamingQuery =
+    payloads.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.queries.Multimodal.audioTrimReport(batch)
+          .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Streaming blocklist gate — the live twin of batch t145: each
     * micro-batch runs the one-pass Aho–Corasick scan against a FIXED
     * pattern list (the automaton compiles once per plan; refreshed

@@ -756,6 +756,29 @@ class StreamingSpec extends SparkTestBase {
       "replayed batch must exclude its own previously-appended chunks")
   }
 
+  test("audio trim stream: micro-batch union equals the one-shot batch report") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.Multimodal
+    import graft.streaming.DocStreams
+
+    val payloads = Multimodal.mediaPayload(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val (b1, b2) = payloads.splitAt(payloads.length / 3) // uneven on purpose
+    val base = java.nio.file.Files.createTempDirectory("graft_audiotrim").toString
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = DocStreams.audioTrimStream(
+      input.toDS().toDF("doc_id", "payload"), s"$base/out", s"$base/ckpt")
+    try Seq(b1, b2).foreach { b => input.addData(b.toSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (0 to 6).map(r.getLong).toList).toSet
+    val streamed = keys(spark.read.parquet(s"$base/out"))
+    val batch = keys(Multimodal.audioTrimReport(
+      payloads.toSeq.toDF("doc_id", "payload")))
+    assert(streamed == batch && streamed.size == payloads.length)
+  }
+
   test("image phash stream: admitted signatures gate later batches, replays idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
