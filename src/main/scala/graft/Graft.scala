@@ -154,9 +154,21 @@ object Graft {
       df: DataFrame,
       id: String = "doc_id",
       payload: String = "payload"): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{coalesce, col, concat, expr, lit, raise_error, when}
+    // same quarantine semantics as binaryFileIngest: a null or non-numeric
+    // id fails LOUDLY with the offending value in the message instead of
+    // becoming a null long that NPEs namelessly in the decode kernel's
+    // r.getLong(0)
+    val idCol = expr(s"try_cast(`$id` AS BIGINT)")
     queries.Multimodal.aHashBands(
-      df.select(col(id).cast("long").as("doc_id"), col(payload).as("payload")))
+      df.select(
+        when(idCol.isNull,
+          raise_error(concat(
+            lit(s"imageSignatures: id column '$id' is not a valid BIGINT: "),
+            coalesce(col(id).cast("string"), lit("NULL")))).cast("long"))
+          .otherwise(idCol)
+          .as("doc_id"),
+        col(payload).as("payload")))
   }
 
   /** Image near-dup admission of a batch of signatures against a static

@@ -99,14 +99,13 @@ object ScaleRehearsal {
       dt
     }
     registry.foreach(q => once(q, s"warmup-${q.name}"))
-    case class R(sec: Double, shuffle: Long, spill: Long)
-    val best = scala.collection.mutable.Map.empty[String, R]
+    val best = scala.collection.mutable.Map.empty[String, Double]
     val bestGroup = scala.collection.mutable.Map.empty[String, String]
     for (run <- 1 to runs; q <- registry) {
       val group = s"run$run-${q.name}"
       val sec = once(q, group)
-      if (!best.contains(q.name) || sec < best(q.name).sec) {
-        best(q.name) = R(sec, 0L, 0L)
+      if (!best.contains(q.name) || sec < best(q.name)) {
+        best(q.name) = sec
         bestGroup(q.name) = group
       }
     }
@@ -117,9 +116,12 @@ object ScaleRehearsal {
       Thread.sleep(1000)
     println(f"${"query"}%-28s ${"sec"}%8s ${"shuffleMB"}%10s ${"spillMB"}%8s")
     registry.foreach { q =>
-      val r = best(q.name)
+      val sec = best(q.name)
       val t = Option(m.byGroup.get(bestGroup(q.name))).getOrElse(Tot())
-      println(f"${q.name}%-28s ${r.sec}%8.2f ${t.shuffle / 1e6}%10.1f ${t.spill / 1e6}%8.1f")
+      // fields are mutated under t.synchronized on the listener thread —
+      // read under the same lock so the post-drain read is fully ordered
+      val (sh, sp) = t.synchronized((t.shuffle, t.spill))
+      println(f"${q.name}%-28s $sec%8.2f ${sh / 1e6}%10.1f ${sp / 1e6}%8.1f")
     }
     spark.stop()
   }

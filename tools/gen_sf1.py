@@ -76,9 +76,18 @@ def main():
         f"SELECT source, lang FROM '{SRC}/documents.parquet'").fetchall()
 
     rnd = random.Random(SEED)
-    vocab = sorted({"".join(rnd.choice("abcdefghijklmnopqrstuvwxyz")
-                            for _ in range(rnd.randint(3, 8)))
-                    for _ in range(n_vocab + 20 * mult)})[:n_vocab]
+    drawn = {"".join(rnd.choice("abcdefghijklmnopqrstuvwxyz")
+                     for _ in range(rnd.randint(3, 8)))
+             for _ in range(n_vocab + 20 * mult)}
+    # 3-letter collisions grow ~quadratically with draws while the 20*mult
+    # margin grows linearly, so at large mult the deduped set can fall
+    # short — top up until n_vocab distinct words exist (a no-op at the
+    # mults used so far, keeping those corpora bit-identical)
+    while len(drawn) < n_vocab:
+        drawn.add("".join(rnd.choice("abcdefghijklmnopqrstuvwxyz")
+                          for _ in range(rnd.randint(3, 8))))
+    vocab = sorted(drawn)[:n_vocab]
+    assert len(vocab) == n_vocab, (len(vocab), n_vocab)
     docs = []
     for i in range(n_docs):
         u = rnd.random()
