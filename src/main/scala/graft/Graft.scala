@@ -147,6 +147,17 @@ object Graft {
       buckets: Int = 256): DataFrame =
     operators.Dsir.weights(docs, target, raw, id, text, buckets)
 
+  /** DSIR weights when target/raw partition the scored corpus by a row
+    * predicate — one tokenize pass fits both distributions; see
+    * [[graft.operators.Dsir.weightsSplit]]. */
+  def dsirWeightsSplit(
+      docs: DataFrame,
+      targetPred: org.apache.spark.sql.Column,
+      id: String = "doc_id",
+      text: String = "text",
+      buckets: Int = 256): DataFrame =
+    operators.Dsir.weightsSplit(docs, targetPred, id, text, buckets)
+
   /** 8×8 average-hash signatures of a GRFT1-raster (id, payload) frame —
     * one shuffle-free partition-wise decode pass; see
     * [[graft.queries.Multimodal.aHashBands]]. Returns (doc_id, bands). */

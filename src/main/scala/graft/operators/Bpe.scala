@@ -325,6 +325,39 @@ object Bpe {
          |FROM tok JOIN enc ON tok.w = enc.w
          |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin
 
+  /** The DuckDB oracle for the t169 ROUND-TRIP certification: re-derives
+    * the merge rules with the identical unrolled chain, decodes every
+    * encoded vocabulary word (concatenate pieces, strip the '_' marker),
+    * and re-assembles each document from its token stream's decoded
+    * pieces in position order — the inversion property
+    * decode(encode(doc)) == canonical(doc) that tokenizer users actually
+    * depend on, checked per document. `docTokensSql` must emit
+    * (doc_id, w, pos) with pos the 1-based token position;
+    * `docCanonSql` must emit (doc_id, canon) — the space-joined
+    * canonical token stream the round trip must reproduce. */
+  def roundTripOracleSql(
+      steps: Int,
+      wordFreqSql: String,
+      docTokensSql: String,
+      docCanonSql: String): String =
+    chainSql(steps, wordFreqSql, resegmentLast = true) +
+      s""",
+         |enc AS (SELECT w, CAST(len(s) AS BIGINT) AS np,
+         |  substring(list_aggregate(s, 'string_agg', ''), 2) AS dec FROM w$steps),
+         |tok AS ($docTokensSql),
+         |canon AS ($docCanonSql),
+         |r AS (
+         |  SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(enc.np) AS BIGINT) AS n_pieces,
+         |    CAST(SUM(CASE WHEN enc.dec <> tok.w THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_bad_words,
+         |    string_agg(enc.dec, ' ' ORDER BY tok.pos) AS rebuilt
+         |  FROM tok JOIN enc ON tok.w = enc.w GROUP BY tok.doc_id)
+         |SELECT r.doc_id, r.n_words, r.n_pieces, r.n_bad_words,
+         |  CAST(CASE WHEN r.rebuilt = canon.canon THEN 1 ELSE 0 END AS BIGINT) AS ok
+         |FROM r JOIN canon ON r.doc_id = canon.doc_id
+         |ORDER BY r.doc_id""".stripMargin
+
   /** Shared unrolled-CTE chain: w0..w{steps-1} vocabulary states (plus
     * w{steps} when `resegmentLast` — encoding needs the post-final-rule
     * segmentation that training never materializes), each with its pair

@@ -1010,14 +1010,14 @@ object Text {
     // corpus-sized shuffle is the per-doc agg keyed by doc_id.
     Q(
       "t114_dsir_weights",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
+      (s, d) =>
+        // split form: target and raw partition the scored corpus itself,
+        // so both distributions fit from ONE conditional agg inside a
+        // single tokenize pass (Dsir.weightsSplit) — the generic
+        // three-frame weights() pays three corpus tokenizations here
         graft.operators.Dsir
-          .weights(docs,
-            target = docs.filter(col("lang") === "en"),
-            raw = docs.filter(col("lang") =!= "en"))
-          .orderBy("doc_id")
-      },
+          .weightsSplit(Tables.documents(s, d), col("lang") === "en")
+          .orderBy("doc_id"),
       Some("""WITH tk AS (
              |  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
              |  FROM documents),
@@ -1499,6 +1499,68 @@ object Text {
         """SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
           |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
           |  GROUP BY w""".stripMargin)),
+    ),
+
+    // ----- t169: BPE round-trip certification (decode ∘ encode = id) -----
+    // t122/t123/t159 produce merge tables and ids; NOTHING there certifies
+    // the one property tokenizer users actually depend on — that decoding
+    // the pieces reproduces the text. This closes it per document: decode
+    // every encoded vocabulary word (concatenate pieces, strip the '_'
+    // marker), re-assemble each document from its token stream's decoded
+    // pieces in position order, and compare against the canonical
+    // space-joined token stream. BPE merges only ever CONCATENATE adjacent
+    // symbols, so ok = 1 and n_bad_words = 0 everywhere is the theorem;
+    // a segmentation bug (dropped symbol, wrong merge site, marker
+    // mishandling) flips rows and the oracle hash catches it. Scale
+    // shape: identical to t123 — the fold chain runs per DISTINCT word,
+    // the corpus-sized work is one token-stream hash join plus a
+    // doc-keyed agg whose per-doc collect_list is document-sized (KB),
+    // never corpus-sized. The oracle re-derives the SAME rules via the
+    // unrolled chain, so the certification can't drift between engines.
+    Q(
+      "t169_bpe_roundtrip",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+              .as(Seq("pos", "w")))
+          .localCheckpoint()
+        val wf = toks.groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq"))
+          .localCheckpoint()
+        val merges = graft.operators.Bpe.train(s, wf, "w", "freq", steps = BpeSteps)
+          .select(col("lhs"), col("rhs")).collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        val dec = graft.operators.Bpe.encodeVocab(wf.select(col("w")), "w", merges)
+          .select(col("w"), col("n_pieces"),
+            expr("substring(array_join(pieces, ''), 2)").as("dec"))
+        val canon = Tables.documents(s, d)
+          .select(col("doc_id"),
+            array_join(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), " ")
+              .as("canon"))
+        toks.join(dec, "w")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_words"),
+            sum(col("n_pieces")).as("n_pieces"),
+            sum(when(col("dec") =!= col("w"), 1L).otherwise(0L)).as("n_bad_words"),
+            array_join(
+              expr("transform(array_sort(collect_list(struct(pos, dec))), x -> x.dec)"),
+              " ").as("rebuilt"))
+          .join(canon, "doc_id")
+          .select(col("doc_id"), col("n_words"), col("n_pieces"), col("n_bad_words"),
+            when(col("rebuilt") === col("canon"), 1L).otherwise(0L).as("ok"))
+          .orderBy("doc_id")
+      },
+      Some(graft.operators.Bpe.roundTripOracleSql(
+        BpeSteps,
+        """SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+          |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+          |  GROUP BY w""".stripMargin,
+        """SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w,
+          |    generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1) AS pos
+          |  FROM documents""".stripMargin,
+        """SELECT doc_id, array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ' ')
+          |    AS canon FROM documents""".stripMargin)),
     ),
 
     // ----- temperature-based source mixing (α = 0.5) -----

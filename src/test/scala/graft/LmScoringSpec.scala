@@ -173,6 +173,28 @@ class LmScoringSpec extends SparkTestBase {
     assert(out2.length == 1 && !out2(0).isNullAt(2), "empty raw slice must not null the weights")
   }
 
+  test("Dsir.weightsSplit equals weights when target/raw partition the corpus") {
+    import graft.operators.Dsir
+    val docs = Tables.documents(spark, sf)
+    val viaFilters = Dsir.weights(docs,
+      target = docs.filter(col("lang") === "en"),
+      raw = docs.filter(col("lang") =!= "en"))
+    val viaSplit = Dsir.weightsSplit(docs, col("lang") === "en")
+    assert(viaSplit.except(viaFilters).count() == 0 &&
+      viaFilters.except(viaSplit).count() == 0,
+      "single-pass conditional fit must be row-identical to the two-filter fit")
+    // a null predicate row lands in NEITHER distribution but is still scored
+    import spark.implicits._
+    val withNull = Seq((1L, "aa bb", "en"), (2L, "cc", null.asInstanceOf[String]),
+      (3L, "dd", "fr")).toDF("doc_id", "text", "lang")
+    val s = Dsir.weightsSplit(withNull, col("lang") === "en")
+    val f = Dsir.weights(withNull,
+      target = withNull.filter(col("lang") === "en"),
+      raw = withNull.filter(col("lang") =!= "en"))
+    assert(s.except(f).count() == 0 && f.except(s).count() == 0)
+    assert(s.count() == 3, "null-predicate docs still receive a score")
+  }
+
   test("t115: versions chain — valid_to meets the next valid_from, one current row per user") {
     val h = build("t115_scd2_history").cache()
     try {

@@ -11,13 +11,26 @@ the shipped lineitem, 509 ambiguous tie groups survive its filter at sf0.01,
 and the 10x-corpus gate run caught the misalignment (39k rows) that the
 sf0.01 gate had been passing by accident.
 
-This tool replays that audit against any graft.Verify dump: for each query,
-it parses the oracle's outermost ORDER BY, strips alias prefixes and
-DESC/NULLS markers, and checks in DuckDB whether any ORDER BY key group in
-the dumped output contains two DISTINCT full rows. Queries whose ORDER BY
-cannot be auto-parsed (expression keys, inner LIMIT subqueries) are listed
-as MANUAL for eyeball review — in the current registry all of those are
-1-row scalar reports or provably-unique keys.
+This tool replays that audit against any graft.Verify dump. For each
+oracle it finds the TOP-LEVEL ORDER BY (paren-depth-0 scan over a copy
+with comments and string literals blanked — an inner CTE's ORDER BY never
+counts, which is what used to shunt every 1-row scalar report into
+MANUAL):
+
+  - no top-level ORDER BY: sound iff the dump holds <= 1 row, else
+    AMBIGUOUS (the emitted-order compare has no contract at all);
+  - otherwise the keys are split on top-level commas with ASC/DESC/NULLS
+    markers stripped, KEEPING expression text, and the check groups the
+    dumped rows by every key that binds against the output schema
+    (plain columns AND expressions like md5(CAST(doc_id AS VARCHAR))).
+    Keys that do not bind are retried through an `expr AS alias` rename
+    map scraped from the SQL (ORDER BY p_brand vs SELECT p_brand AS
+    brand). Grouping by a SUBSET of the keys is SOUND: if the evaluable
+    subset already puts <= 1 distinct row in every group, the full key
+    list — a refinement — is total a fortiori.
+
+Only a query whose evaluable-key grouping leaves ties (or binds nothing)
+lands in MANUAL for eyeball review.
 
 Usage: ordercheck.py <verifyOutDir>
 Exit 0 = no AMBIGUOUS contract found (MANUAL entries still print).
@@ -30,45 +43,153 @@ import sys
 import duckdb
 
 
+def blank_noise(sql):
+    """Copy of sql with -- comments and '...' literals space-blanked so a
+    paren or ORDER BY inside them can't confuse the depth scan. Length
+    (and thus every index) is preserved."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "-" and i + 1 < n and sql[i + 1] == "-":
+            while i < n and sql[i] != "\n":
+                out[i] = " "
+                i += 1
+        elif c == "'":
+            out[i] = " "
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    # '' escape stays inside the literal
+                    if i + 1 < n and sql[i + 1] == "'":
+                        out[i] = out[i + 1] = " "
+                        i += 2
+                        continue
+                    out[i] = " "
+                    i += 1
+                    break
+                out[i] = " "
+                i += 1
+        else:
+            i += 1
+    return "".join(out)
+
+
+def top_level_order_by(sql):
+    """(start, clause) of the LAST depth-0 ORDER BY, or None."""
+    clean = blank_noise(sql)
+    depth = 0
+    last = None
+    for m in re.finditer(r"[()]|ORDER\s+BY", clean, re.I):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            last = m.end()
+    if last is None:
+        return None
+    # the clause runs to end-of-statement (top level: nothing follows but
+    # an optional LIMIT/OFFSET, which we strip)
+    clause = sql[last:].strip().rstrip(";").strip()
+    clause = re.sub(r"\b(LIMIT|OFFSET)\b[\s\S]*$", "", clause, flags=re.I).strip()
+    return clause
+
+
+def split_keys(clause):
+    """Top-level comma split of an ORDER BY clause; ASC/DESC/NULLS
+    FIRST/LAST markers stripped, expression text kept."""
+    keys, depth, cur = [], 0, []
+    for ch in clause:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            keys.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    keys.append("".join(cur))
+    out = []
+    for k in keys:
+        k = k.strip()
+        k = re.sub(r"\s+(ASC|DESC)\s*$", "", k, flags=re.I)
+        k = re.sub(r"\s+NULLS\s+(FIRST|LAST)\s*$", "", k, flags=re.I)
+        k = re.sub(r"\s+(ASC|DESC)\s*$", "", k, flags=re.I)
+        if k:
+            out.append(k)
+    return out
+
+
+def alias_map(sql):
+    """expr -> alias pairs scraped from `expr AS alias` sites (identifier
+    exprs only — enough for the ORDER-BY-pre-rename-column pattern)."""
+    m = {}
+    for expr, alias in re.findall(
+            r"([A-Za-z_][A-Za-z0-9_.]*)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)",
+            sql, re.I):
+        m.setdefault(expr, alias)
+        m.setdefault(expr.split(".")[-1], alias)
+    return m
+
+
 def main():
     out = sys.argv[1]
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     con = duckdb.connect()
     ambiguous, manual = [], []
     for name, sql in sorted(oracle.items()):
-        hits = re.findall(r'ORDER BY\s+([^)\n;]+(?:\n[^)\n;]+)*)', sql, re.I)
-        if not hits:
-            continue  # scalar report with no ordering: compare is 1-row
-        raw = hits[-1]
-        cols = []
-        for c in raw.split(','):
-            c = c.strip().split()[0]        # drop DESC / NULLS markers
-            c = c.split('.')[-1].strip('"')  # strip alias prefix
-            if re.fullmatch(r'[A-Za-z_][A-Za-z0-9_]*', c):
-                cols.append(c)
-            else:
-                cols = None
-                break
         path = f"{out}/{name}"
         if not os.path.isdir(path):
             continue
-        have = set(con.query(
-            f"SELECT * FROM '{path}/*.parquet' LIMIT 0").columns)
-        if cols is None or not set(cols) <= have:
-            manual.append((name, raw.replace('\n', ' ')[:70]))
+        rel = f"'{path}/*.parquet'"
+        clause = top_level_order_by(sql)
+        if clause is None:
+            nrows = con.execute(f"SELECT count(*) FROM {rel}").fetchone()[0]
+            if nrows > 1:
+                ambiguous.append((name, f"{nrows} rows with NO top-level ORDER BY"))
             continue
-        cl = ", ".join(f'"{c}"' for c in cols)
+        keys = split_keys(clause)
+        renames = alias_map(sql)
+
+        def binds(expr):
+            try:
+                con.execute(f"SELECT {expr} FROM {rel} LIMIT 0")
+                return True
+            except Exception:
+                return False
+
+        usable = []
+        for k in keys:
+            for cand in (k, k.split(".")[-1] if re.fullmatch(
+                    r"[A-Za-z_][A-Za-z0-9_]*\.[A-Za-z_][A-Za-z0-9_]*", k)
+                    else None, renames.get(k), renames.get(k.split(".")[-1])):
+                if cand and binds(cand):
+                    usable.append(cand)
+                    break
+        if not usable:
+            manual.append((name, clause.replace("\n", " ")[:70]))
+            continue
+        cl = ", ".join(usable)
         n = con.execute(f"""
             SELECT count(*) FROM (
-              SELECT {cl}
-              FROM (SELECT tt AS r, * FROM '{path}/*.parquet' tt)
+              SELECT 1
+              FROM (SELECT tt AS r, * FROM {rel} tt)
               GROUP BY {cl}
               HAVING count(*) > 1
                  AND count(DISTINCT CAST(r AS VARCHAR)) > 1)""").fetchone()[0]
         if n > 0:
-            ambiguous.append((name, n))
-    for name, n in ambiguous:
-        print(f"AMBIGUOUS {name}: {n} ORDER BY key groups hold distinct rows")
+            if len(usable) < len(keys):
+                # subset proof failed but unevaluable keys remain — a human
+                # must decide whether those break the ties
+                manual.append((name, clause.replace("\n", " ")[:70]))
+            else:
+                ambiguous.append(
+                    (name, f"{n} ORDER BY key groups hold distinct rows"))
+    for name, why in ambiguous:
+        print(f"AMBIGUOUS {name}: {why}")
     for name, raw in manual:
         print(f"MANUAL    {name}: ORDER BY {raw}")
     print(f"{len(ambiguous)} ambiguous / {len(manual)} manual "
