@@ -46,7 +46,16 @@ The scaled lineitem stays at 10 copies for any mult (the relational
 rehearsal is a separate axis; scaling it 100x would just slow the
 documents-family runs this corpus exists for).
 
-Usage: gen_sf1.py [outDir] [mult]   (default /root/repo/testdata-sf1 1)
+Round 12 adds the relational axis's own second decade: an optional
+liCopies arg scales lineitem to liCopies orderkey-offset copies (100 ->
+60M rows), and when liCopies != 10 ALSO scales orders the same way
+(o_orderkey offset, cent-level o_totalprice shift, o_custkey kept so
+every per-customer window partition grows liCopies deep — the q10
+shape) — plus --relational-only to skip the document/embedding
+synthesis for a corpus that exists only for the lineitem/orders family.
+
+Usage: gen_sf1.py [outDir] [mult] [liCopies] [--relational-only]
+       (default /root/repo/testdata-sf1 1 10)
 """
 import os
 import random
@@ -64,11 +73,24 @@ SEED = 20260814
 
 
 def main():
-    out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata-sf1"
-    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    relational_only = "--relational-only" in sys.argv
+    out = args[0] if len(args) > 0 else "/root/repo/testdata-sf1"
+    mult = int(args[1]) if len(args) > 1 else 1
+    li_copies = int(args[2]) if len(args) > 2 else 10
     n_docs, n_vecs, n_vocab = N_DOCS * mult, N_VECS * mult, 500 * mult
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    if relational_only:
+        gen_relational(con, out, li_copies)
+        for f in os.listdir(SRC):
+            if f not in ("documents.parquet", "embeddings.parquet",
+                         "lineitem.parquet", "orders.parquet"):
+                shutil.copy(os.path.join(SRC, f), os.path.join(out, f))
+        n = con.execute(f"SELECT count(*) FROM '{out}/lineitem.parquet'").fetchone()[0]
+        no = con.execute(f"SELECT count(*) FROM '{out}/orders.parquet'").fetchone()[0]
+        print(f"wrote {out}: {n} lineitem rows, {no} orders rows (relational axis)")
+        return
     wordcounts = [r[0] for r in con.execute(
         f"SELECT len(regexp_extract_all(text, '\\S+')) FROM '{SRC}/documents.parquet'"
     ).fetchall()]
@@ -138,24 +160,45 @@ def main():
                 "CAST(label AS INTEGER) AS label FROM edf")
     con.execute(f"COPY e TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
 
-    # 10x lineitem: orderkey-offset copies + cent-level price diversification
+    gen_relational(con, out, li_copies)
+
+    for f in os.listdir(SRC):
+        if f not in ("documents.parquet", "embeddings.parquet",
+                     "lineitem.parquet", "orders.parquet"):
+            shutil.copy(os.path.join(SRC, f), os.path.join(out, f))
+    n, avg = con.execute(f"SELECT count(*), avg(length(text)) "
+                         f"FROM '{out}/documents.parquet'").fetchone()
+    nv = con.execute(f"SELECT count(*) FROM '{out}/embeddings.parquet'").fetchone()[0]
+    print(f"wrote {out}: {n} docs, avg len {avg:.0f}; {nv} vecs")
+
+
+def gen_relational(con, out, li_copies):
+    """Scaled lineitem (always) and orders (when li_copies != 10, the
+    relational-axis signal): orderkey-offset copies with cent-level price
+    diversification so distinct-value counts grow with the data; group
+    keys (l_suppkey, o_custkey, flags) are NOT offset, so every group
+    grows li_copies deep — the grouped-selection / window-depth shape the
+    axis exists to stress."""
     con.execute(
         f"""COPY (
               SELECT li.* REPLACE (
                 li.l_orderkey + c.i * (SELECT max(l_orderkey) + 1
                                        FROM '{SRC}/lineitem.parquet') AS l_orderkey,
                 li.l_extendedprice + c.i * 0.01 AS l_extendedprice)
-              FROM '{SRC}/lineitem.parquet' li, range(10) c(i)
+              FROM '{SRC}/lineitem.parquet' li, range({li_copies}) c(i)
             ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
-
-    for f in os.listdir(SRC):
-        if f not in ("documents.parquet", "embeddings.parquet",
-                     "lineitem.parquet"):
-            shutil.copy(os.path.join(SRC, f), os.path.join(out, f))
-    n, avg = con.execute(f"SELECT count(*), avg(length(text)) "
-                         f"FROM '{out}/documents.parquet'").fetchone()
-    nv = con.execute(f"SELECT count(*) FROM '{out}/embeddings.parquet'").fetchone()[0]
-    print(f"wrote {out}: {n} docs, avg len {avg:.0f}; {nv} vecs")
+    if li_copies != 10:
+        con.execute(
+            f"""COPY (
+                  SELECT o.* REPLACE (
+                    o.o_orderkey + c.i * (SELECT max(o_orderkey) + 1
+                                          FROM '{SRC}/orders.parquet') AS o_orderkey,
+                    o.o_totalprice + c.i * 0.01 AS o_totalprice)
+                  FROM '{SRC}/orders.parquet' o, range({li_copies}) c(i)
+                ) TO '{out}/orders.parquet' (FORMAT PARQUET)""")
+    else:
+        shutil.copy(os.path.join(SRC, "orders.parquet"),
+                    os.path.join(out, "orders.parquet"))
 
 
 if __name__ == "__main__":
