@@ -190,6 +190,23 @@ object Graft {
   def imageAdmission(batchSigs: DataFrame, storeSigs: DataFrame): DataFrame =
     queries.Multimodal.phashAdmission(batchSigs, storeSigs)
 
+  /** Bounded-cadence LSH recall certification with the slice size as the
+    * statistical-power knob (200 ≈ the cheap probe, 2000 ≈ the
+    * guarantee-grade ±≤60 bp form; truth-arm cost is O(slice²) at ANY
+    * corpus size) — see [[graft.queries.Similarity.lshRecallCadence]]. */
+  def lshRecallCertification(spark: SparkSession, dir: String, sliceDocs: Int = 200): DataFrame = {
+    require(sliceDocs >= 2, s"need at least 2 docs in the slice, got $sliceDocs")
+    queries.Similarity.lshRecallCadence(spark, dir, sliceDocs)
+  }
+
+  /** [[lshRecallCertification]] over any (doc_id, text, ...) frame — point
+    * it at the production corpus; ci95_bp self-reports the statistical
+    * power the chosen slice actually bought. */
+  def lshRecallCertification(docs: DataFrame, sliceDocs: Int): DataFrame = {
+    require(sliceDocs >= 2, s"need at least 2 docs in the slice, got $sliceDocs")
+    queries.Similarity.lshRecallCadenceDocs(docs, sliceDocs)
+  }
+
   /** Inject the graft_* SQL functions into a live session — see
     * [[GraftExtensions.register]] (builder-time sessions can use
     * `.withExtensions(new GraftExtensions)` instead). */

@@ -195,6 +195,99 @@ object Similarity {
       .select("doc_id1", "doc_id2").distinct()
   }
 
+  /** Bounded-cadence LSH recall certification at a caller-chosen slice
+    * size — the t161/t170 engine (slice size is the statistical-power
+    * knob; see t161's registry comment for the estimator and CI
+    * derivation). The truth arm is exact over a deterministic
+    * lowest-md5(doc_id) slice (O(slice²) at ANY corpus size); the
+    * measured arm is the untouched full-corpus t31 banding with its
+    * production bucket caps, exact-verified only on slice-internal
+    * candidates. Exposed on the facade as Graft.lshRecallCertification. */
+  private[graft] def lshRecallCadence(s: SparkSession, d: String, sliceDocs: Int): DataFrame =
+    lshRecallCadenceDocs(Tables.documents(s, d), sliceDocs)
+
+  /** [[lshRecallCadence]] over ANY (doc_id, text, ...) frame — the form a
+    * pipeline points at its own corpus (and the one that can actually
+    * reach guarantee-grade CIs: the shipped gate corpora top out at 256
+    * true pairs TOTAL, so their best possible ci95_bp is ~364 at any
+    * slice; a corpus with ≥ ~3100 within-slice true pairs certifies at
+    * ≤ 60 bp — proven on a planted corpus in SimilaritySpec). */
+  private[graft] def lshRecallCadenceDocs(docs: DataFrame, sliceDocs: Int): DataFrame = {
+    val sh = shingleDocs(docs).localCheckpoint()
+    // orderBy+limit → TakeOrderedAndProject: no global sort materializes
+    val slice = sh
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(sliceDocs)
+      .localCheckpoint()
+    val ids = slice.select(col("doc_id")).localCheckpoint()
+    val truth = graft.operators.SetSimJoin.join(slice, "doc_id", "shingles", tauPct = 80)
+      .select(col("doc_id1"), col("doc_id2")).localCheckpoint()
+    // candidate generation stays FULL-corpus (the bucket caps being
+    // priced are corpus-sized), but the exact verify — the dominant
+    // cost of the t31 pipeline — runs only on slice-internal
+    // candidates: verification is per-pair, so the surviving pair set
+    // is identical and the cadence query never pays a corpus-wide
+    // intersect pass
+    val cand = minhashCandPairs(sh)
+      .join(broadcast(ids.withColumnRenamed("doc_id", "doc_id1")), Seq("doc_id1"), "left_semi")
+      .join(broadcast(ids.withColumnRenamed("doc_id", "doc_id2")), Seq("doc_id2"), "left_semi")
+    val s1 = sh.select(col("doc_id").as("doc_id1"), col("shingles").as("s1"))
+    val s2 = sh.select(col("doc_id").as("doc_id2"), col("shingles").as("s2"))
+    val lsh = jaccardPairs(cand.join(s1, "doc_id1").join(s2, "doc_id2"))
+      .filter(col("jac") >= 0.8)
+      .select(col("doc_id1"), col("doc_id2")).localCheckpoint()
+    val hit = truth.join(lsh, Seq("doc_id1", "doc_id2"))
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(
+        col("n_true"), col("n_lsh"), col("n_hit"),
+        expr("n_hit * 10000 div greatest(n_true, 1L)").as("recall_bp"),
+        expr("""CASE WHEN n_hit = n_true OR n_hit = 0
+                 THEN 30000 div greatest(n_true, 1L)
+                 ELSE CAST(ROUND(19600.0 * sqrt(
+                   (n_hit * 1.0 / n_true)
+                   * (1.0 - n_hit * 1.0 / n_true)
+                   / n_true)) AS BIGINT) END""").as("ci95_bp"))
+  }
+
+  /** DuckDB oracle for [[lshRecallCadence]] at the same slice size. */
+  private def lshRecallCadenceSql(sliceDocs: Int): String =
+    s"""WITH $minhashPairsSqlCtes,
+       |lsh AS (SELECT doc_id1, doc_id2 FROM j WHERE jac >= 0.8),
+       |slice AS (SELECT doc_id FROM sh
+       |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $sliceDocs),
+       |hss AS (SELECT hs.* FROM hs JOIN slice USING (doc_id)),
+       |hsz AS (SELECT sh.doc_id, CAST(len(shingles) AS BIGINT) AS n
+       |        FROM sh JOIN slice USING (doc_id)),
+       |tp AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM hss a JOIN hss b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT d1, d2 FROM tp JOIN hsz s1 ON tp.d1 = s1.doc_id
+       |  JOIN hsz s2 ON tp.d2 = s2.doc_id
+       |  WHERE inter * 100 >= 80 * (s1.n + s2.n - inter)),
+       |lshs AS (
+       |  SELECT l.* FROM lsh l JOIN slice a ON l.doc_id1 = a.doc_id
+       |  JOIN slice b ON l.doc_id2 = b.doc_id),
+       |hit AS (
+       |  SELECT t.d1 FROM truth t
+       |  JOIN lshs ON t.d1 = lshs.doc_id1 AND t.d2 = lshs.doc_id2)
+       |SELECT
+       |  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+       |  CAST((SELECT COUNT(*) FROM lshs) AS BIGINT) AS n_lsh,
+       |  CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+       |  CAST(((SELECT COUNT(*) FROM hit) * 10000)
+       |       // GREATEST((SELECT COUNT(*) FROM truth), 1) AS BIGINT) AS recall_bp,
+       |  CASE WHEN (SELECT COUNT(*) FROM hit) = (SELECT COUNT(*) FROM truth)
+       |         OR (SELECT COUNT(*) FROM hit) = 0
+       |    THEN CAST(30000 // GREATEST((SELECT COUNT(*) FROM truth), 1) AS BIGINT)
+       |    ELSE CAST(ROUND(19600.0 * sqrt(
+       |      ((SELECT COUNT(*) FROM hit) * 1.0 / (SELECT COUNT(*) FROM truth))
+       |      * (1.0 - (SELECT COUNT(*) FROM hit) * 1.0
+       |               / (SELECT COUNT(*) FROM truth))
+       |      / (SELECT COUNT(*) FROM truth))) AS BIGINT) END AS ci95_bp""".stripMargin
+
   /** MinHash band signatures (doc_id, band, sig) for (doc_id, shingles)
     * rows — K=32 permutations in 4 bands of 8, the t31 layout. Map-only
     * (zero shuffle), so it runs unchanged on a streaming micro-batch. */
@@ -2600,78 +2693,24 @@ object Similarity {
     // sizes.
     Q(
       "t161_lsh_recall_cadence",
-      (s, d) => {
-        val sh = shingled(s, d).localCheckpoint()
-        // orderBy+limit → TakeOrderedAndProject: no global sort materializes
-        val slice = sh
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-          .limit(200)
-          .localCheckpoint()
-        val ids = slice.select(col("doc_id")).localCheckpoint()
-        val truth = graft.operators.SetSimJoin.join(slice, "doc_id", "shingles", tauPct = 80)
-          .select(col("doc_id1"), col("doc_id2")).localCheckpoint()
-        // candidate generation stays FULL-corpus (the bucket caps being
-        // priced are corpus-sized), but the exact verify — the dominant
-        // cost of the t31 pipeline — runs only on slice-internal
-        // candidates: verification is per-pair, so the surviving pair set
-        // is identical and the cadence query never pays a corpus-wide
-        // intersect pass
-        val cand = minhashCandPairs(sh)
-          .join(broadcast(ids.withColumnRenamed("doc_id", "doc_id1")), Seq("doc_id1"), "left_semi")
-          .join(broadcast(ids.withColumnRenamed("doc_id", "doc_id2")), Seq("doc_id2"), "left_semi")
-        val s1 = sh.select(col("doc_id").as("doc_id1"), col("shingles").as("s1"))
-        val s2 = sh.select(col("doc_id").as("doc_id2"), col("shingles").as("s2"))
-        val lsh = jaccardPairs(cand.join(s1, "doc_id1").join(s2, "doc_id2"))
-          .filter(col("jac") >= 0.8)
-          .select(col("doc_id1"), col("doc_id2")).localCheckpoint()
-        val hit = truth.join(lsh, Seq("doc_id1", "doc_id2"))
-        truth.agg(count(lit(1)).as("n_true"))
-          .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
-          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-          .select(
-            col("n_true"), col("n_lsh"), col("n_hit"),
-            expr("n_hit * 10000 div greatest(n_true, 1L)").as("recall_bp"),
-            expr("""CASE WHEN n_hit = n_true OR n_hit = 0
-                     THEN 30000 div greatest(n_true, 1L)
-                     ELSE CAST(ROUND(19600.0 * sqrt(
-                       (n_hit * 1.0 / n_true)
-                       * (1.0 - n_hit * 1.0 / n_true)
-                       / n_true)) AS BIGINT) END""").as("ci95_bp"))
-      },
-      Some(s"""WITH $minhashPairsSqlCtes,
-              |lsh AS (SELECT doc_id1, doc_id2 FROM j WHERE jac >= 0.8),
-              |slice AS (SELECT doc_id FROM sh
-              |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 200),
-              |hss AS (SELECT hs.* FROM hs JOIN slice USING (doc_id)),
-              |hsz AS (SELECT sh.doc_id, CAST(len(shingles) AS BIGINT) AS n
-              |        FROM sh JOIN slice USING (doc_id)),
-              |tp AS (
-              |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
-              |  FROM hss a JOIN hss b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
-              |truth AS (
-              |  SELECT d1, d2 FROM tp JOIN hsz s1 ON tp.d1 = s1.doc_id
-              |  JOIN hsz s2 ON tp.d2 = s2.doc_id
-              |  WHERE inter * 100 >= 80 * (s1.n + s2.n - inter)),
-              |lshs AS (
-              |  SELECT l.* FROM lsh l JOIN slice a ON l.doc_id1 = a.doc_id
-              |  JOIN slice b ON l.doc_id2 = b.doc_id),
-              |hit AS (
-              |  SELECT t.d1 FROM truth t
-              |  JOIN lshs ON t.d1 = lshs.doc_id1 AND t.d2 = lshs.doc_id2)
-              |SELECT
-              |  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
-              |  CAST((SELECT COUNT(*) FROM lshs) AS BIGINT) AS n_lsh,
-              |  CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
-              |  CAST(((SELECT COUNT(*) FROM hit) * 10000)
-              |       // GREATEST((SELECT COUNT(*) FROM truth), 1) AS BIGINT) AS recall_bp,
-              |  CASE WHEN (SELECT COUNT(*) FROM hit) = (SELECT COUNT(*) FROM truth)
-              |         OR (SELECT COUNT(*) FROM hit) = 0
-              |    THEN CAST(30000 // GREATEST((SELECT COUNT(*) FROM truth), 1) AS BIGINT)
-              |    ELSE CAST(ROUND(19600.0 * sqrt(
-              |      ((SELECT COUNT(*) FROM hit) * 1.0 / (SELECT COUNT(*) FROM truth))
-              |      * (1.0 - (SELECT COUNT(*) FROM hit) * 1.0
-              |               / (SELECT COUNT(*) FROM truth))
-              |      / (SELECT COUNT(*) FROM truth))) AS BIGINT) END AS ci95_bp""".stripMargin),
+      (s, d) => lshRecallCadence(s, d, sliceDocs = 200),
+      Some(lshRecallCadenceSql(sliceDocs = 200)),
+    ),
+
+    // ----- t170: guarantee-grade cadence certification (the power knob) -----
+    // t161's scaladoc names slice size as the statistical-power knob and
+    // argues a 2000-doc slice yields ~100× the true pairs and ~10× the CI
+    // tightness; this REGISTERS that claim so the guarantee-grade form is
+    // runnable (and oracle-gated), not just derived. Same machinery, same
+    // O(slice²)-at-any-corpus-size truth arm, slice = 2000 — the form a
+    // pipeline schedules when it needs the recall number to carry a
+    // ±≤60 bp interval (verified against the planted corpus in
+    // SimilaritySpec), with t161 remaining the cheap high-cadence probe.
+    // The knob is also a library surface: Graft.lshRecallCertification.
+    Q(
+      "t170_lsh_recall_power",
+      (s, d) => lshRecallCadence(s, d, sliceDocs = 2000),
+      Some(lshRecallCadenceSql(sliceDocs = 2000)),
     ),
 
     // ----- t162: incremental IVF index maintenance (append == rebuild) -----

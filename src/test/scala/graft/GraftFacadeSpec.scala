@@ -71,6 +71,32 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(out(10L)._2 < out(11L)._2)
   }
 
+  test("lshRecallCertification reaches guarantee grade (ci95 <= 60 bp) on a planted corpus") {
+    import spark.implicits._
+    // the shipped gate corpora top out at 256 true pairs TOTAL (best
+    // possible ci ~364 bp at any slice), so the <= 60 bp claim needs a
+    // corpus whose within-slice true-pair count clears the power budget
+    // (4000 pairs carries ci <= 60 bp for any recall >= 0.96, and ~8 bp
+    // at the ~0.999 the banding actually delivers here): plant 4000
+    // (base, near-copy) pairs — one word in ~40 changed, char-shingle
+    // jaccard ~0.975, bases mutually dissimilar via a seeded open
+    // vocabulary — and certify with the slice covering the corpus
+    val rnd = new scala.util.Random(20260815)
+    def word() = (1 to 6).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = (0 until 4000).flatMap { i =>
+      val base = (1 to 40).map(_ => word()).mkString(" ")
+      val words = base.split(" ")
+      val j = rnd.nextInt(words.length)
+      val near = words.updated(j, word()).mkString(" ")
+      Seq((2L * i, base), (2L * i + 1, near))
+    }.toDF("doc_id", "text")
+    val r = Graft.lshRecallCertification(docs, sliceDocs = 8000).collect()(0)
+    val (nTrue, recallBp, ciBp) = (r.getLong(0), r.getLong(3), r.getLong(4))
+    assert(nTrue >= 3900, s"planted corpus must clear the power budget, got $nTrue true pairs")
+    assert(recallBp >= 9600, s"banding recall collapsed: $recallBp bp")
+    assert(ciBp <= 60, s"guarantee-grade CI not reached: +/-$ciBp bp at n_true=$nTrue")
+  }
+
   test("copy() end-to-end through the facade") {
     val base = Paths.get("target/fixtures", "facade-" + System.nanoTime()).toAbsolutePath
     val src = base.resolve("src")
