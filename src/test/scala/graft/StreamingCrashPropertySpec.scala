@@ -1,0 +1,199 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Multimodal, Similarity}
+import graft.streaming.DocStreams
+
+/** Randomized crash-point certification of the streaming twins'
+  * exactly-once contracts. StreamingSpec exercises CHOSEN crash scenarios
+  * (partial append, re-delivery, rebase); this sweep draws the crash point
+  * at random — where the batch is split, how much of the crashed batch's
+  * store append committed (none / a random subset / all), and whether the
+  * verdict sink got (partially) written before the death — then replays
+  * and asserts the recomputed batch equals the BATCH-truth computation
+  * against exactly the pre-crash visible state. Seeded, so failures
+  * reproduce.
+  *
+  * Crash model (the harsher cross-incarnation form StreamingSpec
+  * established): the crashed batch re-delivers as batch 0 of a FRESH
+  * checkpoint, so its id collides with the committed history batch's id —
+  * the (batch_id, doc_id)-scoped exclusion must hide exactly the crashed
+  * batch's own partial rows while keeping history rows visible. A
+  * partially-written sink directory must be erased by the replay's
+  * per-batch-id overwrite.
+  */
+class StreamingCrashPropertySpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  import spark.implicits._
+  implicit private lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  /** Random crash point: fraction of the crashed batch's store rows that
+    * made it to disk, and whether the sink write (partially) happened. */
+  private def crashPoint(rnd: Random): (Double, Boolean) = {
+    val f = rnd.nextInt(3) match {
+      case 0 => 0.0 // died before any append
+      case 1 => rnd.nextDouble() // died mid-append
+      case _ => 1.0 // append finished, checkpoint commit didn't
+    }
+    (f, rnd.nextBoolean())
+  }
+
+  /** Deterministic f-subset of a frame by row hash. */
+  private def subset(df: DataFrame, f: Double, over: Seq[String]): DataFrame =
+    if (f >= 1.0) df
+    else if (f <= 0.0) df.limit(0)
+    else df.filter(pmod(abs(hash(over.map(col): _*)), lit(1000)) < lit((f * 1000).toInt))
+
+  test("chunkIndexStream survives random crash points (kill after N append rows, restart)") {
+    val rnd = new Random(20260815L)
+    val payloads = Multimodal.mediaPayload(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    for (trial <- 1 to 3) {
+      val table = s"ccp_chunk_$trial"
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val base = java.nio.file.Files.createTempDirectory(s"graft_ccp_chunk$trial").toString
+      val cut = 1 + rnd.nextInt(payloads.length - 1)
+      val (h, c) = payloads.splitAt(cut)
+      val (f, sinkWritten) = crashPoint(rnd)
+
+      def drive(ckpt: String, out: String)(b: Seq[(Long, Array[Byte])]): Unit = {
+        val input = MemoryStream[(Long, Array[Byte])]
+        val q = DocStreams.chunkIndexStream(
+          input.toDS().toDF("doc_id", "payload"), table, s"$base/store", out, ckpt)
+        try { input.addData(b: _*); q.processAllAvailable() } finally q.stop()
+      }
+      // incarnation 1: history commits as batch 0
+      drive(s"$base/ckpt1", s"$base/out1")(h.toSeq)
+      // incarnation 2 crashes inside batch 0 = C: a random prefix of its
+      // store rows is on disk under the SAME batch id; maybe a partial sink
+      val chunksC = Multimodal.chunkFps(c.toSeq.toDF("doc_id", "payload")).localCheckpoint()
+      val partial = subset(chunksC.select(col("doc_id"), col("fp")).distinct(), f,
+        Seq("doc_id", "fp"))
+      if (partial.count() > 0)
+        partial.withColumn("batch_id", lit(0L))
+          .write.mode("append").option("path", s"$base/store")
+          .bucketBy(8, "fp").saveAsTable(table)
+      if (sinkWritten)
+        Seq((-999L, -1L, -1L, -1L)).toDF("doc_id", "n_chunks", "n_dup_chunks", "dup_bytes")
+          .write.mode("overwrite").parquet(s"$base/out2/batch=0")
+      // restart: C re-delivers as batch 0 of a fresh checkpoint
+      drive(s"$base/ckpt2", s"$base/out2")(c.toSeq)
+
+      def keys(df: DataFrame) = df.select("doc_id", "n_chunks", "n_dup_chunks", "dup_bytes")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val truth = keys(Multimodal.chunkDedupAgainst(
+        chunksC, Multimodal.chunkFps(h.toSeq.toDF("doc_id", "payload"))))
+      val got = keys(spark.read.parquet(s"$base/out2/batch=0"))
+      assert(got == truth,
+        s"trial $trial (cut=$cut f=$f sink=$sinkWritten): " +
+          s"${got.diff(truth).take(3)} / ${truth.diff(got).take(3)}")
+      assert(!got.exists(_._1 == -999L), "partial sink rows must be erased by the replay")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
+  test("imagePhashStream survives random crash points") {
+    val rnd = new Random(20260816L)
+    val payloads = Multimodal.rasterPayload(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    for (trial <- 1 to 3) {
+      val table = s"ccp_phash_$trial"
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val base = java.nio.file.Files.createTempDirectory(s"graft_ccp_phash$trial").toString
+      val cut = 1 + rnd.nextInt(payloads.length - 1)
+      val (h, c) = payloads.splitAt(cut)
+      val (f, sinkWritten) = crashPoint(rnd)
+
+      def drive(ckpt: String, out: String)(b: Seq[(Long, Array[Byte])]): Unit = {
+        val input = MemoryStream[(Long, Array[Byte])]
+        val q = DocStreams.imagePhashStream(
+          input.toDS().toDF("doc_id", "payload"), table, s"$base/store", out, ckpt)
+        try { input.addData(b: _*); q.processAllAvailable() } finally q.stop()
+      }
+      drive(s"$base/ckpt1", s"$base/out1")(h.toSeq)
+      val sigsC = Multimodal.aHashBands(c.toSeq.toDF("doc_id", "payload")).localCheckpoint()
+      val partial = subset(sigsC, f, Seq("doc_id"))
+      if (partial.count() > 0)
+        partial.withColumn("batch_id", lit(0L))
+          .write.mode("append").option("path", s"$base/store")
+          .bucketBy(8, "doc_id").saveAsTable(table)
+      if (sinkWritten)
+        Seq((-999L, -1L, true)).toDF("doc_id", "n_dups", "admitted")
+          .write.mode("overwrite").parquet(s"$base/out2/batch=0")
+      drive(s"$base/ckpt2", s"$base/out2")(c.toSeq)
+
+      def keys(df: DataFrame) = df.select("doc_id", "n_dups", "admitted")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      // history probed an empty store, so every history doc was admitted:
+      // the visible store at replay is exactly history's signatures
+      val sigsH = Multimodal.aHashBands(h.toSeq.toDF("doc_id", "payload"))
+      val truth = keys(Multimodal.phashAdmission(sigsC, sigsH))
+      val got = keys(spark.read.parquet(s"$base/out2/batch=0"))
+      assert(got == truth,
+        s"trial $trial (cut=$cut f=$f sink=$sinkWritten): " +
+          s"${got.diff(truth).take(3)} / ${truth.diff(got).take(3)}")
+      assert(!got.exists(_._1 == -999L), "partial sink rows must be erased by the replay")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
+  test("audioTrimStream replays any batch onto a partially-written sink exactly once") {
+    val rnd = new Random(20260817L)
+    val payloads = Multimodal.mediaPayload(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    for (trial <- 1 to 3) {
+      val base = java.nio.file.Files.createTempDirectory(s"graft_ccp_audio$trial").toString
+      val n = 1 + rnd.nextInt(payloads.length)
+      val c = rnd.shuffle(payloads.toSeq).take(n)
+      // crashed first attempt: sink dir holds garbage rows for batch 0
+      Seq((-999L, -1L, -1L, -1L, -1L, -1L, -1L))
+        .toDF("doc_id", "n_windows", "n_quiet", "longest_quiet",
+          "lead_trim", "tail_trim", "kept_samples")
+        .write.mode("overwrite").parquet(s"$base/out/batch=0")
+      val input = MemoryStream[(Long, Array[Byte])]
+      val q = DocStreams.audioTrimStream(
+        input.toDS().toDF("doc_id", "payload"), s"$base/out", s"$base/ckpt")
+      try { input.addData(c: _*); q.processAllAvailable() } finally q.stop()
+      def keys(df: DataFrame) =
+        df.collect().map(r => (0 to 6).map(r.getLong).toList).toSet
+      val got = keys(spark.read.parquet(s"$base/out/batch=0"))
+      val truth = keys(Multimodal.audioTrimReport(c.toDF("doc_id", "payload")))
+      assert(got == truth, s"trial $trial (n=$n)")
+      assert(!got.exists(_.head == -999L), "garbage sink rows must be erased")
+    }
+  }
+
+  test("admissionStream replays any batch onto a partially-written sink exactly once") {
+    val rnd = new Random(20260818L)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpusSh = Similarity.shingleDocs(docs.filter(col("doc_id") % 10 =!= 0))
+      .localCheckpoint()
+    val index = Similarity.bandIndex(corpusSh).localCheckpoint()
+    val pool = docs.filter(col("doc_id") % 10 === 0).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    for (trial <- 1 to 3) {
+      val base = java.nio.file.Files.createTempDirectory(s"graft_ccp_adm$trial").toString
+      val n = 1 + rnd.nextInt(pool.length)
+      val c = rnd.shuffle(pool.toSeq).take(n)
+      Seq((-999L, -1L, Option(0.0), true)).toDF("doc_id", "n_dups", "best_jac", "admitted")
+        .write.mode("overwrite").parquet(s"$base/out/batch=0")
+      val input = MemoryStream[(Long, String)]
+      val q = DocStreams.admissionStream(
+        input.toDS().toDF("doc_id", "text"), index, corpusSh, s"$base/out", s"$base/ckpt")
+      try { input.addData(c: _*); q.processAllAvailable() } finally q.stop()
+      def keys(df: DataFrame) = df.select("doc_id", "n_dups", "best_jac", "admitted")
+        .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getBoolean(3))).toSet
+      val got = keys(spark.read.parquet(s"$base/out/batch=0"))
+      val truth = keys(Similarity.admission(
+        Similarity.shingleDocs(c.toDF("doc_id", "text")).localCheckpoint(), index, corpusSh))
+      assert(got == truth, s"trial $trial (n=$n)")
+      assert(!got.exists(_._1 == -999L), "garbage sink rows must be erased")
+    }
+  }
+}
