@@ -54,7 +54,14 @@ every per-customer window partition grows liCopies deep — the q10
 shape) — plus --relational-only to skip the document/embedding
 synthesis for a corpus that exists only for the lineitem/orders family.
 
+--events N additionally scales the events table N-fold for the TEMPORAL
+axis: each copy shifts timestamps by i*31 days (one epoch per copy —
+intra-copy gap structure, and thus session boundaries, are preserved
+verbatim), offsets event_id, and keeps user_id so every per-user
+window/session partition grows N deep — the q19/t115 shape.
+
 Usage: gen_sf1.py [outDir] [mult] [liCopies] [--relational-only]
+                  [--events N]
        (default /root/repo/testdata-sf1 1 10)
 """
 import os
@@ -73,8 +80,13 @@ SEED = 20260814
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    relational_only = "--relational-only" in sys.argv
+    argv = sys.argv[1:]
+    ev_copies = int(argv[argv.index("--events") + 1]) if "--events" in argv else 0
+    if "--events" in argv:
+        i = argv.index("--events")
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("--")]
+    relational_only = "--relational-only" in argv
     out = args[0] if len(args) > 0 else "/root/repo/testdata-sf1"
     mult = int(args[1]) if len(args) > 1 else 1
     li_copies = int(args[2]) if len(args) > 2 else 10
@@ -83,13 +95,19 @@ def main():
     con = duckdb.connect()
     if relational_only:
         gen_relational(con, out, li_copies)
+        skip = {"documents.parquet", "embeddings.parquet",
+                "lineitem.parquet", "orders.parquet"}
+        if ev_copies:
+            gen_events(con, out, ev_copies)
+            skip.add("events.parquet")
         for f in os.listdir(SRC):
-            if f not in ("documents.parquet", "embeddings.parquet",
-                         "lineitem.parquet", "orders.parquet"):
+            if f not in skip:
                 shutil.copy(os.path.join(SRC, f), os.path.join(out, f))
         n = con.execute(f"SELECT count(*) FROM '{out}/lineitem.parquet'").fetchone()[0]
         no = con.execute(f"SELECT count(*) FROM '{out}/orders.parquet'").fetchone()[0]
-        print(f"wrote {out}: {n} lineitem rows, {no} orders rows (relational axis)")
+        ne = con.execute(f"SELECT count(*) FROM '{out}/events.parquet'").fetchone()[0]
+        print(f"wrote {out}: {n} lineitem rows, {no} orders rows, "
+              f"{ne} events rows (relational/temporal axis)")
         return
     wordcounts = [r[0] for r in con.execute(
         f"SELECT len(regexp_extract_all(text, '\\S+')) FROM '{SRC}/documents.parquet'"
@@ -170,6 +188,23 @@ def main():
                          f"FROM '{out}/documents.parquet'").fetchone()
     nv = con.execute(f"SELECT count(*) FROM '{out}/embeddings.parquet'").fetchone()[0]
     print(f"wrote {out}: {n} docs, avg len {avg:.0f}; {nv} vecs")
+
+
+def gen_events(con, out, copies):
+    """Scaled events for the temporal axis: copy i shifts timestamps by
+    i*31 days (one epoch per copy — the source span is 30 days, so epochs
+    never overlap and intra-copy gap structure, i.e. session boundaries,
+    is preserved verbatim), offsets event_id, and keeps user_id so every
+    per-user window/session partition grows `copies` deep."""
+    con.execute(
+        f"""COPY (
+              SELECT e.* REPLACE (
+                e.event_id + c.i * (SELECT max(event_id) + 1
+                                    FROM '{SRC}/events.parquet') AS event_id,
+                e.ts + c.i * INTERVAL '31 days' AS ts,
+                e.value + c.i * 0.01 AS value)
+              FROM '{SRC}/events.parquet' e, range({copies}) c(i)
+            ) TO '{out}/events.parquet' (FORMAT PARQUET)""")
 
 
 def gen_relational(con, out, li_copies):
