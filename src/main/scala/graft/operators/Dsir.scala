@@ -26,10 +26,20 @@ object Dsir {
     * slices still gets its add-1 smoothed λ, so scoring never drops
     * out-of-domain tokens (score joins on this table). Empty slices
     * coalesce their totals to 0 rather than nulling every λ. */
-  def lambdaTable(target: DataFrame, raw: DataFrame, b: Int): DataFrame =
-    lambdaFromCounts(
-      target.groupBy(col("b")).agg(count(lit(1)).as("ct"))
-        .join(raw.groupBy(col("b")).agg(count(lit(1)).as("cr")), Seq("b"), "full"), b)
+  def lambdaTable(target: DataFrame, raw: DataFrame, b: Int): DataFrame = {
+    val spark = target.sparkSession
+    // two B-row aggregates left-joined onto range(b) — broadcastable
+    // lookups, where a full-outer pre-merge would plan as sort-merge
+    val tgt = target.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val rw = raw.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tots = tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"))
+      .crossJoin(rw.agg(coalesce(sum(col("cr")), lit(0L)).as("tr")))
+    spark.range(b).select(col("id").as("b"))
+      .join(tgt, Seq("b"), "left")
+      .join(rw, Seq("b"), "left")
+      .crossJoin(tots)
+      .select(col("b"), lambdaExpr(b))
+  }
 
   /** λ from a pre-aggregated (b, ct, cr) bucket-count frame — the shared
     * tail of [[lambdaTable]] and [[weightsSplit]]. Totals come from the
@@ -43,11 +53,14 @@ object Dsir {
     spark.range(b).select(col("id").as("b"))
       .join(counts, Seq("b"), "left")
       .crossJoin(tots)
-      .select(col("b"), expr(
-        s"""CAST(ROUND((ln((COALESCE(ct, 0) + 1) / CAST(tt + $b AS DOUBLE))
-           |          - ln((COALESCE(cr, 0) + 1) / CAST(tr + $b AS DOUBLE))) * 1000000, 0)
-           | AS BIGINT)""".stripMargin).as("lam"))
+      .select(col("b"), lambdaExpr(b))
   }
+
+  /** add-1 smoothed λ in integer micro-nats over (ct, cr, tt, tr). */
+  private def lambdaExpr(b: Int): Column = expr(
+    s"""CAST(ROUND((ln((COALESCE(ct, 0) + 1) / CAST(tt + $b AS DOUBLE))
+       |          - ln((COALESCE(cr, 0) + 1) / CAST(tr + $b AS DOUBLE))) * 1000000, 0)
+       | AS BIGINT)""".stripMargin).as("lam")
 
   /** (id, n_tok, logw_micro) for every document with ≥1 token. */
   def score(bucketedDocs: DataFrame, id: String, lam: DataFrame): DataFrame =
