@@ -78,12 +78,13 @@ object Dsir {
     *  1. both feature distributions come from ONE conditional wordcount
     *     inside a single tokenize pass, where [[weights]] tokenizes the
     *     corpus three times (docs + target slice + raw slice);
-    *  2. the md5 bucket hash — the dominant per-token cost, measured
-    *     ~14%-of-wall-per-pass at the sf10 rehearsal — is computed once
-    *     per DISTINCT word (vocabulary-sized: Heaps-law ≪ corpus), not
-    *     once per token occurrence; scoring joins the token stream
-    *     against a broadcast word→λ dictionary (the LmScore.score
-    *     vocabulary-broadcast shape) instead of re-hashing every token.
+    *  2. the md5 bucket hash — the dominant per-token cost: fix 1 alone
+    *     bought only ~14% at the sf10 rehearsal, this one took the query
+    *     from 20.2 to 6.2 s — is computed once per DISTINCT word
+    *     (vocabulary-sized: Heaps-law ≪ corpus), not once per token
+    *     occurrence; scoring joins the token stream against a broadcast
+    *     word→λ dictionary (the LmScore.score vocabulary-broadcast
+    *     shape) instead of re-hashing every token.
     *
     * The wordcount partial-aggregates map-side to vocabulary size before
     * its shuffle; nothing corpus-sized is ever materialized (at 100 TB,
