@@ -170,7 +170,7 @@ object Graft {
     // id fails LOUDLY with the offending value in the message instead of
     // becoming a null long that NPEs namelessly in the decode kernel's
     // r.getLong(0)
-    val idCol = expr(s"try_cast(`$id` AS BIGINT)")
+    val idCol = expr(s"try_cast(`${id.replace("`", "``")}` AS BIGINT)")
     queries.Multimodal.aHashBands(
       df.select(
         when(idCol.isNull,

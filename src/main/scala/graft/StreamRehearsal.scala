@@ -46,6 +46,7 @@ object StreamRehearsal {
     val base = java.nio.file.Files.createTempDirectory(s"graft_streamreh_$twin").toString
     val times = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     var docsPerBatch = 0
+    var totalDocs = 0
 
     twin match {
       case "admission" =>
@@ -55,6 +56,8 @@ object StreamRehearsal {
         val index = Similarity.bandIndex(corpusSh).localCheckpoint()
         val stream = docs.filter(col("doc_id") % 10 === 0).collect()
           .map(r => (r.getLong(0), r.getString(1)))
+        require(stream.nonEmpty, s"no streamable docs (doc_id % 10 == 0) under $sfDir")
+        totalDocs = stream.length
         docsPerBatch = math.max(stream.length / n, 1)
         val input = MemoryStream[(Long, String)]
         val q = DocStreams.admissionStream(
@@ -72,6 +75,8 @@ object StreamRehearsal {
       case "chunk" =>
         val payloads = Multimodal.mediaPayload(spark, sfDir).collect()
           .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+        require(payloads.nonEmpty, s"no media payloads under $sfDir")
+        totalDocs = payloads.length
         docsPerBatch = math.max(payloads.length / n, 1)
         spark.sql("DROP TABLE IF EXISTS streamreh_chunk")
         val input = MemoryStream[(Long, Array[Byte])]
@@ -95,8 +100,10 @@ object StreamRehearsal {
     println(f"${"batch"}%-7s sec")
     times.foreach { case (i, s) => println(f"$i%-7d $s%6.2f") }
     val total = secs.sum
+    // throughput over the ACTUAL doc count — the remainder batch is
+    // smaller than docsPerBatch and must not be counted as full
     println(f"docs/batch=$docsPerBatch  total=$total%.1f s  " +
-      f"throughput=${times.length * docsPerBatch / total}%.0f docs/s  " +
+      f"throughput=${totalDocs / total}%.0f docs/s  " +
       f"first=${secs.head}%.2f  last=${secs.last}%.2f  " +
       f"last/first=${secs.last / secs.head}%.2f")
     spark.stop()

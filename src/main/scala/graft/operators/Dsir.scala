@@ -97,7 +97,7 @@ object Dsir {
       id: String = "doc_id",
       text: String = "text",
       b: Int = 256): DataFrame = {
-    val wc = tokensWith(docs.withColumn("__tgt", targetPred), text, Seq("__tgt"))
+    val wc = LmScore.tokensWith(docs.withColumn("__tgt", targetPred), text, Seq("__tgt"))
       .groupBy(col("w"))
       .agg(
         sum(when(col("__tgt") === true, 1L).otherwise(0L)).as("ct"),
@@ -108,21 +108,12 @@ object Dsir {
     val lam = lambdaFromCounts(
       wc.groupBy(col("b")).agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr")), b)
     val wordLam = wc.select(col("w"), col("b")).join(lam, Seq("b")).select(col("w"), col("lam"))
-    tokensWith(docs.select(col(s"`${id.replace("`", "``")}`").as("__id"),
+    LmScore.tokensWith(docs.select(col(s"`${id.replace("`", "``")}`").as("__id"),
         col(s"`${text.replace("`", "``")}`")), text, Seq("__id"))
       .join(broadcast(wordLam), Seq("w"))
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_tok"), sum(col("lam")).as("logw_micro"))
       .select(col("__id").as(id), col("n_tok"), col("logw_micro"))
-  }
-
-  /** (carry…, w) token frame — the corpus tokenization contract with
-    * caller-chosen per-document columns carried onto each token row. */
-  private def tokensWith(docs: DataFrame, text: String, carry: Seq[String]): DataFrame = {
-    val qt = s"`${text.replace("`", "``")}`"
-    docs.select(
-      (carry.map(c => col(s"`${c.replace("`", "``")}`")) :+
-        explode(expr(s"regexp_extract_all(lower($qt), '[a-z]+', 0)")).as("w")): _*)
   }
 
   private def bucketExpr(b: Int): Column = expr(

@@ -30,8 +30,18 @@ object LmScore {
     * Documents with zero matching tokens contribute no rows (and thus no
     * score — no LM evidence). */
   def tokens(docs: DataFrame, id: String, text: String): DataFrame =
-    docs.select(q(id).as("__id"),
-      explode(expr(s"regexp_extract_all(lower(${quoted(text)}), '[a-z]+', 0)")).as("w"))
+    tokensWith(docs.withColumn("__id", q(id)), text, Seq("__id"))
+
+  /** (carry…, w) token frame — THE corpus [a-z]+ tokenization contract in
+    * one place (Dsir's split fit carries its predicate flag through here),
+    * so the tokenization Dsir.weightsSplit applies can never drift from
+    * the one [[tokens]]/Dsir.bucketed apply — the row-identity
+    * weightsSplit promises against weights() depends on them sharing this
+    * expression. */
+  def tokensWith(docs: DataFrame, text: String, carry: Seq[String]): DataFrame =
+    docs.select(
+      (carry.map(q) :+
+        explode(expr(s"regexp_extract_all(lower(${quoted(text)}), '[a-z]+', 0)")).as("w")): _*)
 
   private def quoted(c: String): String = s"`${c.replace("`", "``")}`"
 

@@ -96,7 +96,11 @@ object DocStreams {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val batchSh = Similarity.shingleDocs(batch).localCheckpoint()
+        // dedup intra-batch re-deliveries up front: one verdict row AND one
+        // set of appended index/store rows per doc, no matter how many
+        // times the source delivered it inside this micro-batch
+        val batchSh = Similarity.shingleDocs(batch.dropDuplicates("doc_id"))
+          .localCheckpoint()
         // cold start: before the first append the index/store tables don't
         // exist (writeBandIndex creates them later in this very batch), so
         // probe empty same-schema frames instead of dying on
@@ -278,7 +282,11 @@ object DocStreams {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val chunks = graft.queries.Multimodal.chunkFps(batch).localCheckpoint()
+        // intra-batch re-delivery dedup: duplicate doc rows would double
+        // the report's n_chunks (the store append already collapses via
+        // its own distinct)
+        val chunks = graft.queries.Multimodal
+          .chunkFps(batch.dropDuplicates("doc_id")).localCheckpoint()
         val store =
           if (spark.catalog.tableExists(storeTable))
             // exclude ONLY this batch's own prior (possibly partial) append:
@@ -336,7 +344,14 @@ object DocStreams {
     payloads.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val sigs = graft.queries.Multimodal.aHashBands(batch).localCheckpoint()
+        // dedup intra-batch re-deliveries BEFORE signing: phashAdmission
+        // dedups its batch side internally for the verdicts, but the store
+        // append below joins THIS frame — without the dedup a doc delivered
+        // twice in one micro-batch would append two signature rows under
+        // one batch_id (and, if the payloads differed, could append a
+        // bands row that was never the judged one)
+        val sigs = graft.queries.Multimodal
+          .aHashBands(batch.dropDuplicates("doc_id")).localCheckpoint()
         val store =
           if (spark.catalog.tableExists(storeTable))
             spark.table(storeTable).join(
@@ -432,8 +447,11 @@ object DocStreams {
         import org.apache.spark.sql.functions.{broadcast, coalesce, lit}
         val spark = batch.sparkSession
         // consumed by the report join AND the store append; the barrier
-        // also pins the partials before the append changes the store
-        val part = graft.operators.TemplateGrams.partialDf(batch, "doc_id", "text", k)
+        // also pins the partials before the append changes the store.
+        // Intra-batch re-delivery dedup: a doc delivered twice would
+        // inflate df_part (df counts DOCUMENTS, not deliveries)
+        val part = graft.operators.TemplateGrams
+          .partialDf(batch.dropDuplicates("doc_id"), "doc_id", "text", k)
           .withColumn("batch_id", lit(batchId))
           .localCheckpoint()
         val before =

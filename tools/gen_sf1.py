@@ -179,10 +179,13 @@ def main():
     con.execute(f"COPY e TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
 
     gen_relational(con, out, li_copies)
-
+    skip = {"documents.parquet", "embeddings.parquet",
+            "lineitem.parquet", "orders.parquet"}
+    if ev_copies:
+        gen_events(con, out, ev_copies)
+        skip.add("events.parquet")
     for f in os.listdir(SRC):
-        if f not in ("documents.parquet", "embeddings.parquet",
-                     "lineitem.parquet", "orders.parquet"):
+        if f not in skip:
             shutil.copy(os.path.join(SRC, f), os.path.join(out, f))
     n, avg = con.execute(f"SELECT count(*), avg(length(text)) "
                          f"FROM '{out}/documents.parquet'").fetchone()

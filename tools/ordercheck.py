@@ -163,9 +163,16 @@ def main():
 
         usable = []
         for k in keys:
-            for cand in (k, k.split(".")[-1] if re.fullmatch(
-                    r"[A-Za-z_][A-Za-z0-9_]*\.[A-Za-z_][A-Za-z0-9_]*", k)
-                    else None, renames.get(k), renames.get(k.split(".")[-1])):
+            # candidate order matters for soundness: the rename map (an
+            # `expr AS alias` match for THIS key) is tried before the bare
+            # column-name fallback, so a qualified key that was renamed in
+            # the projection resolves to its alias instead of accidentally
+            # binding an unrelated same-named output column
+            bare = k.split(".")[-1] if re.fullmatch(
+                r"[A-Za-z_][A-Za-z0-9_]*\.[A-Za-z_][A-Za-z0-9_]*", k) else None
+            for cand in (k, renames.get(k),
+                         renames.get(bare) if bare else renames.get(k),
+                         bare):
                 if cand and binds(cand):
                     usable.append(cand)
                     break
