@@ -93,6 +93,35 @@ object StreamRehearsal {
         } finally q.stop()
         spark.sql("DROP TABLE IF EXISTS streamreh_chunk")
 
+      case "triage" =>
+        // the full ingest decision (exact-dup fp probe + near-dup band
+        // probe + Jaccard verify) against a static 90%-corpus pair of
+        // indexes — the most production-like twin
+        val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        val corpusSh = Similarity.shingleDocs(corpus).localCheckpoint()
+        val index = Similarity.bandIndex(corpusSh).localCheckpoint()
+        val fpIndex = corpus
+          .select(Similarity.canonicalFp(col("text")).as("fp")).distinct()
+          .localCheckpoint()
+        val stream = docs.filter(col("doc_id") % 10 === 0).collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        require(stream.nonEmpty, s"no streamable docs (doc_id % 10 == 0) under $sfDir")
+        totalDocs = stream.length
+        docsPerBatch = math.max(stream.length / n, 1)
+        val input = MemoryStream[(Long, String)]
+        val q = DocStreams.triageStream(
+          input.toDS().toDF("doc_id", "text"), fpIndex, index, corpusSh,
+          s"$base/out", s"$base/ckpt")
+        try {
+          stream.grouped(docsPerBatch).zipWithIndex.foreach { case (b, i) =>
+            val t0 = System.nanoTime()
+            input.addData(b.toSeq: _*)
+            q.processAllAvailable()
+            times += ((i, (System.nanoTime() - t0) / 1e9))
+          }
+        } finally q.stop()
+
       case other => sys.error(s"unknown twin: $other")
     }
 
