@@ -122,6 +122,34 @@ object StreamRehearsal {
           }
         } finally q.stop()
 
+      case "selfadmission" =>
+        // the self-maintaining text twin: BOTH the band index and the
+        // shingle store grow within the run (every admitted doc appends);
+        // per-batch time must stay batch-scoped as state accumulates
+        val stream = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text")).collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        require(stream.nonEmpty, s"no documents under $sfDir")
+        totalDocs = stream.length
+        docsPerBatch = math.max(stream.length / n, 1)
+        spark.sql("DROP TABLE IF EXISTS streamreh_idx")
+        spark.sql("DROP TABLE IF EXISTS streamreh_sh")
+        val input = MemoryStream[(Long, String)]
+        val q = DocStreams.selfMaintainingAdmissionStream(
+          input.toDS().toDF("doc_id", "text"),
+          "streamreh_idx", s"$base/idx", "streamreh_sh", s"$base/sh",
+          s"$base/out", s"$base/ckpt")
+        try {
+          stream.grouped(docsPerBatch).zipWithIndex.foreach { case (b, i) =>
+            val t0 = System.nanoTime()
+            input.addData(b.toSeq: _*)
+            q.processAllAvailable()
+            times += ((i, (System.nanoTime() - t0) / 1e9))
+          }
+        } finally q.stop()
+        spark.sql("DROP TABLE IF EXISTS streamreh_idx")
+        spark.sql("DROP TABLE IF EXISTS streamreh_sh")
+
       case other => sys.error(s"unknown twin: $other")
     }
 
