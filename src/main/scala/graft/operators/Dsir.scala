@@ -108,13 +108,27 @@ object Dsir {
     val lam = lambdaFromCounts(
       wc.groupBy(col("b")).agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr")), b)
     val wordLam = wc.select(col("w"), col("b")).join(lam, Seq("b")).select(col("w"), col("lam"))
+    // The word→λ dictionary is VOCABULARY-sized, not B-sized: Heaps-law
+    // growth at 100 TB can exceed any broadcast budget, so the hint is
+    // gated on the measured vocabulary count (wc is localCheckpointed —
+    // the count is a cached vocab-sized scan). Above the gate the join
+    // falls back to whatever AQE picks from runtime shuffle stats, the
+    // same discipline Bpe.encodeVocab applies to its merge-rule vocab.
+    val scoredJoin =
+      if (wc.count() <= broadcastVocabMax) broadcast(wordLam) else wordLam
     LmScore.tokensWith(docs.select(col(s"`${id.replace("`", "``")}`").as("__id"),
         col(s"`${text.replace("`", "``")}`")), text, Seq("__id"))
-      .join(broadcast(wordLam), Seq("w"))
+      .join(scoredJoin, Seq("w"))
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_tok"), sum(col("lam")).as("logw_micro"))
       .select(col("__id").as(id), col("n_tok"), col("logw_micro"))
   }
+
+  /** Largest word→λ vocabulary the scoring join will hint to broadcast:
+    * ~2M distinct words ≈ low-hundreds of MB on-heap, safe on any
+    * executor profile that runs this engine; larger vocabularies take
+    * the un-hinted (AQE-decided) join. */
+  private val broadcastVocabMax = 2L * 1000 * 1000
 
   private def bucketExpr(b: Int): Column = expr(
     s"CAST(conv(substring(md5(CAST(w AS BINARY)), 1, 8), 16, 10) AS BIGINT) % $b")

@@ -305,13 +305,21 @@ object Multimodal {
     *    probe time over the DEDUPED store, so it stays correct as the
     *    store grows — same probe-time rule as t96's band index. */
   def phashAdmission(batchSigs: DataFrame, storeSigs: DataFrame): DataFrame = {
-    val store = storeSigs.dropDuplicates("doc_id")
+    // dedup with a DETERMINISTIC winner (lexicographically-largest bands
+    // array), not dropDuplicates: when a re-delivery carries a DIFFERENT
+    // payload for the same doc_id, dropDuplicates keeps whichever row a
+    // partition scan saw first, so a crash replay could judge a different
+    // signature than the crashed attempt — one-row-per-doc would hold but
+    // which row would not. max over the orderable array pins the choice.
+    def keepMaxBands(sigs: DataFrame): DataFrame =
+      sigs.groupBy(col("doc_id")).agg(max(col("bands")).as("bands"))
+    val store = keepMaxBands(storeSigs)
     // the batch is deduped for the same replay-robustness reason as the
     // store: a source that re-delivers a doc inside one micro-batch would
     // otherwise produce duplicate verdict rows (and imagePhashStream would
     // append duplicate admitted signatures under one batch_id), breaking
     // the one-row-per-batch-doc contract
-    val batch = batchSigs.dropDuplicates("doc_id")
+    val batch = keepMaxBands(batchSigs)
     val sb = store.select(col("doc_id").as("s_id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_val")))
     val caps = sb.groupBy(col("band_idx"), col("band_val"))

@@ -349,9 +349,13 @@ object DocStreams {
         // append below joins THIS frame — without the dedup a doc delivered
         // twice in one micro-batch would append two signature rows under
         // one batch_id (and, if the payloads differed, could append a
-        // bands row that was never the judged one)
+        // bands row that was never the judged one). The winner is the
+        // lexicographically-largest payload, not dropDuplicates's
+        // partition-order pick, so a crash replay re-signs the SAME bytes.
         val sigs = graft.queries.Multimodal
-          .aHashBands(batch.dropDuplicates("doc_id")).localCheckpoint()
+          .aHashBands(batch.groupBy(col("doc_id")).agg(
+            org.apache.spark.sql.functions.max(col("payload")).as("payload")))
+          .localCheckpoint()
         val store =
           if (spark.catalog.tableExists(storeTable))
             spark.table(storeTable).join(

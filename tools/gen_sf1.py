@@ -81,9 +81,13 @@ SEED = 20260814
 
 def main():
     argv = sys.argv[1:]
-    ev_copies = int(argv[argv.index("--events") + 1]) if "--events" in argv else 0
+    ev_copies = 0
     if "--events" in argv:
         i = argv.index("--events")
+        if i + 1 >= len(argv) or not argv[i + 1].lstrip("-").isdigit():
+            sys.exit("usage: gen_sf1.py [outDir] [mult] [liCopies] "
+                     "[--relational-only] [--events N]  (N must be an integer)")
+        ev_copies = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
     args = [a for a in argv if not a.startswith("--")]
     relational_only = "--relational-only" in argv
@@ -105,7 +109,8 @@ def main():
                 shutil.copy(os.path.join(SRC, f), os.path.join(out, f))
         n = con.execute(f"SELECT count(*) FROM '{out}/lineitem.parquet'").fetchone()[0]
         no = con.execute(f"SELECT count(*) FROM '{out}/orders.parquet'").fetchone()[0]
-        ne = con.execute(f"SELECT count(*) FROM '{out}/events.parquet'").fetchone()[0]
+        ne = (con.execute(f"SELECT count(*) FROM '{out}/events.parquet'").fetchone()[0]
+              if os.path.exists(f"{out}/events.parquet") else 0)
         print(f"wrote {out}: {n} lineitem rows, {no} orders rows, "
               f"{ne} events rows (relational/temporal axis)")
         return

@@ -164,15 +164,15 @@ def main():
         usable = []
         for k in keys:
             # candidate order matters for soundness: the rename map (an
-            # `expr AS alias` match for THIS key) is tried before the bare
-            # column-name fallback, so a qualified key that was renamed in
-            # the projection resolves to its alias instead of accidentally
-            # binding an unrelated same-named output column
+            # `expr AS alias` match for THIS key) is tried BEFORE the key
+            # itself — a renamed key's old name can coincide with an
+            # unrelated same-named output column, and binding that column
+            # would unsoundly pass the tie check
             bare = k.split(".")[-1] if re.fullmatch(
                 r"[A-Za-z_][A-Za-z0-9_]*\.[A-Za-z_][A-Za-z0-9_]*", k) else None
-            for cand in (k, renames.get(k),
-                         renames.get(bare) if bare else renames.get(k),
-                         bare):
+            for cand in (renames.get(k),
+                         renames.get(bare) if bare else None,
+                         k, bare):
                 if cand and binds(cand):
                     usable.append(cand)
                     break
@@ -180,13 +180,19 @@ def main():
             manual.append((name, clause.replace("\n", " ")[:70]))
             continue
         cl = ", ".join(usable)
-        n = con.execute(f"""
-            SELECT count(*) FROM (
-              SELECT 1
-              FROM (SELECT tt AS r, * FROM {rel} tt)
-              GROUP BY {cl}
-              HAVING count(*) > 1
-                 AND count(DISTINCT CAST(r AS VARCHAR)) > 1)""").fetchone()[0]
+        try:
+            n = con.execute(f"""
+                SELECT count(*) FROM (
+                  SELECT 1
+                  FROM (SELECT tt AS r, * FROM {rel} tt)
+                  GROUP BY {cl}
+                  HAVING count(*) > 1
+                     AND count(DISTINCT CAST(r AS VARCHAR)) > 1)""").fetchone()[0]
+        except Exception:
+            # a key can bind as a standalone SELECT yet be illegal in
+            # GROUP BY (aggregate or window expression) — human decides
+            manual.append((name, clause.replace("\n", " ")[:70]))
+            continue
         if n > 0:
             if len(usable) < len(keys):
                 # subset proof failed but unevaluable keys remain — a human
