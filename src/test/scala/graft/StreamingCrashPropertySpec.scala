@@ -26,6 +26,14 @@ import graft.streaming.DocStreams
   * batch's own partial rows while keeping history rows visible. A
   * partially-written sink directory must be erased by the replay's
   * per-batch-id overwrite.
+  *
+  * All ten DocStreams twins are swept: the four self-maintaining /
+  * store-backed ones (chunk, phash, self-maintaining admission, template
+  * df — random partial STORE appends under the colliding id, plus sink
+  * garbage; template df goes through the documented rebase lineage flip
+  * first, since its df_before exclusion is batch_id-scoped) and the six
+  * stateless-sink ones (audio trim, static admission, triage, quality,
+  * blocklist, dsir — random batch draw onto a garbage-seeded sink).
   */
 class StreamingCrashPropertySpec extends SparkTestBase {
 
@@ -166,6 +174,258 @@ class StreamingCrashPropertySpec extends SparkTestBase {
       val truth = keys(Multimodal.audioTrimReport(c.toDF("doc_id", "payload")))
       assert(got == truth, s"trial $trial (n=$n)")
       assert(!got.exists(_.head == -999L), "garbage sink rows must be erased")
+    }
+  }
+
+  test("selfMaintainingAdmissionStream survives random crash points (partial index+shingle appends)") {
+    val rnd = new Random(20260819L)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    for (trial <- 1 to 3) {
+      val (idxT, shT) = (s"ccp_sma_idx_$trial", s"ccp_sma_sh_$trial")
+      spark.sql(s"DROP TABLE IF EXISTS $idxT"); spark.sql(s"DROP TABLE IF EXISTS $shT")
+      val base = java.nio.file.Files.createTempDirectory(s"graft_ccp_sma$trial").toString
+      val cut = 1 + rnd.nextInt(docs.length - 1)
+      val (h, c) = docs.splitAt(cut)
+      val (fIdx, sinkWritten) = crashPoint(rnd)
+      val (fSh, _) = crashPoint(rnd)
+
+      def drive(ckpt: String, out: String)(b: Seq[(Long, String)]): Unit = {
+        val input = MemoryStream[(Long, String)]
+        val q = DocStreams.selfMaintainingAdmissionStream(
+          input.toDS().toDF("doc_id", "text"),
+          idxT, s"$base/idx", shT, s"$base/sh", out, ckpt)
+        try { input.addData(b: _*); q.processAllAvailable() } finally q.stop()
+      }
+      // incarnation 1: history commits as batch 0 — empty index, so ALL of
+      // h admits and the persisted state is exactly h's signatures+shingles
+      drive(s"$base/ckpt1", s"$base/out1")(h.toSeq)
+      // batch-truth verdicts for C against the pre-crash visible state
+      val shH = Similarity.shingleDocs(h.toSeq.toDF("doc_id", "text")).localCheckpoint()
+      val shC = Similarity.shingleDocs(c.toSeq.toDF("doc_id", "text")).localCheckpoint()
+      val truthDf = Similarity.admission(shC, Similarity.bandIndex(shH), shH)
+        .localCheckpoint()
+      // incarnation 2 crashes inside batch 0 = C AFTER its verdicts sank:
+      // random subsets of the ADMITTED docs' index/shingle appends are on
+      // disk (doc-id-scoped exclusion must hide them at replay)
+      val admittedIds = truthDf.filter(col("admitted")).select(col("doc_id"))
+      val shAdm = shC.join(admittedIds, Seq("doc_id"))
+      val idxPart = subset(
+        Similarity.bandIndex(shAdm), fIdx, Seq("band", "sig", "doc_id2"))
+      if (idxPart.count() > 0)
+        idxPart.write.mode("append").option("path", s"$base/idx")
+          .bucketBy(8, "band", "sig").saveAsTable(idxT)
+      val shPart = subset(shAdm.select(col("doc_id"), col("shingles")), fSh, Seq("doc_id"))
+      if (shPart.count() > 0)
+        shPart.write.mode("append").option("path", s"$base/sh")
+          .bucketBy(8, "doc_id").saveAsTable(shT)
+      if (sinkWritten)
+        Seq((-999L, -1L, Option(0.0), true)).toDF("doc_id", "n_dups", "best_jac", "admitted")
+          .write.mode("overwrite").parquet(s"$base/out2/batch=0")
+      // restart: C re-delivers as batch 0 of a fresh checkpoint
+      drive(s"$base/ckpt2", s"$base/out2")(c.toSeq)
+
+      def keys(df: DataFrame) = df.select("doc_id", "n_dups", "best_jac", "admitted")
+        .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getBoolean(3))).toSet
+      val truth = keys(truthDf)
+      val got = keys(spark.read.parquet(s"$base/out2/batch=0"))
+      assert(got == truth,
+        s"trial $trial (cut=$cut fIdx=$fIdx fSh=$fSh sink=$sinkWritten): " +
+          s"${got.diff(truth).take(3)} / ${truth.diff(got).take(3)}")
+      assert(!got.exists(_._1 == -999L), "partial sink rows must be erased by the replay")
+      // store-state convergence: after the replay the dedup'd stores hold
+      // exactly history ∪ C-admitted — partial rows were literal duplicates
+      val wantIds = h.map(_._1).toSet ++
+        truthDf.filter(col("admitted")).collect().map(_.getLong(0)).toSet
+      val shIds = Similarity.loadShingleStore(spark, shT)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(shIds == wantIds, s"trial $trial: shingle store diverged from history∪admitted")
+      val idxIds = spark.table(idxT).select("doc_id2").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(idxIds == wantIds, s"trial $trial: band index diverged from history∪admitted")
+      spark.sql(s"DROP TABLE IF EXISTS $idxT"); spark.sql(s"DROP TABLE IF EXISTS $shT")
+    }
+  }
+
+  test("templateDfStream survives random crash points after a rebase lineage flip") {
+    import graft.operators.TemplateGrams
+    val rnd = new Random(20260820L)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    for (trial <- 1 to 3) {
+      val (liveT, rebT) = (s"ccp_tpl_$trial", s"ccp_tplr_$trial")
+      spark.sql(s"DROP TABLE IF EXISTS $liveT"); spark.sql(s"DROP TABLE IF EXISTS $rebT")
+      val base = java.nio.file.Files.createTempDirectory(s"graft_ccp_tpl$trial").toString
+      val cut = 1 + rnd.nextInt(docs.length - 1)
+      val (h, c) = docs.splitAt(cut)
+      val (f, sinkWritten) = crashPoint(rnd)
+
+      def drive(table: String, store: String, ckpt: String, out: String)(
+          b: Seq[(Long, String)]): Unit = {
+        val input = MemoryStream[(Long, String)]
+        val q = DocStreams.templateDfStream(
+          input.toDS().toDF("doc_id", "text"), table, store, out, ckpt)
+        try { input.addData(b: _*); q.processAllAvailable() } finally q.stop()
+      }
+      // incarnation 1: history commits as batch 0, then the lineage flips —
+      // rebase re-stamps to batch_id=-1 (the documented precondition for a
+      // fresh checkpoint, since the df_before probe excludes by batch_id)
+      drive(liveT, s"$base/store", s"$base/ckpt1", s"$base/out1")(h.toSeq)
+      DocStreams.rebaseTemplateStore(spark, liveT, rebT, s"$base/store_r")
+      // incarnation 2 crashes inside batch 0 = C: a random subset of its
+      // gram partials is on disk under the colliding batch id; maybe a
+      // partially-written promotions sink
+      val partC = TemplateGrams.partialDf(c.toSeq.toDF("doc_id", "text"), "doc_id", "text", 4)
+        .localCheckpoint()
+      val partial = subset(partC, f, Seq("h"))
+      if (partial.count() > 0)
+        partial.withColumn("batch_id", lit(0L))
+          .write.mode("append").option("path", s"$base/store_r")
+          .bucketBy(8, "h").saveAsTable(rebT)
+      if (sinkWritten)
+        Seq((-999L, -1L, -1L)).toDF("h", "df_before", "df_after")
+          .write.mode("overwrite").parquet(s"$base/out2/batch=0")
+      // restart: C re-delivers as batch 0 of the fresh lineage
+      drive(rebT, s"$base/store_r", s"$base/ckpt2", s"$base/out2")(c.toSeq)
+
+      def dfOf(d: DataFrame) = d.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val pC = dfOf(partC.select(col("h"), col("df_part")))
+      val pH = dfOf(
+        TemplateGrams.partialDf(h.toSeq.toDF("doc_id", "text"), "doc_id", "text", 4)
+          .select(col("h"), col("df_part")))
+      val truth = pC.collect {
+        case (g, dp) if pH.getOrElse(g, 0L) < 3 && pH.getOrElse(g, 0L) + dp >= 3 =>
+          (g, pH.getOrElse(g, 0L), pH.getOrElse(g, 0L) + dp)
+      }.toSet
+      val got = spark.read.parquet(s"$base/out2/batch=0")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == truth,
+        s"trial $trial (cut=$cut f=$f sink=$sinkWritten): " +
+          s"${got.diff(truth).take(3)} / ${truth.diff(got).take(3)}")
+      assert(!got.exists(_._1 == -999L), "partial sink rows must be erased by the replay")
+      // the crashed partial rows are literal duplicates of the replay's
+      // committed append — compaction must collapse to the full rebuild
+      val rebuild = dfOf(
+        TemplateGrams.partialDf(docs.toSeq.toDF("doc_id", "text"), "doc_id", "text", 4)
+          .select(col("h"), col("df_part")))
+      assert(dfOf(TemplateGrams.mergedDf(spark.table(rebT))) == rebuild,
+        s"trial $trial: store must compact to the h∪C rebuild")
+      spark.sql(s"DROP TABLE IF EXISTS $liveT"); spark.sql(s"DROP TABLE IF EXISTS $rebT")
+    }
+  }
+
+  test("triageStream replays any batch onto a partially-written sink exactly once") {
+    val rnd = new Random(20260821L)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+    val fpIndex = corpus.select(Similarity.canonicalFp(col("text")).as("fp"))
+      .distinct().localCheckpoint()
+    val corpusSh = Similarity.shingleDocs(corpus).localCheckpoint()
+    val index = Similarity.bandIndex(corpusSh).localCheckpoint()
+    val pool = docs.filter(col("doc_id") % 3 =!= 0).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    for (trial <- 1 to 3) {
+      val base = java.nio.file.Files.createTempDirectory(s"graft_ccp_triage$trial").toString
+      val n = 1 + rnd.nextInt(pool.length)
+      val c = rnd.shuffle(pool.toSeq).take(n)
+      Seq((-999L, "garbage")).toDF("doc_id", "verdict")
+        .write.mode("overwrite").parquet(s"$base/out/batch=0")
+      val input = MemoryStream[(Long, String)]
+      val q = DocStreams.triageStream(
+        input.toDS().toDF("doc_id", "text"), fpIndex, index, corpusSh,
+        s"$base/out", s"$base/ckpt")
+      try { input.addData(c: _*); q.processAllAvailable() } finally q.stop()
+      def keys(df: DataFrame) = df.select("doc_id", "verdict")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val got = keys(spark.read.parquet(s"$base/out/batch=0"))
+      val truth = keys(Similarity.triage(c.toDF("doc_id", "text"), fpIndex, index, corpusSh))
+      assert(got == truth, s"trial $trial (n=$n)")
+      assert(!got.exists(_._1 == -999L), "garbage sink rows must be erased")
+    }
+  }
+
+  test("qualityScoreStream replays any batch onto a partially-written sink exactly once") {
+    import graft.operators.LmScore
+    val rnd = new Random(20260822L)
+    val docs = Tables.documents(spark, dir)
+    val lm = LmScore.vocab(
+      LmScore.tokens(docs.filter(col("lang") === "en"), "doc_id", "text")).localCheckpoint()
+    val tv = LmScore.totals(lm).localCheckpoint()
+    val pool = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    for (trial <- 1 to 3) {
+      val base = java.nio.file.Files.createTempDirectory(s"graft_ccp_lm$trial").toString
+      val n = 1 + rnd.nextInt(pool.length)
+      val c = rnd.shuffle(pool.toSeq).take(n)
+      Seq((-999L, -1L, -1L)).toDF("doc_id", "n_tok", "avg_nll_micro")
+        .write.mode("overwrite").parquet(s"$base/out/batch=0")
+      val input = MemoryStream[(Long, String)]
+      val q = DocStreams.qualityScoreStream(
+        input.toDS().toDF("doc_id", "text"), lm, tv, s"$base/out", s"$base/ckpt")
+      try { input.addData(c: _*); q.processAllAvailable() } finally q.stop()
+      def keys(df: DataFrame) = df.select("doc_id", "n_tok", "avg_nll_micro")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val got = keys(spark.read.parquet(s"$base/out/batch=0"))
+      val truth = keys(LmScore.score(c.toDF("doc_id", "text"), "doc_id", "text", lm, tv))
+      assert(got == truth, s"trial $trial (n=$n)")
+      assert(!got.exists(_._1 == -999L), "garbage sink rows must be erased")
+    }
+  }
+
+  test("blocklistStream replays any batch onto a partially-written sink exactly once") {
+    val rnd = new Random(20260823L)
+    val patterns = Seq("slow", "low", "table", "merge batch")
+    val pool = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    for (trial <- 1 to 3) {
+      val base = java.nio.file.Files.createTempDirectory(s"graft_ccp_bl$trial").toString
+      val n = 1 + rnd.nextInt(pool.length)
+      val c = rnd.shuffle(pool.toSeq).take(n)
+      Seq((-999L, -1L, 1)).toDF("doc_id", "n_hits", "blocked")
+        .write.mode("overwrite").parquet(s"$base/out/batch=0")
+      val input = MemoryStream[(Long, String)]
+      val q = DocStreams.blocklistStream(
+        input.toDS().toDF("doc_id", "text"), patterns, 4L, s"$base/out", s"$base/ckpt")
+      try { input.addData(c: _*); q.processAllAvailable() } finally q.stop()
+      def keys(df: DataFrame) = df.select("doc_id", "n_hits", "blocked")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val got = keys(spark.read.parquet(s"$base/out/batch=0"))
+      val truth = keys(c.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.functions.Blocklist.hits(lower(col("text")), patterns).as("n_hits"))
+        .withColumn("blocked", (col("n_hits") >= 4L).cast("int")))
+      assert(got == truth, s"trial $trial (n=$n)")
+      assert(!got.exists(_._1 == -999L), "garbage sink rows must be erased")
+    }
+  }
+
+  test("dsirWeightStream replays any batch onto a partially-written sink exactly once") {
+    import graft.operators.Dsir
+    val rnd = new Random(20260824L)
+    val docs = Tables.documents(spark, dir)
+    val lam = Dsir.lambdaTable(
+      Dsir.bucketed(docs.filter(col("lang") === "en"), "doc_id", "text", 256),
+      Dsir.bucketed(docs.filter(col("lang") =!= "en"), "doc_id", "text", 256),
+      256).localCheckpoint()
+    val pool = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    for (trial <- 1 to 3) {
+      val base = java.nio.file.Files.createTempDirectory(s"graft_ccp_dsir$trial").toString
+      val n = 1 + rnd.nextInt(pool.length)
+      val c = rnd.shuffle(pool.toSeq).take(n)
+      Seq((-999L, -1L, -1L)).toDF("doc_id", "n_tok", "logw_micro")
+        .write.mode("overwrite").parquet(s"$base/out/batch=0")
+      val input = MemoryStream[(Long, String)]
+      val q = DocStreams.dsirWeightStream(
+        input.toDS().toDF("doc_id", "text"), lam, 256, s"$base/out", s"$base/ckpt")
+      try { input.addData(c: _*); q.processAllAvailable() } finally q.stop()
+      def keys(df: DataFrame) = df.select("doc_id", "n_tok", "logw_micro")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val got = keys(spark.read.parquet(s"$base/out/batch=0"))
+      val truth = keys(Dsir.score(
+        Dsir.bucketed(c.toDF("doc_id", "text"), "doc_id", "text", 256), "doc_id", lam))
+      assert(got == truth, s"trial $trial (n=$n)")
+      assert(!got.exists(_._1 == -999L), "garbage sink rows must be erased")
     }
   }
 
