@@ -150,27 +150,17 @@ object Extended {
     // interpolation is the same quantile_cont form percentile uses, so the
     // certified boolean is unchanged (proven by the oracle gate at both
     // scales and by t163 against DuckDB directly).
+    // Builder extracted to operators/SketchCertify for library use; the
+    // env knob flips the memory profile (sequential single-arm scheduling
+    // for memory-tight reruns — the li100 shared-heap spill fix), output
+    // identical either way.
     Q(
       "t57_sketch_accuracy",
-      (s, d) => {
-        val li = Tables.lineitem(s, d)
-        val exactN = li.select(col("l_orderkey")).distinct()
-          .agg(count(lit(1)).as("exact_n"))
-        val exactP = graft.operators.GroupedQuantiles
-          .exact(
-            li.select(lit("all").as("g"), col("l_extendedprice")),
-            "g", "l_extendedprice", Seq(0.5),
-            s.sparkContext.defaultParallelism)
-          .select(col("p50").as("p50_exact"))
-        val sketches = li.agg(
-          approx_count_distinct(col("l_orderkey"), 0.01).as("est_n"),
-          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_est"))
-        exactN.crossJoin(exactP).crossJoin(sketches)
-          .select(
-            col("exact_n"),
-            (abs(col("est_n") - col("exact_n")) / col("exact_n") <= 0.05).as("hll_ok"),
-            (abs(col("p50_est") - col("p50_exact")) / col("p50_exact") <= 0.01).as("pct_ok"))
-      },
+      (s, d) =>
+        graft.operators.SketchCertify.sketchAccuracy(
+          Tables.lineitem(s, d),
+          s.sparkContext.defaultParallelism,
+          sequentialArms = sys.env.get("SPARK_GRAFT_SEQUENTIAL_ARMS").contains("1")),
       Some("""SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_n,
              |       TRUE AS hll_ok, TRUE AS pct_ok
              |FROM lineitem""".stripMargin),

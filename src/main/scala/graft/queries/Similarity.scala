@@ -206,6 +206,42 @@ object Similarity {
   private[graft] def lshRecallCadence(s: SparkSession, d: String, sliceDocs: Int): DataFrame =
     lshRecallCadenceDocs(Tables.documents(s, d), sliceDocs)
 
+  /** The t171 planted-density corpus: 125 families × 8 versions of
+    * deterministic pseudo-text derived from md5/base64 chains over
+    * range(1000) — doc_id = f·8 + c, version 0 the base, versions 1–7
+    * appending a distinct 8-char tail. Every byte is a pure function of
+    * doc_id through md5, so the DuckDB twin ([[plantedRecallCorpusSqlCte]])
+    * reproduces it bit-identically: Spark `base64(to_binary(md5(x),
+    * 'hex'))` == DuckDB `to_base64(unhex(md5(x)))` (both RFC 4648, and a
+    * 16-byte digest emits 24 chars — under Spark's 76-char MIME line
+    * wrap, so no engine inserts breaks); padding is cut by taking 22 of
+    * 24 chars. See t171's registry comment for why the corpus must be
+    * query-derived and how the family geometry clears the ±60 bp power
+    * budget. */
+  private[graft] def plantedRecallCorpus(s: SparkSession): DataFrame =
+    s.range(1000).select(
+      col("id").as("doc_id"),
+      expr("""concat(
+        array_join(transform(sequence(1, 20), i ->
+          substring(base64(to_binary(md5(concat(
+            cast(id div 8 as string), ':', cast(i as string))), 'hex')), 1, 22)), ' '),
+        CASE WHEN id % 8 = 0 THEN ''
+             ELSE concat(' ', substring(base64(to_binary(md5(concat(
+               cast(id div 8 as string), 'm', cast(id % 8 as string))), 'hex')), 1, 8))
+        END)""").as("text"))
+
+  /** DuckDB twin of [[plantedRecallCorpus]] as a `planted(doc_id, text)`
+    * CTE (int || varchar coerces to varchar, matching Spark's casts). */
+  private val plantedRecallCorpusSqlCte =
+    """planted AS (
+      |  SELECT f * 8 + c AS doc_id,
+      |    array_to_string(list_transform(generate_series(1, 20), i ->
+      |      substring(to_base64(unhex(md5(f || ':' || i))), 1, 22)), ' ') ||
+      |    CASE WHEN c = 0 THEN ''
+      |         ELSE ' ' || substring(to_base64(unhex(md5(f || 'm' || c))), 1, 8) END AS text
+      |  FROM (SELECT unnest(generate_series(0, 124)) AS f),
+      |       (SELECT unnest(generate_series(0, 7)) AS c))""".stripMargin
+
   /** [[lshRecallCadence]] over ANY (doc_id, text, ...) frame — the form a
     * pipeline points at its own corpus (and the one that can actually
     * reach guarantee-grade CIs: the shipped gate corpora top out at 256
@@ -253,7 +289,12 @@ object Similarity {
 
   /** DuckDB oracle for [[lshRecallCadence]] at the same slice size. */
   private def lshRecallCadenceSql(sliceDocs: Int): String =
-    s"""WITH $minhashPairsSqlCtes,
+    lshRecallCadenceSqlFrom(minhashPairsSqlCtes, sliceDocs)
+
+  /** [[lshRecallCadenceSql]] over any instantiation of the pair CTEs —
+    * `documents` for t161/t170, the planted corpus for t171. */
+  private def lshRecallCadenceSqlFrom(pairCtes: String, sliceDocs: Int): String =
+    s"""WITH $pairCtes,
        |lsh AS (SELECT doc_id1, doc_id2 FROM j WHERE jac >= 0.8),
        |slice AS (SELECT doc_id FROM sh
        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $sliceDocs),
@@ -581,12 +622,12 @@ object Similarity {
     * index/probe instead of self-joining — ONE definition so the signature
     * arithmetic can never drift between the full-corpus and incremental
     * paths. */
-  private val minhashBandsSqlCtes =
-    """sh AS (
+  private def minhashBandsSqlCtesFrom(src: String): String =
+    s"""sh AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(generate_series(1, greatest(length(lower(text)) - 2, 1)),
       |                  i -> CAST(('0x' || substring(md5(substring(lower(text), i, 3)), 1, 8)) AS BIGINT) % 2147483647)) AS shingles
-      |  FROM documents),
+      |  FROM $src),
       |hs AS (SELECT doc_id, unnest(shingles) AS h FROM sh),
       |mk AS (
       |  SELECT doc_id, k,
@@ -597,7 +638,9 @@ object Similarity {
       |  SELECT doc_id, k // 8 AS band, string_agg(CAST(mh AS VARCHAR), '-' ORDER BY k) AS sig
       |  FROM mk GROUP BY doc_id, k // 8)""".stripMargin
 
-  private val minhashPairsSqlCtes = minhashBandsSqlCtes + ",\n" +
+  private val minhashBandsSqlCtes = minhashBandsSqlCtesFrom("documents")
+
+  private def minhashPairsSqlCtesFrom(src: String) = minhashBandsSqlCtesFrom(src) + ",\n" +
     """keptbuckets AS (
       |  SELECT band, sig FROM bands GROUP BY band, sig HAVING COUNT(*) BETWEEN 2 AND 20),
       |bk AS (SELECT b.* FROM bands b JOIN keptbuckets kb ON b.band = kb.band AND b.sig = kb.sig),
@@ -611,6 +654,8 @@ object Similarity {
       |  FROM cand c
       |  JOIN sh s1 ON s1.doc_id = c.doc_id1
       |  JOIN sh s2 ON s2.doc_id = c.doc_id2)""".stripMargin
+
+  private val minhashPairsSqlCtes = minhashPairsSqlCtesFrom("documents")
 
   // ---- PQ stages shared by t104 (encode) and t107 (ADC search): one
   // definition per stage on each side so the subvector split, codebook,
@@ -2711,6 +2756,44 @@ object Similarity {
       "t170_lsh_recall_power",
       (s, d) => lshRecallCadence(s, d, sliceDocs = 2000),
       Some(lshRecallCadenceSql(sliceDocs = 2000)),
+    ),
+
+    // ----- t171: guarantee-grade recall certification on a planted-density
+    // corpus (the registered ≤60 bp row) -----
+    // t170 runs the guarantee-grade SLICE, but the shipped gate corpora
+    // top out at ~256 true pairs TOTAL, so the best CI any query over
+    // `documents` can report is ~±364 bp — the ≤60 bp claim previously
+    // lived only in GraftFacadeSpec's planted unit fixture. This row makes
+    // it a registered, oracle-gated contract: the corpus is DERIVED inside
+    // the query (the gate corpora are driver-owned, so the density must
+    // come from the query itself) — 125 families × 8 versions built from
+    // md5/base64 chains over range(1000), bit-identical in both engines.
+    // Version 0 is the family base (20 pseudo-word blocks, 22 chars each);
+    // versions 1–7 append a distinct 8-char tail, so within-family char-
+    // trigram jaccard sits at ~0.96–0.98 (≥0.8 with wide margin) while
+    // families are mutually dissimilar (uniform base64 text, expected
+    // cross-family jaccard ~0.05). That plants 125·C(8,2) = 3500 true
+    // pairs — past the ~3100-pair power budget for ±60 bp at any recall
+    // ≥0.96 — and family band-buckets hold ≤8 members, inside the [2,20]
+    // production cap being priced. The certification machinery is
+    // UNCHANGED (lshRecallCadenceDocs with the slice covering the corpus:
+    // full banding + caps, exact slice truth), and the emitted `guarantee`
+    // column asserts recall_bp ≥ 9600 AND ci95_bp ≤ 60 in both engines —
+    // deterministic at every scale, so the row is guarantee-TRUE (not just
+    // oracle-green) at sf0.001 and sf0.1 alike.
+    Q(
+      "t171_lsh_recall_guarantee",
+      (s, _) =>
+        lshRecallCadenceDocs(plantedRecallCorpus(s), sliceDocs = 1000)
+          .withColumn("guarantee",
+            col("recall_bp") >= 9600 && col("ci95_bp") <= 60),
+      Some(s"""SELECT n_true, n_lsh, n_hit, recall_bp, ci95_bp,
+              |  (recall_bp >= 9600 AND ci95_bp <= 60) AS guarantee
+              |FROM (
+              |${lshRecallCadenceSqlFrom(
+                 plantedRecallCorpusSqlCte + ",\n" + minhashPairsSqlCtesFrom("planted"),
+                 sliceDocs = 1000)}
+              |) t""".stripMargin),
     ),
 
     // ----- t162: incremental IVF index maintenance (append == rebuild) -----
