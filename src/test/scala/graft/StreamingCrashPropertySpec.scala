@@ -429,6 +429,94 @@ class StreamingCrashPropertySpec extends SparkTestBase {
     }
   }
 
+  test("ivfIngestStream survives random crash points (partial list appends, probe-invariant)") {
+    import graft.streaming.VecStreams
+    val rnd = new Random(20260825L)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb")).localCheckpoint()
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe")).localCheckpoint()
+    val vecs = e.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def probe(lists: DataFrame) =
+      Similarity.ivfProbe(queries, lists, cents, nprobe = 4, k = 5)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    for (trial <- 1 to 3) {
+      val table = s"ccp_ivf_$trial"
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val base = java.nio.file.Files.createTempDirectory(s"graft_ccp_ivf$trial").toString
+      val cut = 1 + rnd.nextInt(vecs.length - 1)
+      val (h, c) = vecs.splitAt(cut)
+      val (f, _) = crashPoint(rnd)
+
+      def drive(ckpt: String)(b: Seq[(Long, Array[Float])]): Unit = {
+        val input = MemoryStream[(Long, Array[Float])]
+        val q = VecStreams.ivfIngestStream(
+          input.toDS().toDF("vec_id", "embedding"), cents, table, s"$base/store", ckpt)
+        try { input.addData(b: _*); q.processAllAvailable() } finally q.stop()
+      }
+      // incarnation 1: history commits
+      drive(s"$base/ckpt1")(h.toSeq)
+      // crash inside batch 0 = C: a random f-subset of its list rows is on
+      // disk (this store carries NO batch ids — replay safety is ivfProbe's
+      // (cid, neighbor_id) candidate dedup, so partials must be invisible)
+      val asgC = Similarity.ivfAssign(c.toSeq.toDF("vec_id", "embedding"), cents)
+        .localCheckpoint()
+      val partial = subset(asgC, f, Seq("cid", "neighbor_id"))
+      if (partial.count() > 0)
+        partial.write.mode("append").option("path", s"$base/store")
+          .bucketBy(8, "cid").saveAsTable(table)
+      // restart: C re-delivers as batch 0 of a fresh checkpoint
+      drive(s"$base/ckpt2")(c.toSeq)
+      spark.catalog.refreshTable(table)
+      val got = probe(spark.table(table))
+      val truth = probe(
+        Similarity.ivfAssign((h ++ c).toSeq.toDF("vec_id", "embedding"), cents))
+      assert(got == truth,
+        s"trial $trial (cut=$cut f=$f): ${got.diff(truth).take(3)} / ${truth.diff(got).take(3)}")
+      assert(got.nonEmpty)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
+  test("sampleStream replays any committed slice as a no-op at random crash points") {
+    import graft.streaming.EventStreams
+    val rnd = new Random(20260826L)
+    val evs = EventStreams.eventsDataset(spark, dir).collect()
+    for (trial <- 1 to 3) {
+      val base = java.nio.file.Files.createTempDirectory(s"graft_ccp_smp$trial").toString
+      val path = s"$base/sample"
+      val nSlices = 2 + rnd.nextInt(3)
+      val slices = rnd.shuffle(evs.toSeq).grouped(
+        math.max(1, evs.length / nSlices)).toSeq
+
+      def drive(ckpt: String)(bs: Seq[EventStreams.Ev]*): Unit = {
+        val input = MemoryStream[EventStreams.Ev]
+        val q = EventStreams.sampleStream(input.toDS().toDF(), 64, path, ckpt)
+        try bs.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        finally q.stop()
+      }
+      drive(s"$base/ckpt1")(slices: _*)
+      def sampleRows() = spark.read.parquet(path)
+        .select("h", "c").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val committed = sampleRows()
+      // crash window: the merged overwrite landed but the checkpoint commit
+      // didn't — a fresh incarnation re-delivers a RANDOM committed slice
+      // against the already-updated sample path; merge's (h, c) dedup must
+      // make the replay a byte-level no-op
+      val replaySlice = slices(rnd.nextInt(slices.length))
+      drive(s"$base/ckpt2")(replaySlice)
+      assert(sampleRows() == committed, s"trial $trial: replayed slice moved the sample")
+      // and the final sample equals the one-shot batch sample of everything
+      val oneShot = graft.operators.BottomKSample.sample(
+          evs.toSeq.toDF("event_id", "ts_ns", "user_id", "value"),
+          col("event_id"), round(col("value") * 100, 0).cast("long"), k = 64, salt = "qk:")
+        .select("h", "c").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(committed == oneShot, s"trial $trial: sample diverged from one-shot batch")
+    }
+  }
+
   test("admissionStream replays any batch onto a partially-written sink exactly once") {
     val rnd = new Random(20260818L)
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
