@@ -59,6 +59,68 @@ object StageProbe {
     )
   }
 
+  /** t57's three certification arms ISOLATED plus both combined
+    * schedules — NOT cumulative (each arm is independent; the delta
+    * column is meaningless here, read sec/spill per row). */
+  private val t57Arms: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "exact_n" -> ((s, d) =>
+      Tables.lineitem(s, d).select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("exact_n"))),
+    "exact_p50" -> ((s, d) =>
+      graft.operators.GroupedQuantiles.exact(
+        Tables.lineitem(s, d).select(lit("all").as("g"), col("l_extendedprice")),
+        "g", "l_extendedprice", Seq(0.5), s.sparkContext.defaultParallelism)),
+    "sketches" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_orderkey"), 0.01).as("est_n"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_est"))),
+    "combined_conc" -> ((s, d) =>
+      graft.operators.SketchCertify.sketchAccuracy(
+        Tables.lineitem(s, d), s.sparkContext.defaultParallelism)),
+    "combined_seq" -> ((s, d) =>
+      graft.operators.SketchCertify.sketchAccuracy(
+        Tables.lineitem(s, d), s.sparkContext.defaultParallelism, sequentialArms = true)),
+    // pairwise cross-joins to isolate WHICH arm spills when it executes as
+    // a broadcast child instead of to a sink
+    "pair_n_p50" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.select(col("l_orderkey")).distinct().agg(count(lit(1)).as("exact_n"))
+        .crossJoin(graft.operators.GroupedQuantiles.exact(
+          li.select(lit("all").as("g"), col("l_extendedprice")),
+          "g", "l_extendedprice", Seq(0.5), s.sparkContext.defaultParallelism))
+    }),
+    "pair_n_sk" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.select(col("l_orderkey")).distinct().agg(count(lit(1)).as("exact_n"))
+        .crossJoin(li.agg(
+          approx_count_distinct(col("l_orderkey"), 0.01).as("est_n"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_est")))
+    }),
+    "pair_p50_sk" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      graft.operators.GroupedQuantiles.exact(
+          li.select(lit("all").as("g"), col("l_extendedprice")),
+          "g", "l_extendedprice", Seq(0.5), s.sparkContext.defaultParallelism)
+        .crossJoin(li.agg(
+          approx_count_distinct(col("l_orderkey"), 0.01).as("est_n"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_est")))
+    }),
+    // each arm materialized via eager localCheckpoint ALONE — does the
+    // checkpoint execution path itself (no AQE final-stage re-planning)
+    // reintroduce the spill the sink path avoids?
+    "ckpt_n" -> ((s, d) =>
+      Tables.lineitem(s, d).select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("exact_n")).localCheckpoint()),
+    "ckpt_p50" -> ((s, d) =>
+      graft.operators.GroupedQuantiles.exact(
+        Tables.lineitem(s, d).select(lit("all").as("g"), col("l_extendedprice")),
+        "g", "l_extendedprice", Seq(0.5), s.sparkContext.defaultParallelism).localCheckpoint()),
+    "ckpt_sk" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_orderkey"), 0.01).as("est_n"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_est")).localCheckpoint()),
+  )
+
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println("usage: runMain graft.StageProbe <sfDir> <query>")
@@ -67,6 +129,7 @@ object StageProbe {
     val Array(sfDir, query) = args.take(2)
     val arms = query match {
       case "t121" => t121Arms()
+      case "t57" => t57Arms
       case other => sys.error(s"no stage probe defined for: $other")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -100,6 +163,15 @@ object StageProbe {
           t.synchronized {
             t.shuffle += tm.shuffleWriteMetrics.bytesWritten
             t.spill += tm.memoryBytesSpilled + tm.diskBytesSpilled
+          }
+          // per-stage forensics: which stage owns the spill (opt-in — one
+          // line per stage is too chatty for the summary table)
+          if (sys.env.get("SPARK_GRAFT_PROBE_STAGES").contains("1")) {
+            val sp = tm.memoryBytesSpilled + tm.diskBytesSpilled
+            if (sp > 0)
+              println(f"[stage] $g stage=${sc.stageInfo.stageId} " +
+                f"spillMB=${sp / 1e6}%.1f tasks=${sc.stageInfo.numTasks} " +
+                f"name=${sc.stageInfo.name.take(80)}")
           }
         }
       }

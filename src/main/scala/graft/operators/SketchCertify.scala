@@ -13,10 +13,10 @@ import org.apache.spark.sql.functions._
   * leaves all three arms in ONE job, so a scheduler is free to run their
   * corpus-wide stages concurrently — which is also the failure mode on a
   * memory-tight cluster: at the 60M-row rehearsal the three arms
-  * co-resident on a shared local[32] heap spilled 2.9 GB while EACH ARM
-  * ISOLATED spilled zero (the stage probe in SCALE.md). `sequentialArms
-  * = true` pins each single-row arm with an eager localCheckpoint before
-  * the combining cross-join, so the arms execute one at a time and the
+  * co-resident on a shared local[32] heap spilled gigabytes while EACH
+  * ARM ISOLATED spilled zero (the stage probe in SCALE.md).
+  * `sequentialArms = true` runs each single-row arm to completion alone
+  * AND frees the blocks it pinned before the next arm starts, so the
   * peak memory profile equals the isolated probes — same output
   * row-for-row (proven in SketchCertifySpec), different schedule.
   */
@@ -31,21 +31,45 @@ object SketchCertify {
       li: DataFrame,
       parallelism: Int,
       sequentialArms: Boolean = false): DataFrame = {
-    val exactN = li.select(col("l_orderkey")).distinct()
+    // Arms are THUNKS, not frames: GroupedQuantiles.exact materializes its
+    // internal checkpoints EAGERLY at build (the sorted corpus — rows ×
+    // ~86 B, 5.2 GB at the 60M-row rehearsal, pinned until the job-level
+    // sweep), so building all three arms up front leaves those storage
+    // blocks resident while the other arms aggregate. That residency IS
+    // the li100 spill: the stage probe showed exact_n's 60M-row distinct
+    // spilling ~the corpus size whenever it shares the unified pool with
+    // the pinned sort, and zero with a clean heap — scheduling the arms
+    // sequentially without freeing the blocks changed nothing.
+    val exactN = () => li.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("exact_n"))
-    val exactP = GroupedQuantiles
+    val exactP = () => GroupedQuantiles
       .exact(
         li.select(lit("all").as("g"), col("l_extendedprice")),
         "g", "l_extendedprice", Seq(0.5),
         parallelism)
       .select(col("p50").as("p50_exact"))
-    val sketches = li.agg(
+    val sketches = () => li.agg(
       approx_count_distinct(col("l_orderkey"), 0.01).as("est_n"),
       expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_est"))
-    // eager localCheckpoints run the arms NOW, one per call, in order —
-    // after them the cross-join reads three pinned single-row frames
     val arms = Seq(exactN, exactP, sketches)
-    val Seq(n, p, sk) = if (sequentialArms) arms.map(_.localCheckpoint()) else arms
+    // Sequential mode: build + run ONE arm at a time (a 1-row collect —
+    // bounded by construction: certification arms aggregate to one row),
+    // then free every block it pinned — blocking, so the next arm never
+    // races the block drain for the same pool. Each arm thereby gets the
+    // isolated probes' memory profile; output is row-identical to the
+    // concurrent plan (SketchCertifySpec).
+    val Seq(n, p, sk) =
+      if (!sequentialArms) arms.map(_())
+      else arms.map { mk =>
+        val sc = li.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet
+        val a = mk()
+        val rows = a.collect()
+        (sc.getPersistentRDDs.keySet -- before)
+          .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
+        li.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), a.schema)
+      }
     n.crossJoin(p).crossJoin(sk)
       .select(
         col("exact_n"),

@@ -21,15 +21,20 @@ class SketchCertifySpec extends SparkTestBase {
     assert(sequential.head.getBoolean(2), "pct_ok false on fixture")
   }
 
-  test("sequential mode pins one single-row frame per arm before the cross-join") {
+  test("sequential mode leaves no corpus work or pinned blocks for the cross-join") {
     val li = Tables.lineitem(spark, dir)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val seqDf = SketchCertify.sketchAccuracy(
       li, spark.sparkContext.defaultParallelism, sequentialArms = true)
-    // every corpus scan is gone from the plan: the checkpoints replaced
-    // the three aggregation subtrees with pinned RDD scans
+    // every corpus scan is gone from the plan: the arms already ran and
+    // were rebuilt as local single-row relations
     val plan = seqDf.queryExecution.optimizedPlan.toString
-    assert(!plan.contains("Relation"), s"corpus scan survived the arm checkpoints:\n$plan")
-    assert(plan.contains("LogicalRDD"), s"no checkpointed arm in plan:\n$plan")
+    assert(!plan.contains("parquet") && !plan.contains("Aggregate"),
+      s"corpus work survived the arm collect:\n$plan")
+    // and the arms' internal checkpoints (the sorted-corpus block set that
+    // caused the li100 spill) were freed, not left resident
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"arm blocks leaked: $leaked")
   }
 
   test("arms certify a corpus where the sketch is actually stressed") {
