@@ -207,6 +207,16 @@ object Graft {
     queries.Similarity.lshRecallCadenceDocs(docs, sliceDocs)
   }
 
+  /** Sketch-accuracy certification (HLL++ / approx-percentile vs exact
+    * arms) over a lineitem-shaped frame; `sequentialArms = true` trades
+    * ~25% wall for the isolated-arm memory profile on memory-tight
+    * clusters — see [[graft.operators.SketchCertify.sketchAccuracy]]. */
+  def sketchCertification(
+      li: DataFrame,
+      parallelism: Int,
+      sequentialArms: Boolean = false): DataFrame =
+    operators.SketchCertify.sketchAccuracy(li, parallelism, sequentialArms)
+
   /** Inject the graft_* SQL functions into a live session — see
     * [[GraftExtensions.register]] (builder-time sessions can use
     * `.withExtensions(new GraftExtensions)` instead). */
