@@ -517,6 +517,105 @@ class StreamingCrashPropertySpec extends SparkTestBase {
     }
   }
 
+  test("sessionCounts keyed state survives engine restarts at random split points") {
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.streaming.OutputMode
+    // the one recovery class the foreachBatch sweeps can't exercise: OUR
+    // flatMapGroupsWithState session logic restored from the engine's
+    // state store across a real query restart (same checkpoint, fresh
+    // query object). Slices are TIME-ordered prefixes — sessionCounts's
+    // cross-batch contract — with the restart point drawn at random.
+    val rnd = new Random(20260827L)
+    val evs = EventStreams.eventsDataset(spark, dir).collect()
+      .sortBy(e => (e.ts_ns, e.event_id))
+    val truth = SparkEntry.queries("q19_sessionize")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (trial <- 1 to 2) {
+      val base = java.nio.file.Files.createTempDirectory(s"graft_ccp_sess$trial").toString
+      val nSlices = 3 + rnd.nextInt(3)
+      val slices = evs.grouped(math.max(1, (evs.length + nSlices - 1) / nSlices)).toSeq
+      val restartAfter = 1 + rnd.nextInt(slices.length - 1)
+      val input = MemoryStream[EventStreams.Ev]
+      def start() = EventStreams.sessionCounts(spark, input.toDS())
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(OutputMode.Append())
+        .start()
+      val q1 = start()
+      try slices.take(restartAfter).foreach { s =>
+        input.addData(s.toSeq: _*); q1.processAllAvailable()
+      } finally q1.stop()
+      // restart: the state store must hand every user's (lastTs, sessions,
+      // events) back to the resumed query — a lost lastTs would split a
+      // session at the restart boundary and overcount n_sessions
+      val q2 = start()
+      try slices.drop(restartAfter).foreach { s =>
+        input.addData(s.toSeq: _*); q2.processAllAvailable()
+      } finally q2.stop()
+      // each emitted row is a user's CUMULATIVE totals; the final truth is
+      // the row at max n_events per user (duplicates from a replayed
+      // boundary batch are identical rows — distinct collapses them)
+      val emitted: Set[(Long, Long, Long)] = spark.read.parquet(s"$base/out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val finals = emitted.groupBy(_._1).map { case (_, rows) => rows.maxBy(_._3) }.toSet
+      assert(finals == truth,
+        s"trial $trial (slices=${slices.length} restartAfter=$restartAfter): " +
+          s"${finals.diff(truth).take(3)} / ${truth.diff(finals).take(3)}")
+    }
+  }
+
+  test("scd2Stream keyed state survives engine restarts at random split points") {
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.streaming.OutputMode
+    // same recovery class as sessionCounts, different state shape: the
+    // OPEN dimension version (curType, validFrom, ver, nEvents) must come
+    // back from the state store intact — a lost validFrom would emit the
+    // next closed version with a wrong boundary, a lost ver would renumber
+    // every version after the restart
+    val rnd = new Random(20260828L)
+    val evs = Tables.events(spark, dir).filter(col("user_id") < 10)
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .orderBy("ts_ns", "event_id")
+      .as[EventStreams.TypeEv].collect()
+    val truth = SparkEntry.queries("t115_scd2_history")(spark, dir)
+      .filter(col("valid_to").isNotNull)
+      .select("user_id", "ver", "event_type", "valid_from", "valid_to", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    for (trial <- 1 to 2) {
+      val base = java.nio.file.Files.createTempDirectory(s"graft_ccp_scd$trial").toString
+      val nSlices = 3 + rnd.nextInt(3)
+      val slices = evs.grouped(math.max(1, (evs.length + nSlices - 1) / nSlices)).toSeq
+      val restartAfter = 1 + rnd.nextInt(slices.length - 1)
+      val input = MemoryStream[EventStreams.TypeEv]
+      def start() = EventStreams.scd2Stream(spark, input.toDS())
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(OutputMode.Append())
+        .start()
+      val q1 = start()
+      try slices.take(restartAfter).foreach { s =>
+        input.addData(s.toSeq: _*); q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start()
+      try slices.drop(restartAfter).foreach { s =>
+        input.addData(s.toSeq: _*); q2.processAllAvailable()
+      } finally q2.stop()
+      val got = spark.read.parquet(s"$base/out")
+        .select("user_id", "ver", "event_type", "valid_from", "valid_to", "n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toSet
+      assert(got == truth,
+        s"trial $trial (slices=${slices.length} restartAfter=$restartAfter): " +
+          s"${got.diff(truth).take(3)} / ${truth.diff(got).take(3)}")
+      assert(got.nonEmpty)
+    }
+  }
+
   test("admissionStream replays any batch onto a partially-written sink exactly once") {
     val rnd = new Random(20260818L)
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
