@@ -220,6 +220,21 @@ object Bench {
       s""""failed":$failedJson,"failed_n":${failed.size},"load_before":${jms(loadBefore)},""" +
       s""""load_after":${jms(loadAfter)},"spark_overhead_s":${jms(sparkOverhead)},""" +
       s""""compute_ratio":$computeRatio,"detail":"BENCH_DETAIL.json"}""")
+    // ...and a THIN summary as the very LAST line: the driver records only
+    // the final ~2000 chars of output and parses the last JSON line in it —
+    // at 179 queries the full per-query map overflows that window (r12's
+    // driver artifact carries parsed:null for exactly this reason), so the
+    // tail-most line holds the summary plus only the heaviest queries; the
+    // complete map is the line above and BENCH_DETAIL.json
+    val top = mins.sortBy(-_._2).take(10)
+      .map { case (k, v) => jstr(k.takeWhile(_ != '_')) + ":" + jms(v) }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total3,"unit":"sec","queries":$top,""" +
+      s""""queries_truncated":true,"queries_n":${mins.size},"sf":${jstr(sfDir)},""" +
+      s""""runs":$runs,"cpus":$cpus,"duckdb_total":${jms(duckTotal)},"total_ratio":$totalRatio3,""" +
+      s""""failed":$failedJson,"failed_n":${failed.size},"load_before":${jms(loadBefore)},""" +
+      s""""load_after":${jms(loadAfter)},"spark_overhead_s":${jms(sparkOverhead)},""" +
+      s""""compute_ratio":$computeRatio,"detail":"BENCH_DETAIL.json"}""")
     val detail =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":${jstr(sfDir)},""" +
       s""""runs":$runs,"cpus":$cpus,"queries":$qs,"spark_runs":$runsJson,"duckdb":$duckJson,""" +
