@@ -34,6 +34,27 @@ object Similarity {
     * folds matching DuckDB `list_sum(list_transform(...))` element order. */
   private def cosine(a: Column, b: Column): Column = ArrayFns.cosineSim(a, b)
 
+  /** Similarity-scoring vector contract (edge-gate finding, round 13):
+    * cosine is undefined on a zero-norm vector, and the engines DISAGREE
+    * about the undefined value — Spark's 0/0 is NaN, which sorts GREATEST
+    * under a DESC ordering, while DuckDB's float division by zero yields
+    * NULL, which sorts last. So one all-zero garbage embedding (a single
+    * corrupt row in a 100 TB crawl) would hijack EVERY Spark-side top-k
+    * while silently vanishing from the oracle's ranking. Every
+    * scoring/assignment query therefore excludes zero-norm vectors up
+    * front via this predicate pair; the norm folds in double on both
+    * engines (float→double widening is exact), so the predicate itself
+    * cannot diverge — including on 1e-30-component vectors, whose squares
+    * survive ONLY in double (a float-accumulating norm would underflow to
+    * zero on one side only). Threshold-filtered queries (t30/t37/t38) are
+    * safe either way — NaN >= t is false and NULL >= t drops — and
+    * profile/PQ queries (t54 norms, t104/t107 L2 subquantizers) stay
+    * inclusive: zero norm is a reportable value there and no undefined
+    * cosine ever enters an ordering. See EDGE.md (V1 zero vector). */
+  private def scorableVec(emb: Column): Column = ArrayFns.l2Norm(emb) > 0
+  private val scorableVecSql: String =
+    "list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)) > 0"
+
   /** Trained-centroid assignment shared by t99 (SemDeDup) and t140
     * (similarity-ordered curriculum): label-trained centroids via the exact
     * scaled-integer M-step (t82), broadcast E-step (t84), the winning
@@ -43,7 +64,11 @@ object Similarity {
     * frame more than once materialize it themselves.
     */
   private def trainedCentroidAssign(s: SparkSession, d: String): DataFrame = {
+    // zero-norm vectors are excluded from TRAINING too, not just scoring:
+    // the centroid means and the assignment must see the same population
+    // (see scorableVec)
     val e = Tables.embeddings(s, d)
+      .filter(scorableVec(col("embedding")))
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("emb"))
     val cents = e
@@ -70,8 +95,9 @@ object Similarity {
     * Interpolated into the t99 and t140 oracles so the two queries pin the
     * SAME assignment semantics. */
   private val centroidAsgSqlCtes: String =
-    """e AS (
-      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings WHERE $scorableVecSql),
       |u AS (
       |  SELECT label AS cid, CAST(generate_subscripts(emb, 1) - 1 AS INT) AS pos,
       |         unnest(emb) AS x
@@ -759,7 +785,8 @@ object Similarity {
     Q(
       "q25_cosine_pairs",
       (s, d) => {
-        val e = Tables.embeddings(s, d).filter(col("vec_id") <= 200)
+        val e = Tables.embeddings(s, d)
+          .filter(col("vec_id") <= 200 && scorableVec(col("embedding")))
         val a = e.select(col("vec_id").as("vec_id1"), col("embedding").as("e1"))
         val b = e.select(col("vec_id").as("vec_id2"), col("embedding").as("e2"))
         a.join(b, col("vec_id1") < col("vec_id2"))
@@ -770,8 +797,8 @@ object Similarity {
           .orderBy(col("sim").desc, col("vec_id1"), col("vec_id2"))
           .limit(20)
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-             |          FROM embeddings WHERE vec_id <= 200)
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             |          FROM embeddings WHERE vec_id <= 200 AND $scorableVecSql)
              |SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
              |  ROUND(list_sum(list_transform(generate_series(1, len(a.emb)), i -> a.emb[i] * b.emb[i]))
              |        / (sqrt(list_sum(list_transform(a.emb, x -> x*x)))
@@ -951,7 +978,7 @@ object Similarity {
     Q(
       "t33_ann_topk",
       (s, d) => {
-        val e = Tables.embeddings(s, d)
+        val e = Tables.embeddings(s, d).filter(scorableVec(col("embedding")))
         val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("query_id"), col("embedding").as("qe"))
         val n = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
         val w = Window.partitionBy(col("query_id")).orderBy(col("sim_raw").desc, col("neighbor_id"))
@@ -964,7 +991,8 @@ object Similarity {
             (round(col("sim_raw"), 4) + lit(0.0)).as("sim"))
           .orderBy("query_id", "rank")
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             |       FROM embeddings WHERE $scorableVecSql),
              |sims AS (
              |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
              |    list_sum(list_transform(generate_series(1, len(q.emb)), i -> q.emb[i] * n.emb[i]))
@@ -1149,6 +1177,7 @@ object Similarity {
       "t61_ann_ivf",
       (s, d) => {
         val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+          .filter(scorableVec(col("embedding")))
         val cents = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
         val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
@@ -1176,7 +1205,8 @@ object Similarity {
             (round(col("sim_raw"), 4) + lit(0.0)).as("sim"))
           .orderBy("query_id", "rank")
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             |       FROM embeddings WHERE $scorableVecSql),
              |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
              |asg AS (
              |  SELECT cid, vec_id AS neighbor_id, emb AS ne FROM (
@@ -1415,6 +1445,7 @@ object Similarity {
       "t92_ann_recall",
       (s, d) => {
         val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+          .filter(scorableVec(col("embedding")))
         // exact arm (t33 shape)
         val qf = e.filter(col("vec_id") < 20)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -1474,7 +1505,8 @@ object Similarity {
             expr("coalesce(h, 0L) * 10000 div 100").as("recall_bp"))
           .orderBy("nprobe")
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             |       FROM embeddings WHERE $scorableVecSql),
              |xsims AS (
              |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
              |    list_sum(list_transform(generate_series(1, len(q.emb)), i -> q.emb[i] * n.emb[i]))
@@ -2477,6 +2509,7 @@ object Similarity {
       "t150_matryoshka_recall",
       (s, d) => {
         val e = Tables.embeddings(s, d)
+          .filter(scorableVec(col("embedding")))
           .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
         val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("emb").as("qe"))
         val n = e.select(col("vec_id").as("nid"), col("emb").as("ne"))
@@ -2499,7 +2532,8 @@ object Similarity {
           .withColumn("recall", round(col("hits") * 1.0 / (5 * 20), 4))
           .orderBy("dims")
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             |       FROM embeddings WHERE $scorableVecSql),
              |dims AS (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS dims),
              |pairs AS (
              |  SELECT q.vec_id AS qid, n.vec_id AS nid, q.emb AS qe, n.emb AS ne
@@ -2815,6 +2849,7 @@ object Similarity {
       "t162_ivf_append",
       (s, d) => {
         val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+          .filter(scorableVec(col("embedding")))
         val cents = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
         val base =
@@ -2833,7 +2868,8 @@ object Similarity {
       // identical to t61's oracle with the source list (cid) carried
       // through — equality with the Spark side's appended-table probe IS
       // the append==rebuild certification
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             |       FROM embeddings WHERE $scorableVecSql),
              |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
              |asg AS (
              |  SELECT cid, vec_id AS neighbor_id, emb AS ne FROM (
