@@ -88,10 +88,14 @@ object Multimodal {
   /** (doc_id, fp, clen) CDC chunk fingerprints of a (doc_id, payload)
     * frame — the shared kernel of m39 and the streaming chunk-index twin
     * ([[graft.streaming.DocStreams.chunkIndexStream]]). Boundaries come
-    * from the codegen'd CdcKit scan; fps are md5 over the payload SLICE;
-    * zero-length bodies chunk to NO rows (the pinned CdcSpec choice),
-    * which also keeps `slice(ends, 1, size-1)` off the size=0
-    * negative-length edge. */
+    * from the codegen'd CdcKit scan; fps are md5 over the HEX of the
+    * payload slice (not the raw bytes: DuckDB's md5 takes VARCHAR only,
+    * and a CDC boundary can split a multi-byte UTF-8 char, so no
+    * text-substring md5 can reproduce a raw byte-slice hash — md5∘hex is
+    * the same fingerprint-grade id both engines can compute over ANY
+    * bytes; see EDGE.md). Zero-length bodies chunk to NO rows (the pinned
+    * CdcSpec choice), which also keeps `slice(ends, 1, size-1)` off the
+    * size=0 negative-length edge. */
   def chunkFps(payloads: DataFrame): DataFrame =
     payloads
       .withColumn("ends", graft.functions.Cdc.chunkEnds(col("payload")))
@@ -102,7 +106,7 @@ object Multimodal {
       .select(col("doc_id"), col("payload"),
         explode(arrays_zip(col("starts"), col("ends"))).as("z"))
       .select(col("doc_id"),
-        md5(expr("substring(payload, cast(z.starts + 14 as int), cast(z.ends - z.starts + 1 as int))"))
+        md5(expr("hex(substring(payload, cast(z.starts + 14 as int), cast(z.ends - z.starts + 1 as int)))"))
           .as("fp"),
         (col("z.ends") - col("z.starts") + 1L).as("clen"))
 
@@ -383,16 +387,17 @@ object Multimodal {
     * BEFORE hashing/banding — m44's bounded certification slice. */
   private def phashPairsSqlCtes(docFilter: String = ""): String =
     s"""m AS (
-      |  SELECT doc_id, text AS t, length(text) AS n,
-      |    length(text) % 48 + 1 AS w, length(text) * 7 % 32 + 1 AS h
-      |  FROM documents WHERE length(text) > 0$docFilter),
+      |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n,
+      |    octet_length(encode(text)) % 48 + 1 AS w,
+      |    octet_length(encode(text)) * 7 % 32 + 1 AS h
+      |  FROM documents WHERE octet_length(encode(text)) > 0$docFilter),
       |cells AS (
-      |  SELECT doc_id, n, w, h, t, unnest(generate_series(0, 63)) AS k FROM m),
+      |  SELECT doc_id, n, w, h, hx, unnest(generate_series(0, 63)) AS k FROM m),
       |g AS (
       |  SELECT doc_id, k,
-      |      unicode(substring(t, CAST(((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 0) % n AS INT) + 1, 1))
-      |    + unicode(substring(t, CAST(((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 1) % n AS INT) + 1, 1))
-      |    + unicode(substring(t, CAST(((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 2) % n AS INT) + 1, 1))
+      |      CAST('0x' || substring(hx, 2 * CAST(((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 0) % n AS INT) + 1, 2) AS BIGINT)
+      |    + CAST('0x' || substring(hx, 2 * CAST(((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 1) % n AS INT) + 1, 2) AS BIGINT)
+      |    + CAST('0x' || substring(hx, 2 * CAST(((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 2) % n AS INT) + 1, 2) AS BIGINT)
       |      AS gray
       |  FROM cells),
       |tot AS (SELECT doc_id, SUM(gray) AS total FROM g GROUP BY doc_id),
@@ -543,21 +548,27 @@ object Multimodal {
     Q(
       "m36_decode_features",
       (s, d) => decodeFeatures(mediaPayload(s, d)).orderBy("doc_id"),
-      // ASCII corpus: the UTF-8 body byte sum equals the per-character
-      // codepoint sum — expressible in plain SQL. COALESCE: list_sum over
-      // an empty list is NULL, but the fold over an empty body is 0.
+      // Byte-exact oracle: the body is the text's UTF-8 BYTES, so the sum
+      // runs over hex(encode(text)) byte pairs — NOT per-character
+      // codepoints, which only coincide with bytes on an ASCII corpus (the
+      // edge corpus's CJK/emoji docs diverged under the old codepoint
+      // approximation; see EDGE.md). COALESCE: list_sum over an empty list
+      // is NULL, but the fold over an empty body is 0.
       Some("""WITH ck AS (
-             |  SELECT doc_id, octet_length(encode(text)) AS n,
-             |         COALESCE(list_sum(list_transform(generate_series(1, length(text)),
-             |                                          i -> unicode(substring(text, i, 1)))), 0) AS bytesum
-             |  FROM documents)
+             |  SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, n,
+             |         COALESCE(list_sum(list_transform(generate_series(1, n),
+             |           i -> CAST('0x' || substring(hx, 2*i - 1, 2) AS BIGINT))), 0) AS bytesum
+             |  FROM ck)
              |SELECT doc_id,
              |  CAST(n % 640 AS BIGINT) AS width,
              |  CAST(n * 7 % 480 AS BIGINT) AS height,
              |  CAST(n % 3 + 1 AS BIGINT) AS channels,
              |  CAST(n AS BIGINT) AS body_len,
              |  CAST(bytesum % 65521 AS BIGINT) AS checksum
-             |FROM ck ORDER BY doc_id""".stripMargin),
+             |FROM s ORDER BY doc_id""".stripMargin),
     ),
 
     // ----- m37: partition-wise frame sampling over binary payloads -----
@@ -598,17 +609,16 @@ object Multimodal {
             sum(col("frame_byte")).as("byte_sum"))
           .orderBy("doc_id")
       },
-      // ASCII corpus: the body byte at offset i equals the codepoint of the
-      // character at i+1 (1-based substring), so the oracle mirrors the
-      // sampler in plain SQL.
+      // Byte-exact oracle: the sampled "feature" is the body BYTE at a byte
+      // offset, read from hex(encode(text)) — a codepoint-at-char-index
+      // read only matches on ASCII (see m36 / EDGE.md).
       Some("""WITH f AS (
-             |  SELECT doc_id, octet_length(encode(text)) AS n,
-             |         unnest(generate_series(0, octet_length(encode(text)) % 16, 4)) AS fi,
-             |         text
+             |  SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx,
+             |         unnest(generate_series(0, octet_length(encode(text)) % 16, 4)) AS fi
              |  FROM documents WHERE octet_length(encode(text)) > 0),
              |b AS (
              |  SELECT doc_id, fi,
-             |         unicode(substring(text, CAST((fi * 1024) % n AS INT) + 1, 1)) AS fb
+             |         CAST('0x' || substring(hx, 2 * CAST((fi * 1024) % n AS INT) + 1, 2) AS BIGINT) AS fb
              |  FROM f)
              |SELECT doc_id, COUNT(*) AS n_sampled,
              |  CAST(MAX(fi) AS BIGINT) AS last_frame,
@@ -673,13 +683,15 @@ object Multimodal {
         }(RowEncoder.encoderFor(outSchema)).orderBy("doc_id")
       },
       // The oracle reconstructs every sampled pixel from the generator
-      // contract (pixel byte k = text byte at k % n), mirrors the integer
-      // plan and NN mapping, and sums — exact because everything is
-      // integer and the corpus is ASCII (byte == codepoint).
+      // contract (pixel byte k = text byte at k % n, n = UTF-8 BYTE count),
+      // mirrors the integer plan and NN mapping, and sums — byte-exact on
+      // any corpus via hex(encode(text)) (the old length(text)/codepoint
+      // form was ASCII-only; see EDGE.md).
       Some("""WITH m AS (
-             |  SELECT doc_id, text AS t, length(text) AS n,
-             |    length(text) % 48 + 1 AS w, length(text) * 7 % 32 + 1 AS h
-             |  FROM documents WHERE length(text) > 0),
+             |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n,
+             |    octet_length(encode(text)) % 48 + 1 AS w,
+             |    octet_length(encode(text)) * 7 % 32 + 1 AS h
+             |  FROM documents WHERE octet_length(encode(text)) > 0),
              |p AS (
              |  SELECT *, LEAST(1000, 16000 // GREATEST(w, h)) AS spm FROM m),
              |p2 AS (
@@ -691,9 +703,9 @@ object Multimodal {
              |cs AS (SELECT *, unnest([0, 1, 2]) AS c FROM xs),
              |v AS (
              |  SELECT doc_id, w, h, tw, th, spm,
-             |    unicode(substring(t,
-             |      CAST((((ty * h // th) * w + (tx * w // tw)) * 3 + c) % n AS INT) + 1,
-             |      1)) AS b
+             |    CAST('0x' || substring(hx,
+             |      2 * CAST((((ty * h // th) * w + (tx * w // tw)) * 3 + c) % n AS INT) + 1,
+             |      2) AS BIGINT) AS b
              |  FROM cs)
              |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
              |  CAST(tw AS BIGINT) AS target_w, CAST(th AS BIGINT) AS target_h,
@@ -730,27 +742,38 @@ object Multimodal {
             sum(when(col("n_docs") >= 2, col("clen")).otherwise(0L)).as("dup_bytes"))
           .orderBy("doc_id")
       },
-      Some("""WITH d AS (SELECT doc_id, text AS t, length(text) AS n FROM documents
-             |          WHERE length(text) > 0),
+      // Byte-exact oracle: the rolling hash runs over UTF-8 BYTE values
+      // (hex(encode(text)) pairs) and the chunk fp is md5 over the HEX of
+      // the byte slice — matching chunkFps exactly on any corpus; the old
+      // text-substring form was ASCII-only (see EDGE.md).
+      Some("""WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+             |                 octet_length(encode(text)) AS n FROM documents
+             |          WHERE octet_length(encode(text)) > 0),
+             |bl AS (
+             |  SELECT doc_id, hx, n,
+             |    list_transform(generate_series(1, n),
+             |      i -> CAST('0x' || substring(hx, 2*i - 1, 2) AS BIGINT)) AS bs
+             |  FROM d),
              |b AS (
-             |  SELECT doc_id, t, n,
+             |  SELECT doc_id, hx, n,
              |    list_sort(list_distinct(list_append(
              |      list_filter(generate_series(8, n), i ->
              |        (list_sum(list_transform(generate_series(0, 7), j ->
-             |           CAST(unicode(substring(t, i - j, 1)) AS BIGINT)
+             |           bs[i - j]
              |             * [1,31,961,29791,923521,28629151,887503681,27512614111][j+1]))
              |         % 2147483647) % 16 = 0),
              |      n))) AS ends
-             |  FROM d),
+             |  FROM bl),
              |c AS (
-             |  SELECT doc_id, t, unnest(generate_series(1, len(ends))) AS ord, ends
+             |  SELECT doc_id, hx, unnest(generate_series(1, len(ends))) AS ord, ends
              |  FROM b),
              |c2 AS (
-             |  SELECT doc_id, t, ends[ord] AS e,
+             |  SELECT doc_id, hx, ends[ord] AS e,
              |    CASE WHEN ord = 1 THEN 1 ELSE ends[ord - 1] + 1 END AS s
              |  FROM c),
              |ch AS (
-             |  SELECT doc_id, md5(substring(t, s, e - s + 1)) AS fp, e - s + 1 AS clen
+             |  SELECT doc_id, md5(substring(hx, 2*s - 1, 2*(e - s + 1))) AS fp,
+             |         e - s + 1 AS clen
              |  FROM c2),
              |df AS (SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM ch GROUP BY fp)
              |SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
@@ -779,27 +802,38 @@ object Multimodal {
         val incoming = all.filter(col("doc_id") % 3 =!= 0)
         chunkDedupAgainst(incoming, store).orderBy("doc_id")
       },
-      Some("""WITH d AS (SELECT doc_id, text AS t, length(text) AS n FROM documents
-             |          WHERE length(text) > 0),
+      // Byte-exact oracle: the rolling hash runs over UTF-8 BYTE values
+      // (hex(encode(text)) pairs) and the chunk fp is md5 over the HEX of
+      // the byte slice — matching chunkFps exactly on any corpus; the old
+      // text-substring form was ASCII-only (see EDGE.md).
+      Some("""WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+             |                 octet_length(encode(text)) AS n FROM documents
+             |          WHERE octet_length(encode(text)) > 0),
+             |bl AS (
+             |  SELECT doc_id, hx, n,
+             |    list_transform(generate_series(1, n),
+             |      i -> CAST('0x' || substring(hx, 2*i - 1, 2) AS BIGINT)) AS bs
+             |  FROM d),
              |b AS (
-             |  SELECT doc_id, t, n,
+             |  SELECT doc_id, hx, n,
              |    list_sort(list_distinct(list_append(
              |      list_filter(generate_series(8, n), i ->
              |        (list_sum(list_transform(generate_series(0, 7), j ->
-             |           CAST(unicode(substring(t, i - j, 1)) AS BIGINT)
+             |           bs[i - j]
              |             * [1,31,961,29791,923521,28629151,887503681,27512614111][j+1]))
              |         % 2147483647) % 16 = 0),
              |      n))) AS ends
-             |  FROM d),
+             |  FROM bl),
              |c AS (
-             |  SELECT doc_id, t, unnest(generate_series(1, len(ends))) AS ord, ends
+             |  SELECT doc_id, hx, unnest(generate_series(1, len(ends))) AS ord, ends
              |  FROM b),
              |c2 AS (
-             |  SELECT doc_id, t, ends[ord] AS e,
+             |  SELECT doc_id, hx, ends[ord] AS e,
              |    CASE WHEN ord = 1 THEN 1 ELSE ends[ord - 1] + 1 END AS s
              |  FROM c),
              |ch AS (
-             |  SELECT doc_id, md5(substring(t, s, e - s + 1)) AS fp, e - s + 1 AS clen
+             |  SELECT doc_id, md5(substring(hx, 2*s - 1, 2*(e - s + 1))) AS fp,
+             |         e - s + 1 AS clen
              |  FROM c2),
              |store AS (SELECT DISTINCT fp FROM ch WHERE doc_id % 3 = 0),
              |inc AS (SELECT * FROM ch WHERE doc_id % 3 <> 0)
@@ -860,21 +894,23 @@ object Multimodal {
     Q(
       "m42_audio_energy",
       (s, d) => audioTrimReport(mediaPayload(s, d)).orderBy("doc_id"),
-      // ASCII corpus: body byte k = codepoint of text char k+1 (the
-      // m36/m37 contract), so the oracle rebuilds every sample, mirrors
-      // the integer energy and threshold, and derives the runs with the
-      // classic w − ROW_NUMBER() islands trick — all integer-exact.
+      // Byte-exact oracle: samples are the body's UTF-8 BYTES read from
+      // hex(encode(text)) — the codepoint-at-char-index form was
+      // ASCII-only (see m36 / EDGE.md) — and the oracle rebuilds every
+      // sample, mirrors the integer energy and threshold, and derives the
+      // runs with the classic w − ROW_NUMBER() islands trick.
       Some("""WITH d AS (
-             |  SELECT doc_id, text AS t, length(text) AS n FROM documents),
+             |  SELECT doc_id, hex(encode(text)) AS hx,
+             |         octet_length(encode(text)) AS n FROM documents),
              |w AS (
-             |  SELECT doc_id, t, unnest(generate_series(0, n // 64 - 1)) AS w
+             |  SELECT doc_id, hx, unnest(generate_series(0, n // 64 - 1)) AS w
              |  FROM d WHERE n >= 64),
              |smp AS (
-             |  SELECT doc_id, w, t, unnest(generate_series(1, 64)) AS i FROM w),
+             |  SELECT doc_id, w, hx, unnest(generate_series(1, 64)) AS i FROM w),
              |en AS (
              |  SELECT doc_id, w,
-             |    SUM((unicode(substring(t, CAST(w * 64 + i AS INT), 1)) - 128)
-             |      * (unicode(substring(t, CAST(w * 64 + i AS INT), 1)) - 128)) AS energy
+             |    SUM((CAST('0x' || substring(hx, 2 * CAST(w * 64 + i AS INT) - 1, 2) AS BIGINT) - 128)
+             |      * (CAST('0x' || substring(hx, 2 * CAST(w * 64 + i AS INT) - 1, 2) AS BIGINT) - 128)) AS energy
              |  FROM smp GROUP BY doc_id, w),
              |q AS (
              |  SELECT doc_id, w, CASE WHEN energy < 125000 THEN 1 ELSE 0 END AS quiet
