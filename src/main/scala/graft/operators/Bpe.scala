@@ -175,6 +175,24 @@ object Bpe {
     * Worst case every round accepts only r₁ — exactly the sequential
     * trainer. Equivalence is property-tested against the sequential path in
     * BpeSpec over random vocabularies.
+    *
+    * SELF-PAIRS close the round (edge-gate finding, EDGE.md). The new-pair
+    * bound above reads "(x, ab) is bounded by the ORIGINAL count of an
+    * overlapping pair, which ranks at or below the cut" — but merging a
+    * self-pair (a, a) → aa creates (aa, aa), whose occurrences arise from
+    * a-RUNS: the bounding original pair is (a, a) ITSELF, an ACCEPTED pair
+    * above the cut, so (aa, aa) can land anywhere up to c₁/2 — in
+    * particular above later batch members, where the sequential trainer
+    * would have picked it first (a 4000-char single-letter run: (a,a)
+    * count 7998 → (aa,aa) count 3998 > the 3824-count pair the batch
+    * accepted next). A non-self merge (a, b) can also chain into
+    * (ab, ab), but only via "abab…" runs whose bounding original (b, a)
+    * SHARES symbols with the accepted pair — a C1 violator, hence at or
+    * below the cut — so only self-pairs break the bound. Fix: an accepted
+    * self-pair ends its batch (it still lands, alone = one sequential
+    * round); a self-pair reached later stops the walk like a C1 violator
+    * and sets the cut to its count. Regression pinned in BpeSpec's
+    * single-letter-run property.
     */
   private def acceptBatch(
       ranked: Array[(String, String, Long)],
@@ -191,13 +209,16 @@ object Bpe {
       val (a, b, c) = ranked(i)
       val m = a + b
       val fresh = !known(m) && !syms(m) && !made(m) && m != a && m != b
+      val self = a == b // see the self-pair clause in the scaladoc proof
       if (accepted.isEmpty) {
         // the top pair is the sequential argmax by construction — always
         // accepted; if its merge symbol is NOT fresh the new-pair bound is
-        // void, so the batch is just this one rule (a sequential round)
+        // void, and a SELF-pair's (m, m) successor is bounded only by the
+        // pair's own count — either way the batch is just this one rule
+        // (a sequential round)
         accepted += ((a, b, c)); syms += a; syms += b; made += m
-        if (!fresh) stopped = true
-      } else if (!syms(a) && !syms(b) && fresh) {
+        if (!fresh || self) stopped = true
+      } else if (!syms(a) && !syms(b) && fresh && !self) {
         accepted += ((a, b, c)); syms += a; syms += b; made += m
       } else {
         cut = c

@@ -17,16 +17,38 @@ import graft.functions.ArrayFns
   */
 object Text {
 
-  // Stopword-hit patterns per language; zh detected by CJK codepoints.
+  // Stopword-hit counting per language; zh detected by CJK codepoints.
   // \x{...} escapes parse identically in Java regex (Spark) and RE2 (DuckDB).
-  private val enPat = "\\b(the|and|of|to|in)\\b"
+  //
+  // The metric is "maximal [A-Za-z]+ run equal to a stopword" — NOT \b:
+  // the engines' \b disagree outside ASCII (edge-gate finding, EDGE.md).
+  // Java's \b is Unicode-aware, so a combining mark is a word char and
+  // "zͦaͦlͦgͦoͦ" is ONE word; RE2's \b is ASCII-only, so the same text has a
+  // boundary around every base letter and the embedded 'a' counts as a
+  // stopword hit. RE2 has no lookarounds, so the two sides express the
+  // SAME letter-run contract differently: Spark patterns confine the
+  // match with Java lookarounds; oracles filter the extracted
+  // [A-Za-z]+ token list against the word set ([[wordHitCntSql]]).
+  private def wordRunPat(words: Seq[String]): String =
+    s"(?<![A-Za-z])(${words.mkString("|")})(?![A-Za-z])"
+  private def wordHitCntSql(words: Seq[String], tcol: String = "text"): String =
+    s"len(list_filter(regexp_extract_all($tcol, '[A-Za-z]+'), " +
+      s"w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
+  private val enWords = Seq("the", "and", "of", "to", "in")
   // the quality-rule stopword set (t27 score, t53 filter) — ONE definition
   // interpolated into both Spark and oracle sides so the two rules can't
-  // drift apart (alternation order is irrelevant under the \b anchors)
-  private val stopPat = "\\b(the|a|and|of|to|in)\\b"
-  private val dePat = "\\b(der|die|das|und|ist)\\b"
-  private val esPat = "\\b(el|los|las|es|y)\\b"
-  private val frPat = "\\b(le|les|des|est)\\b"
+  // drift apart (alternation order is irrelevant: letter runs are maximal,
+  // so exactly one alternative can equal a given run)
+  private val stopWords = Seq("the", "a", "and", "of", "to", "in")
+  private val deWords = Seq("der", "die", "das", "und", "ist")
+  private val esWords = Seq("el", "los", "las", "es", "y")
+  private val frWords = Seq("le", "les", "des", "est")
+  private val enPat = wordRunPat(enWords)
+  private val stopPat = wordRunPat(stopWords)
+  private val dePat = wordRunPat(deWords)
+  private val esPat = wordRunPat(esWords)
+  private val frPat = wordRunPat(frWords)
+  private def stopCntSql(tcol: String = "text"): String = wordHitCntSql(stopWords, tcol)
   private val zhPat = "[\\x{4e00}-\\x{9fff}]"
 
   // Duplicated-span mining K (tokens) for t110/t111: a span must repeat at
@@ -109,10 +131,10 @@ object Text {
           .orderBy("lang", "lang_guess"),
       Some(s"""WITH t AS (
               |  SELECT lang,
-              |    len(regexp_extract_all(text, '$enPat')) AS en_n,
-              |    len(regexp_extract_all(text, '$dePat')) AS de_n,
-              |    len(regexp_extract_all(text, '$esPat')) AS es_n,
-              |    len(regexp_extract_all(text, '$frPat')) AS fr_n,
+              |    ${wordHitCntSql(enWords)} AS en_n,
+              |    ${wordHitCntSql(deWords)} AS de_n,
+              |    ${wordHitCntSql(esWords)} AS es_n,
+              |    ${wordHitCntSql(frWords)} AS fr_n,
               |    len(regexp_extract_all(text, '$zhPat')) AS zh_n
               |  FROM documents)
               |SELECT lang,
@@ -145,7 +167,7 @@ object Text {
              |  SELECT doc_id,
              |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
              |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
-             |    CAST(len(regexp_extract_all(text, '$stopPat')) AS BIGINT) AS n_stop
+             |    CAST(${stopCntSql()} AS BIGINT) AS n_stop
              |  FROM documents)
              |SELECT doc_id, n_words, n_punct,
              |  ROUND(LEAST(n_words/100.0, 1.0)*0.5
@@ -364,7 +386,7 @@ object Text {
              |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
              |    CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
              |    CAST(LENGTH(text) AS BIGINT) AS n_chars,
-             |    len(regexp_extract_all(text, '$stopPat')) > 0 AS has_stop
+             |    ${stopCntSql()} > 0 AS has_stop
              |  FROM documents)
              |SELECT doc_id, n_words,
              |  ROUND(n_alpha * 1.0 / GREATEST(n_words, 1), 4) AS mean_wlen,
@@ -447,7 +469,10 @@ object Text {
     Q(
       "t68_redaction_scan",
       (s, d) => {
-        val pat = "\\b(key|hash|value)\\b"
+        // letter-run contract, not \b (the engines' \b diverge outside
+        // ASCII — see the wordRunPat scaladoc / EDGE.md)
+        val redactWords = Seq("key", "hash", "value")
+        val pat = wordRunPat(redactWords)
         Tables.documents(s, d)
           .withColumn("n_hits", regexp_count(col("text"), lit(pat)).cast("long"))
           .withColumn("len_after",
@@ -460,11 +485,21 @@ object Text {
             sum(col("len_after")).as("chars_after"))
           .orderBy("source")
       },
-      Some("""WITH t AS (
+      // RE2 has no lookarounds, so the oracle can't mirror the masking
+      // regexp_replace directly; it derives the post-mask length
+      // arithmetically instead — each letter-run hit w is replaced by the
+      // 3-char '[X]', so len_after = length − Σ len(w) + 3·n_hits.
+      Some(s"""WITH h AS (
+             |  SELECT source, length(text) AS n_chars,
+             |    list_filter(regexp_extract_all(text, '[A-Za-z]+'),
+             |                w -> w IN ('key', 'hash', 'value')) AS hits
+             |  FROM documents),
+             |t AS (
              |  SELECT source,
-             |    CAST(len(regexp_extract_all(text, '\b(key|hash|value)\b')) AS BIGINT) AS n_hits,
-             |    CAST(LENGTH(regexp_replace(text, '\b(key|hash|value)\b', '[X]', 'g')) AS BIGINT) AS len_after
-             |  FROM documents)
+             |    CAST(len(hits) AS BIGINT) AS n_hits,
+             |    CAST(n_chars - COALESCE(list_sum(list_transform(hits, w -> length(w))), 0)
+             |         + 3 * len(hits) AS BIGINT) AS len_after
+             |  FROM h)
              |SELECT source, COUNT(*) AS n_docs,
              |  CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
              |  CAST(SUM(n_hits) AS BIGINT) AS total_hits,
@@ -1803,7 +1838,7 @@ object Text {
              |  FROM wc GROUP BY doc_id),
              |b AS (
              |  SELECT doc_id,
-             |         CAST(len(regexp_extract_all(text, '$stopPat')) AS BIGINT) AS n_stop
+             |         CAST(${stopCntSql()} AS BIGINT) AS n_stop
              |  FROM documents),
              |j AS (
              |  SELECT b.doc_id, COALESCE(st.n_words, 0) AS n_words,
@@ -1972,7 +2007,7 @@ object Text {
              |  SELECT doc_id, source,
              |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok,
              |    CAST(ROUND((LEAST(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)/100.0, 1.0)*0.5
-             |      + (CAST(len(regexp_extract_all(text, '$stopPat')) AS BIGINT)*1.0
+             |      + (CAST(${stopCntSql()} AS BIGINT)*1.0
              |         / GREATEST(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT), 1))*0.3
              |      + (1.0 - LEAST(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)*1.0
              |         / GREATEST(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT), 1), 1.0))*0.2)
@@ -2178,7 +2213,7 @@ object Text {
              |  SELECT doc_id, source, lang,
              |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok,
              |    CAST(ROUND((LEAST(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)/100.0, 1.0)*0.5
-             |      + (CAST(len(regexp_extract_all(text, '$stopPat')) AS BIGINT)*1.0
+             |      + (CAST(${stopCntSql()} AS BIGINT)*1.0
              |         / GREATEST(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT), 1))*0.3
              |      + (1.0 - LEAST(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)*1.0
              |         / GREATEST(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT), 1), 1.0))*0.2)
@@ -2342,7 +2377,7 @@ object Text {
              |  SELECT doc_id, source, lang,
              |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok,
              |    CAST(ROUND((LEAST(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)/100.0, 1.0)*0.5
-             |      + (CAST(len(regexp_extract_all(text, '$stopPat')) AS BIGINT)*1.0
+             |      + (CAST(${stopCntSql()} AS BIGINT)*1.0
              |         / GREATEST(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT), 1))*0.3
              |      + (1.0 - LEAST(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)*1.0
              |         / GREATEST(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT), 1), 1.0))*0.2)
@@ -2717,7 +2752,7 @@ object Text {
       Some(s"""WITH sc AS (
              |  SELECT doc_id,
              |    CAST(ROUND((LEAST(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)/100.0, 1.0)*0.5
-             |      + (CAST(len(regexp_extract_all(text, '$stopPat')) AS BIGINT)*1.0
+             |      + (CAST(${stopCntSql()} AS BIGINT)*1.0
              |         / GREATEST(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT), 1))*0.3
              |      + (1.0 - LEAST(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)*1.0
              |         / GREATEST(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT), 1), 1.0))*0.2)
@@ -2739,7 +2774,7 @@ object Text {
              |              / GREATEST(COALESCE(st.n_words, 0), 1), 4) BETWEEN 3.0 AND 10.0
              |          AND ROUND(COALESCE(st.top_c, 0) * 1.0
              |              / GREATEST(COALESCE(st.n_words, 0), 1), 4) <= 0.125
-             |          AND CAST(len(regexp_extract_all(d.text, '$stopPat')) AS BIGINT) >= 2
+             |          AND CAST(${stopCntSql("d.text")} AS BIGINT) >= 2
              |         THEN 1 ELSE 0 END AS label
              |  FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id),
              |j AS (

@@ -123,6 +123,38 @@ class BpeSpec extends SparkTestBase {
       s"batching saved no rounds: $rounds rounds for $steps rules")
   }
 
+  test("BATCHED training survives single-letter runs (self-pair batch barrier)") {
+    // the edge-gate regression (EDGE.md): a long same-letter run makes the
+    // top pair a SELF-pair (a, a), whose merge spawns (aa, aa) with count
+    // ~half its own — ABOVE the batch's count cut, where the pre-fix
+    // acceptBatch wrongly landed lower-count pairs the sequential trainer
+    // orders after it. The run lengths here reproduce exactly that shape
+    // ((a,a)=199·2 → (aa,aa)=99·2 > (o,w)=150), plus random same-letter-
+    // run vocabularies for breadth.
+    val planted = Map("a" * 200 -> 2L, "owowow" -> 25L, "xyxy" -> 30L)
+    val got = Bpe.train(spark, planted.toSeq.toDF("w", "freq"), "w", "freq", 8, batch = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got == reference(planted, 8), s"planted run diverged: $got")
+    val rnd = new Random(20260816L)
+    for (trial <- 1 to 5) {
+      val wf = (0 until rnd.nextInt(20) + 5).map { _ =>
+        val c = ('a' + rnd.nextInt(3)).toChar
+        (c.toString * (rnd.nextInt(30) + 2)) -> (rnd.nextInt(9) + 1).toLong
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      val steps = rnd.nextInt(8) + 3
+      val batch = rnd.nextInt(7) + 2
+      val got2 = Bpe.train(spark, wf.toSeq.toDF("w", "freq"), "w", "freq", steps, batch)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .toSeq
+      val want = reference(wf, steps)
+      assert(got2 == want,
+        s"trial $trial (steps=$steps batch=$batch) diverged:\n got=$got2\nwant=$want")
+    }
+  }
+
   test("batch=1 is byte-identical to the default sequential path") {
     val wf = Map("abab" -> 9L, "aba" -> 4L, "bb" -> 2L)
     val a = run(wf, 5)
