@@ -176,22 +176,25 @@ object Bpe {
     * trainer. Equivalence is property-tested against the sequential path in
     * BpeSpec over random vocabularies.
     *
-    * SELF-PAIRS close the round (edge-gate finding, EDGE.md). The new-pair
-    * bound above reads "(x, ab) is bounded by the ORIGINAL count of an
-    * overlapping pair, which ranks at or below the cut" — but merging a
-    * self-pair (a, a) → aa creates (aa, aa), whose occurrences arise from
-    * a-RUNS: the bounding original pair is (a, a) ITSELF, an ACCEPTED pair
-    * above the cut, so (aa, aa) can land anywhere up to c₁/2 — in
-    * particular above later batch members, where the sequential trainer
-    * would have picked it first (a 4000-char single-letter run: (a,a)
+    * C4 (self-pair half-count bound; edge-gate finding, EDGE.md). The
+    * new-pair bound above reads "(x, ab) is bounded by the ORIGINAL count
+    * of an overlapping pair, which ranks at or below the cut" — but
+    * merging a self-pair (a, a) → aa creates (aa, aa), whose occurrences
+    * arise from a-RUNS: the bounding original pair is (a, a) ITSELF, an
+    * ACCEPTED pair above the cut (a 4000-char single-letter run: (a,a)
     * count 7998 → (aa,aa) count 3998 > the 3824-count pair the batch
-    * accepted next). A non-self merge (a, b) can also chain into
-    * (ab, ab), but only via "abab…" runs whose bounding original (b, a)
-    * SHARES symbols with the accepted pair — a C1 violator, hence at or
-    * below the cut — so only self-pairs break the bound. Fix: an accepted
-    * self-pair ends its batch (it still lands, alone = one sequential
-    * round); a self-pair reached later stops the walk like a C1 violator
-    * and sets the cut to its count. Regression pinned in BpeSpec's
+    * accepted next, which sequential orders AFTER (aa,aa)). The tight
+    * bound: leftmost-greedy over a weighted run of k a's leaves
+    * ⌊k/2⌋ − 1 ≤ (k − 1)/2 adjacencies, so count(aa, aa) ≤ c_self / 2.
+    * Rule: after accepting a self-pair with count c_self, later batch
+    * members must satisfy 2·c > c_self (strict, so the successor cannot
+    * even TIE them); the first pair failing it stops the walk and sets
+    * the cut to its count. Earlier members need no re-check — ranked
+    * order gives them counts ≥ c_self > c_self/2. A non-self merge
+    * (a, b) can also chain into (ab, ab), but only via "abab…" runs
+    * whose bounding original (b, a) SHARES symbols with the accepted
+    * pair — a C1 violator, hence at or below the cut — so only
+    * self-pairs need C4. Regression pinned in BpeSpec's
     * single-letter-run property.
     */
   private def acceptBatch(
@@ -203,23 +206,23 @@ object Bpe {
     val syms = scala.collection.mutable.Set.empty[String]
     val made = scala.collection.mutable.Set.empty[String]
     var cut = -1L // -1 = undetermined; resolved before trimming
+    var selfMax = 0L // largest accepted SELF-pair count (C4 bound source)
     var i = 0
     var stopped = false
     while (i < ranked.length && accepted.size < want && !stopped) {
       val (a, b, c) = ranked(i)
       val m = a + b
       val fresh = !known(m) && !syms(m) && !made(m) && m != a && m != b
-      val self = a == b // see the self-pair clause in the scaladoc proof
       if (accepted.isEmpty) {
         // the top pair is the sequential argmax by construction — always
         // accepted; if its merge symbol is NOT fresh the new-pair bound is
-        // void, and a SELF-pair's (m, m) successor is bounded only by the
-        // pair's own count — either way the batch is just this one rule
-        // (a sequential round)
+        // void, so the batch is just this one rule (a sequential round)
         accepted += ((a, b, c)); syms += a; syms += b; made += m
-        if (!fresh || self) stopped = true
-      } else if (!syms(a) && !syms(b) && fresh && !self) {
+        if (a == b) selfMax = c // C4: successors bounded by c/2
+        if (!fresh) stopped = true
+      } else if (!syms(a) && !syms(b) && fresh && 2 * c > selfMax) {
         accepted += ((a, b, c)); syms += a; syms += b; made += m
+        if (a == b) selfMax = math.max(selfMax, c)
       } else {
         cut = c
         stopped = true
