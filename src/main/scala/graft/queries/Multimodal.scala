@@ -173,11 +173,17 @@ object Multimodal {
     * lets the SQL oracle predict every pixel from `text`, while the Spark
     * side parses and resamples the ACTUAL bytes. Built partition-wise like
     * [[mediaPayload]]; payloads never visit the driver. */
-  private[graft] def rasterPayload(s: SparkSession, d: String): DataFrame = {
+  private[graft] def rasterPayload(s: SparkSession, d: String): DataFrame =
+    rasterPayloadOf(Tables.documents(s, d))
+
+  /** [[rasterPayload]] over ANY (…, doc_id, text, …) frame — the injection
+    * point the crash-sweep spec uses to feed edge-class documents through
+    * the raster twins. */
+  private[graft] def rasterPayloadOf(docs: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("payload", BinaryType)))
-    Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"), col("text"))
       .filter(length(col("text")) > 0)
       .mapPartitions { rows =>
         rows.map { r =>
@@ -195,11 +201,16 @@ object Multimodal {
       }(RowEncoder.encoderFor(outSchema))
   }
 
-  private[graft] def mediaPayload(s: SparkSession, d: String): DataFrame = {
+  private[graft] def mediaPayload(s: SparkSession, d: String): DataFrame =
+    mediaPayloadOf(Tables.documents(s, d))
+
+  /** [[mediaPayload]] over ANY (…, doc_id, text, …) frame (see
+    * [[rasterPayloadOf]]). */
+  private[graft] def mediaPayloadOf(docs: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("payload", BinaryType)))
-    Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"), col("text"))
       .mapPartitions { rows =>
         rows.map { r =>
           Row(r.getLong(0), packPayload(r.getString(1).getBytes(StandardCharsets.UTF_8)))

@@ -41,6 +41,25 @@ class StreamingCrashPropertySpec extends SparkTestBase {
   import spark.implicits._
   implicit private lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
+  /** Edge-class documents (EDGE.md families E1–E3) unioned into every
+    * sweep's pool: the crash/replay contracts must hold when the batch
+    * that dies contains the inputs most likely to exercise kernel edge
+    * paths — empty/whitespace text (zero-length GRFT bodies chunk to no
+    * rows), CJK/emoji/combining marks (multi-byte UTF-8 everywhere a
+    * byte offset is computed), and single-letter runs (self-pair BPE /
+    * repetition paths). High ids keep them disjoint from the fixture. */
+  private val edgeTexts = Seq(
+    "", " ", "   \t\n  ", "a",
+    "汉字文本处理测试 汉字文本处理测试 词元统计",
+    "😀🚀 emoji stream 😀🚀 with words",
+    "zͦaͦlͦgͦoͦ combining stack text",
+    "a" * 3000,
+    ("ping pong " * 200).trim)
+  private def edgeDocRows: Seq[(Long, String)] =
+    edgeTexts.zipWithIndex.map { case (t, i) => (900000L + i, t) }
+  private def withEdgeDocs(docs: DataFrame): DataFrame =
+    docs.union(edgeDocRows.toDF("doc_id", "text"))
+
   /** Random crash point: fraction of the crashed batch's store rows that
     * made it to disk, and whether the sink write (partially) happened. */
   private def crashPoint(rnd: Random): (Double, Boolean) = {
@@ -60,7 +79,8 @@ class StreamingCrashPropertySpec extends SparkTestBase {
 
   test("chunkIndexStream survives random crash points (kill after N append rows, restart)") {
     val rnd = new Random(20260815L)
-    val payloads = Multimodal.mediaPayload(spark, dir).collect()
+    val payloads = Multimodal.mediaPayloadOf(withEdgeDocs(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))).collect()
       .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
     for (trial <- 1 to 3) {
       val table = s"ccp_chunk_$trial"
@@ -108,7 +128,8 @@ class StreamingCrashPropertySpec extends SparkTestBase {
 
   test("imagePhashStream survives random crash points") {
     val rnd = new Random(20260816L)
-    val payloads = Multimodal.rasterPayload(spark, dir).collect()
+    val payloads = Multimodal.rasterPayloadOf(withEdgeDocs(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))).collect()
       .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
     for (trial <- 1 to 3) {
       val table = s"ccp_phash_$trial"
@@ -153,7 +174,8 @@ class StreamingCrashPropertySpec extends SparkTestBase {
 
   test("audioTrimStream replays any batch onto a partially-written sink exactly once") {
     val rnd = new Random(20260817L)
-    val payloads = Multimodal.mediaPayload(spark, dir).collect()
+    val payloads = Multimodal.mediaPayloadOf(withEdgeDocs(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))).collect()
       .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
     for (trial <- 1 to 3) {
       val base = java.nio.file.Files.createTempDirectory(s"graft_ccp_audio$trial").toString
@@ -179,7 +201,7 @@ class StreamingCrashPropertySpec extends SparkTestBase {
 
   test("selfMaintainingAdmissionStream survives random crash points (partial index+shingle appends)") {
     val rnd = new Random(20260819L)
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val docs = withEdgeDocs(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .collect().map(r => (r.getLong(0), r.getString(1)))
     for (trial <- 1 to 3) {
       val (idxT, shT) = (s"ccp_sma_idx_$trial", s"ccp_sma_sh_$trial")
@@ -250,7 +272,7 @@ class StreamingCrashPropertySpec extends SparkTestBase {
   test("templateDfStream survives random crash points after a rebase lineage flip") {
     import graft.operators.TemplateGrams
     val rnd = new Random(20260820L)
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val docs = withEdgeDocs(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .collect().map(r => (r.getLong(0), r.getString(1)))
     for (trial <- 1 to 3) {
       val (liveT, rebT) = (s"ccp_tpl_$trial", s"ccp_tplr_$trial")
@@ -316,7 +338,7 @@ class StreamingCrashPropertySpec extends SparkTestBase {
 
   test("triageStream replays any batch onto a partially-written sink exactly once") {
     val rnd = new Random(20260821L)
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val docs = withEdgeDocs(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
     val corpus = docs.filter(col("doc_id") % 3 === 0)
     val fpIndex = corpus.select(Similarity.canonicalFp(col("text")).as("fp"))
       .distinct().localCheckpoint()
@@ -351,7 +373,7 @@ class StreamingCrashPropertySpec extends SparkTestBase {
     val lm = LmScore.vocab(
       LmScore.tokens(docs.filter(col("lang") === "en"), "doc_id", "text")).localCheckpoint()
     val tv = LmScore.totals(lm).localCheckpoint()
-    val pool = docs.select(col("doc_id"), col("text")).collect()
+    val pool = withEdgeDocs(docs.select(col("doc_id"), col("text"))).collect()
       .map(r => (r.getLong(0), r.getString(1)))
     for (trial <- 1 to 3) {
       val base = java.nio.file.Files.createTempDirectory(s"graft_ccp_lm$trial").toString
@@ -375,7 +397,7 @@ class StreamingCrashPropertySpec extends SparkTestBase {
   test("blocklistStream replays any batch onto a partially-written sink exactly once") {
     val rnd = new Random(20260823L)
     val patterns = Seq("slow", "low", "table", "merge batch")
-    val pool = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val pool = withEdgeDocs(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .collect().map(r => (r.getLong(0), r.getString(1)))
     for (trial <- 1 to 3) {
       val base = java.nio.file.Files.createTempDirectory(s"graft_ccp_bl$trial").toString
@@ -407,7 +429,7 @@ class StreamingCrashPropertySpec extends SparkTestBase {
       Dsir.bucketed(docs.filter(col("lang") === "en"), "doc_id", "text", 256),
       Dsir.bucketed(docs.filter(col("lang") =!= "en"), "doc_id", "text", 256),
       256).localCheckpoint()
-    val pool = docs.select(col("doc_id"), col("text")).collect()
+    val pool = withEdgeDocs(docs.select(col("doc_id"), col("text"))).collect()
       .map(r => (r.getLong(0), r.getString(1)))
     for (trial <- 1 to 3) {
       val base = java.nio.file.Files.createTempDirectory(s"graft_ccp_dsir$trial").toString
@@ -618,7 +640,7 @@ class StreamingCrashPropertySpec extends SparkTestBase {
 
   test("admissionStream replays any batch onto a partially-written sink exactly once") {
     val rnd = new Random(20260818L)
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val docs = withEdgeDocs(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
     val corpusSh = Similarity.shingleDocs(docs.filter(col("doc_id") % 10 =!= 0))
       .localCheckpoint()
     val index = Similarity.bandIndex(corpusSh).localCheckpoint()
