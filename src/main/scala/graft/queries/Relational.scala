@@ -526,7 +526,11 @@ object Relational {
       "t39_json_props",
       (s, d) =>
         Tables.events(s, d)
-          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          // try_cast, NOT .cast: under ANSI mode (the Spark 4 default) a
+          // hard cast THROWS on a non-numeric $.k — one '{"k": "str"}'
+          // event would kill the whole job (edge-gate finding, EDGE.md);
+          // get_json_object already NULLs malformed json
+          .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS LONG)"))
           .groupBy(col("event_type"))
           .agg(
             count(lit(1)).as("n_events"),
@@ -534,14 +538,24 @@ object Relational {
             min(col("k")).as("min_k"),
             max(col("k")).as("max_k"))
           .orderBy("event_type"),
-      // TRY_CAST, not CAST: Spark's .cast("long") nulls a non-numeric $.k
-      // while a hard CAST would ABORT the DuckDB query — the oracle must
-      // share the null-on-bad-value semantics, not turn it into an error.
-      Some("""SELECT event_type, COUNT(*) AS n_events,
-             |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-             |  CAST(MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-             |  CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      // TRY_CAST, not CAST: a hard CAST would ABORT the DuckDB query on a
+      // non-numeric $.k — the oracle must share the Spark side's
+      // null-on-bad-value semantics, not turn it into an error.
+      // json_valid guard for the same reason one level up (edge-gate
+      // finding, EDGE.md): Spark's get_json_object returns NULL on
+      // MALFORMED json while DuckDB's json_extract_string THROWS — and a
+      // crawl-scale event stream WILL contain malformed props; the
+      // operator contract is quarantine-to-NULL, never crash-the-job.
+      Some("""WITH k AS (
+             |  SELECT event_type,
+             |    CASE WHEN json_valid(props)
+             |         THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+             |  FROM events)
+             |SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(k) AS BIGINT) AS sum_k,
+             |  CAST(MIN(k) AS BIGINT) AS min_k,
+             |  CAST(MAX(k) AS BIGINT) AS max_k
+             |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin),
     ),
 
     // ----- supplier dimension rollup (closes supplier-table coverage) -----

@@ -196,6 +196,12 @@ def gen_events(rng):
     add(50_180, 4, val=1e-7)
     add(50_240, 4, props="{}")
     add(50_300, 4, props='{"k": 7, "extra": "x"}')
+    # T6b: malformed / non-numeric props — Spark get_json_object NULLs
+    # them, DuckDB json_extract THROWS without a json_valid guard (the
+    # t39 oracle divergence this corpus pins; see EDGE.md)
+    add(50_360, 4, props="not json at all")
+    add(50_420, 4, props='{"k": ')
+    add(50_480, 4, props='{"k": "str"}')
     # T7: timestamp extremes (epoch-adjacent + far future), micro precision
     rows.append((eid, "TIMESTAMP '1970-01-01 00:00:01'", 5, "view", 1.0, '{"k": 1}')); eid += 1
     rows.append((eid, "TIMESTAMP '2099-12-31 23:59:59'", 5, "view", 2.0, '{"k": 2}')); eid += 1
