@@ -79,9 +79,11 @@ object Bench {
     // the Spark loop measured DuckDB on thermally-throttled cores next to a
     // hot 16 GB JVM and inflated t31 4× (23.4 s vs 6.1 s standalone)
     val duck = oracleTimes(sfDir, runs, cpus, selected.map(_.name).toSet)
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    // partitions-scale-with-data: see ShuffleSizing (no-op at sf0.1)
+    ShuffleSizing.configs(sfDir, cpus.toInt).foreach { case (k, v) => builder0.config(k, v) }
+    val spark = builder0
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -41,12 +41,13 @@ object ScaleRehearsal {
     val Array(sfDir, nameCsv) = args.take(2)
     val names = nameCsv.split(',').toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
-      // override for partition-sizing experiments (deep-window axes need
-      // partitions sized to rows-per-task, not cores — the ev1000 row)
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+    // partitions-scale-with-data by DEFAULT (ShuffleSizing derives AQE's
+    // initialPartitionNum from the corpus); SPARK_GRAFT_SHUFFLE_PARTITIONS
+    // remains the exact-control override for sizing experiments
+    ShuffleSizing.configs(sfDir, cpus.toInt).foreach { case (k, v) => builder0.config(k, v) }
+    val spark = builder0
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

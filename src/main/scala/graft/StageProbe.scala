@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   * DupSpans/PrefixSum internals for attribution only — the operator
   * remains the single source of semantics (its own spec pins them).
   *
-  * Usage: runMain graft.StageProbe <sfDir> <query>   (query: t121)
+  * Usage: runMain graft.StageProbe <sfDir> <query>
+  *   (query: t121 | t147 | t153 | t57)
   */
 object StageProbe {
 
@@ -56,6 +57,97 @@ object StageProbe {
           "doc_id", "text", k)),
       "t121_full" -> ((s, d) =>
         SparkEntry.queries("t121_dedup_pack")(s, d)),
+    )
+  }
+
+  /** t147 = SetSimJoin.join (PPJoin, τ=0.8) over doc bigram-hash sets.
+    * Cumulative arms mirroring the operator's internals (attribution
+    * only — `operators/SetSimJoin.scala` owns the semantics):
+    * tokens_explode (the corpus-sized ngram-hash explode),
+    * token_df (+ the token-keyed document-frequency wordcount),
+    * prefix_build (+ df-join, per-doc collect+sort, prefix slice explode),
+    * cand_pairs (+ the prefix×prefix join with length/positional filters
+    * and the pair distinct — the stage the 0.73 exponent suspects),
+    * t147_full (+ token-array joins, two-pointer verify, τ decision). */
+  private def t147Arms(tauPct: Int = 80): Seq[(String, (SparkSession, String) => DataFrame)] = {
+    def toks(s: SparkSession, d: String) =
+      Tables.documents(s, d)
+        .select(col("doc_id").as("__id"),
+          graft.functions.ArrayFns.wordNgramHashes(lower(col("text")), 2).as("__t"))
+        .filter(size(col("__t")) > 0)
+    def u(s: SparkSession, d: String) =
+      toks(s, d).select(col("__id"), size(col("__t")).cast("long").as("__n"),
+        explode(col("__t")).as("__w"))
+    def pre(s: SparkSession, d: String) = {
+      val dfreq = u(s, d).groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+      u(s, d).join(dfreq, Seq("__w"))
+        .groupBy(col("__id"))
+        .agg(sort_array(collect_list(struct(col("__df"), col("__w")))).as("__o"),
+          max(col("__n")).as("__n"))
+        .select(col("__id"), col("__n"),
+          posexplode(expr(
+            s"slice(transform(__o, x -> x.__w), 1, cast(__n - (($tauPct * __n + 99) div 100) + 1 as int))")))
+        .select(col("__id"), col("__n"), (col("pos") + 1).cast("long").as("__p"),
+          col("col").as("__w"))
+    }
+    Seq(
+      "tokens_explode" -> ((s, d) => u(s, d)),
+      "token_df" -> ((s, d) =>
+        u(s, d).groupBy(col("__w")).agg(count(lit(1)).as("__df"))),
+      "prefix_build" -> ((s, d) => pre(s, d)),
+      "cand_pairs" -> ((s, d) => {
+        val p = pre(s, d).localCheckpoint()
+        p.as("a")
+          .join(p.as("b"), col("a.__w") === col("b.__w") &&
+            col("a.__n") * 100 >= col("b.__n") * tauPct &&
+            (col("a.__n") < col("b.__n") ||
+              (col("a.__n") === col("b.__n") && col("a.__id") < col("b.__id"))) &&
+            (lit(1L) + least(col("a.__n") - col("a.__p"), col("b.__n") - col("b.__p")))
+              * lit(100L + tauPct) >= lit(tauPct.toLong) * (col("a.__n") + col("b.__n")))
+          .select(
+            least(col("a.__id"), col("b.__id")).as("__id1"),
+            greatest(col("a.__id"), col("b.__id")).as("__id2"))
+          .distinct()
+      }),
+      "t147_full" -> ((s, d) =>
+        SparkEntry.queries("t147_ppjoin")(s, d)),
+    )
+  }
+
+  /** t153 = probe-gram direct hits + t147's PPJoin pairs + connected
+    * components + cluster closure. Cumulative arms (the PPJoin pipeline's
+    * internal attribution lives in [[t147Arms]]):
+    * direct_hits (probe distinct + gram join + per-doc distinct count),
+    * ppjoin_pairs (+ the full SetSimJoin — t147's known 50 GB spiller),
+    * components (+ large-small-star rounds over the pair set),
+    * t153_full (+ flagged-component closure and the full-outer report). */
+  private def t153Arms(): Seq[(String, (SparkSession, String) => DataFrame)] = {
+    def pairs(s: SparkSession, d: String) =
+      graft.operators.SetSimJoin.join(
+          Tables.documents(s, d)
+            .select(col("doc_id"),
+              graft.functions.ArrayFns.wordNgramHashes(lower(col("text")), 2).as("t")),
+          "doc_id", "t", tauPct = 80)
+        .select(col("doc_id1"), col("doc_id2"))
+    Seq(
+      "direct_hits" -> ((s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(graft.functions.ArrayFns.wordNgramHashes(lower(col("text")), 3)).as("g"))
+        val probe = grams.filter(col("doc_id") % 50 === 0).select("g").distinct()
+        grams.filter(col("doc_id") % 50 =!= 0)
+          .join(probe, "g")
+          .groupBy(col("doc_id"))
+          .agg(count_distinct(col("g")).as("ns"))
+          .filter(col("ns") >= 3)
+          .select(col("doc_id"))
+      }),
+      "ppjoin_pairs" -> ((s, d) => pairs(s, d)),
+      "components" -> ((s, d) =>
+        graft.operators.ConnectedComponents
+          .largeSmallStar(pairs(s, d).localCheckpoint(), "doc_id1", "doc_id2")),
+      "t153_full" -> ((s, d) =>
+        SparkEntry.queries("t153_contamination_closure")(s, d)),
     )
   }
 
@@ -129,13 +221,18 @@ object StageProbe {
     val Array(sfDir, query) = args.take(2)
     val arms = query match {
       case "t121" => t121Arms()
+      case "t147" => t147Arms()
+      case "t153" => t153Arms()
       case "t57" => t57Arms
       case other => sys.error(s"no stage probe defined for: $other")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    // partitions-scale-with-data: see ShuffleSizing (probes must run the
+    // same sizing the engine ships, or they attribute the wrong plan)
+    ShuffleSizing.configs(sfDir, cpus.toInt).foreach { case (k, v) => builder0.config(k, v) }
+    val spark = builder0
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

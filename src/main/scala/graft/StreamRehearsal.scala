@@ -33,7 +33,7 @@ import graft.streaming.DocStreams
   *    row proves per-batch cost is pure batch scoring.
   *
   * Usage: runMain graft.StreamRehearsal
-  *   <sfDir> <admission|chunk|triage|selfadmission|templatedf|dsir> <nBatches>
+  *   <sfDir> <admission|chunk|phash|triage|selfadmission|templatedf|dsir> <nBatches>
   */
 object StreamRehearsal {
 
@@ -41,9 +41,11 @@ object StreamRehearsal {
     val Array(sfDir, twin, nStr) = args.take(3)
     val n = nStr.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    // partitions-scale-with-data: see ShuffleSizing
+    ShuffleSizing.configs(sfDir, cpus.toInt).foreach { case (k, v) => builder0.config(k, v) }
+    val spark = builder0
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
@@ -104,6 +106,24 @@ object StreamRehearsal {
           "streamreh_chunk", s"$base/store", s"$base/out", s"$base/ckpt")
         timeBatches(payloads, input, q)
         spark.sql("DROP TABLE IF EXISTS streamreh_chunk")
+
+      case "phash" =>
+        // the self-maintaining image twin: the banded-signature store grows
+        // by every admitted image, so later batches probe ever-more state;
+        // flat-per-batch requires the probe to stay band-bucketed (the
+        // phashAdmission candidate join), never store-scan-sized
+        val payloads = Multimodal.rasterPayload(spark, sfDir).collect()
+          .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+        require(payloads.nonEmpty, s"no raster payloads under $sfDir")
+        totalDocs = payloads.length
+        docsPerBatch = perBatch(payloads.length)
+        spark.sql("DROP TABLE IF EXISTS streamreh_phash")
+        val input = MemoryStream[(Long, Array[Byte])]
+        val q = DocStreams.imagePhashStream(
+          input.toDS().toDF("doc_id", "payload"),
+          "streamreh_phash", s"$base/store", s"$base/out", s"$base/ckpt")
+        timeBatches(payloads, input, q)
+        spark.sql("DROP TABLE IF EXISTS streamreh_phash")
 
       case "triage" =>
         // the full ingest decision (exact-dup fp probe + near-dup band

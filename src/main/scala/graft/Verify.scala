@@ -10,9 +10,13 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    // partitions-scale-with-data (SCALE.md rule as engine behavior):
+    // shuffle.partitions stays cpus; AQE's initialPartitionNum derives
+    // from the corpus size — identical to a plain cpus pin at gate scales
+    ShuffleSizing.configs(sfDir, cpus.toInt).foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -51,25 +51,12 @@ object SketchCertify {
     val sketches = () => li.agg(
       approx_count_distinct(col("l_orderkey"), 0.01).as("est_n"),
       expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_est"))
-    val arms = Seq(exactN, exactP, sketches)
-    // Sequential mode: build + run ONE arm at a time (a 1-row collect —
-    // bounded by construction: certification arms aggregate to one row),
-    // then free every block it pinned — blocking, so the next arm never
-    // races the block drain for the same pool. Each arm thereby gets the
-    // isolated probes' memory profile; output is row-identical to the
-    // concurrent plan (SketchCertifySpec).
-    val Seq(n, p, sk) =
-      if (!sequentialArms) arms.map(_())
-      else arms.map { mk =>
-        val sc = li.sparkSession.sparkContext
-        val before = sc.getPersistentRDDs.keySet
-        val a = mk()
-        val rows = a.collect()
-        (sc.getPersistentRDDs.keySet -- before)
-          .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
-        li.sparkSession.createDataFrame(
-          java.util.Arrays.asList(rows: _*), a.schema)
-      }
+    // Sequential mode (run-and-free, see [[ArmScheduler]] — factored out
+    // in round 14 so t92/t108/t150 share the discipline): each single-row
+    // arm runs to completion alone and frees the blocks it pinned; output
+    // is row-identical to the concurrent plan (SketchCertifySpec).
+    val Seq(n, p, sk) = ArmScheduler.runAndFree(
+      li.sparkSession, Seq(exactN, exactP, sketches), sequentialArms)
     n.crossJoin(p).crossJoin(sk)
       .select(
         col("exact_n"),

@@ -528,9 +528,23 @@ object Relational {
         Tables.events(s, d)
           // try_cast, NOT .cast: under ANSI mode (the Spark 4 default) a
           // hard cast THROWS on a non-numeric $.k — one '{"k": "str"}'
-          // event would kill the whole job (edge-gate finding, EDGE.md);
-          // get_json_object already NULLs malformed json
-          .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS LONG)"))
+          // event would kill the whole job (edge-gate finding, EDGE.md).
+          // from_json with Jackson's leniency flags OFF, not
+          // get_json_object: get_json_object hard-enables
+          // ALLOW_SINGLE_QUOTES / ALLOW_UNESCAPED_CONTROL_CHARS for Hive
+          // compatibility, so {'k': 5} parses on the Spark side while the
+          // oracle's strict json_valid quarantines it to NULL (ADVICE,
+          // round 14). The operator contract is SPEC-strict JSON:
+          // leniently-malformed props quarantine to NULL on both engines.
+          .withColumn("k", expr(
+            "try_cast(from_json(props, 'k STRING', map(" +
+              "'allowSingleQuotes','false'," +
+              "'allowUnquotedFieldNames','false'," +
+              "'allowUnquotedControlChars','false'," +
+              "'allowComments','false'," +
+              "'allowNumericLeadingZeros','false'," +
+              "'allowNonNumericNumbers','false'," +
+              "'allowBackslashEscapingAnyCharacter','false')).k AS LONG)"))
           .groupBy(col("event_type"))
           .agg(
             count(lit(1)).as("n_events"),

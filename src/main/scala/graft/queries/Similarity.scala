@@ -50,10 +50,29 @@ object Similarity {
     * safe either way — NaN >= t is false and NULL >= t drops — and
     * profile/PQ queries (t54 norms, t104/t107 L2 subquantizers) stay
     * inclusive: zero norm is a reportable value there and no undefined
-    * cosine ever enters an ordering. See EDGE.md (V1 zero vector). */
-  private def scorableVec(emb: Column): Column = ArrayFns.l2Norm(emb) > 0
+    * cosine ever enters an ordering. See EDGE.md (V1 zero vector).
+    *
+    * Round-14 extension (ADVICE): the contract is pinned at the COMPONENT
+    * level too. A vector with one NULL or NaN component is the same
+    * corruption class as the all-zero vector, and the engines disagree
+    * about it asymmetrically: Spark's norm fold NULLs out (row dropped)
+    * while DuckDB's list_sum IGNORES NULL elements (row silently scored
+    * on the surviving components); a NaN component makes the Spark norm
+    * NaN, and Spark orders NaN GREATEST (NaN > 0 is TRUE — kept, then
+    * hijacks rankings) while DuckDB's NaN > 0 is also TRUE but the cosine
+    * itself diverges. Both sides now require every component non-NULL and
+    * finite explicitly, so the exclusion is a stated contract rather than
+    * an accident of either engine's fold semantics. */
+  private def finiteVec(emb: Column): Column =
+    forall(emb, x => x.isNotNull && !isnan(x.cast("double")))
+  private val finiteVecSql: String =
+    "list_bool_and(list_transform(CAST(embedding AS DOUBLE[]), " +
+      "x -> x IS NOT NULL AND NOT isnan(x)))"
+  private def scorableVec(emb: Column): Column =
+    finiteVec(emb) && ArrayFns.l2Norm(emb) > 0
   private val scorableVecSql: String =
-    "list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)) > 0"
+    s"$finiteVecSql AND " +
+      "list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)) > 0"
 
   /** Trained-centroid assignment shared by t99 (SemDeDup) and t140
     * (similarity-ordered curriculum): label-trained centroids via the exact
@@ -173,7 +192,8 @@ object Similarity {
     * SimKit.srpBucket (the minhashPairsSqlCtes pattern). */
   private def srpBucketSqlCtes(nBits: Int): String =
     s"""m AS (SELECT $srpPlanesSql AS planes),
-       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |      WHERE $scorableVecSql),
        |b0 AS (
        |  SELECT vec_id, emb,
        |    CAST(list_sum(list_transform(generate_series(0, ${nBits - 1}), j ->
@@ -182,6 +202,136 @@ object Similarity {
        |  FROM e, m),
        |okb AS (SELECT bucket FROM b0 GROUP BY bucket HAVING COUNT(*) <= 64),
        |b AS (SELECT b0.* FROM b0 JOIN okb ON b0.bucket = okb.bucket)""".stripMargin
+
+  /** t92's build with an explicit arm-scheduling knob (the registry entry
+    * reads SPARK_GRAFT_SEQUENTIAL_ARMS; specs call this directly to prove
+    * sequential == concurrent row-for-row). See [[ArmScheduler]]. */
+  private[graft] def t92Build(s: SparkSession, d: String, sequentialArms: Boolean): DataFrame = {
+        val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+          .filter(scorableVec(col("embedding")))
+        // exact arm (t33 shape)
+        val qf = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val nf = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+        val wx = Window.partitionBy(col("query_id")).orderBy(col("sim_raw").desc, col("neighbor_id"))
+        val exact = qf.join(nf, col("query_id") =!= col("neighbor_id"))
+          .withColumn("sim_raw", cosine(col("qe"), col("ne")))
+          .withColumn("rank", row_number().over(wx))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("neighbor_id"))
+        // approximate arm (t61 pipeline, same constants), probing the
+        // widest panel once with each probe's rank retained
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+        val inverted = e.join(broadcast(cents))
+          .withColumn("csim", cosine(col("embedding"), col("cemb")))
+          .withColumn("rn", row_number().over(wAsg))
+          .filter(col("rn") === 1)
+          .select(col("cid"), col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+        val wProbe = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cid"))
+        val probes = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+          .join(broadcast(cents))
+          .withColumn("csim", cosine(col("qe"), col("cemb")))
+          .withColumn("probe_rn", row_number().over(wProbe))
+          .filter(col("probe_rn") <= 8)
+          .select(col("query_id"), col("qe"), col("cid"), col("probe_rn"))
+        // the probe panel is O(100) rows by construction — broadcast it so
+        // the corpus-sized inverted-list side never shuffles for the probe
+        // join; candidate sims land once, tagged with the probe's rank
+        val cand = broadcast(probes).join(inverted, Seq("cid"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("sim_raw", cosine(col("qe"), col("ne")))
+          .select(col("query_id"), col("neighbor_id"), col("probe_rn"), col("sim_raw"))
+        // sweep: per level, keep candidates whose probe rank is within the
+        // level, re-rank, take top-5 (candidate frame is panel-bounded, so
+        // the 4× explode is tiny; the corpus join above is not repeated)
+        val wRankL = Window.partitionBy(col("nprobe"), col("query_id"))
+          .orderBy(col("sim_raw").desc, col("neighbor_id"))
+        val swept = cand
+          .withColumn("nprobe", explode(array(lit(1L), lit(2L), lit(4L), lit(8L))))
+          .filter(col("probe_rn") <= col("nprobe"))
+          .withColumn("rank", row_number().over(wRankL))
+          .filter(col("rank") <= 5)
+          .select(col("nprobe"), col("query_id"), col("neighbor_id"))
+        // certification arms run-and-free under sequentialArms (the t57
+        // li100 memory-profile fix, shared via ArmScheduler): both arms
+        // are bounded by the 20-query panel (100 / 400 rows)
+        val Seq(exactM, sweptM) = graft.operators.ArmScheduler.runAndFree(
+          s, Seq(() => exact, () => swept), sequentialArms)
+        val hits = exactM.join(broadcast(sweptM), Seq("query_id", "neighbor_id"))
+          .groupBy(col("nprobe")).agg(count(lit(1)).as("h"))
+        // left join from the level list so a zero-recall level still reports
+        import s.implicits._
+        Seq(1L, 2L, 4L, 8L).toDF("nprobe")
+          .join(hits, Seq("nprobe"), "left")
+          .select(
+            col("nprobe"),
+            lit(20L).as("n_queries"), lit(5L).as("k"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            expr("coalesce(h, 0L) * 10000 div 100").as("recall_bp"))
+          .orderBy("nprobe")
+      }
+
+  /** t108's build with an explicit arm-scheduling knob — see [[t92Build]]. */
+  private[graft] def t108Build(s: SparkSession, d: String, sequentialArms: Boolean): DataFrame = {
+        val e = pqVecs(s, d)
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("emb").as("qe"))
+        val wx = Window.partitionBy(col("query_id"))
+          .orderBy(col("d2"), col("neighbor_id"))
+        val exact = q.join(e.select(col("vec_id").as("neighbor_id"), col("emb").as("ne")),
+            col("query_id") =!= col("neighbor_id"))
+          .withColumn("d2", expr(pqL2("qe", "ne")))
+          .withColumn("rank", row_number().over(wx))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val adc = pqAdcTop5(e).select(col("query_id"), col("neighbor_id"))
+        // both arms are panel-bounded (20×5 rows); run-and-free under
+        // sequentialArms (see ArmScheduler / the t57 li100 fix)
+        val Seq(exactM, adcM) = graft.operators.ArmScheduler.runAndFree(
+          s, Seq(() => exact, () => adc), sequentialArms)
+        val hits = exactM.join(adcM, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("n_hits"))
+        hits.select(
+          lit(20L).as("n_queries"), lit(5L).as("k"),
+          col("n_hits"),
+          expr("n_hits * 10000 div 100").as("recall_bp"))
+      }
+
+  /** t150's build with an explicit arm-scheduling knob — see [[t92Build]]. */
+  private[graft] def t150Build(s: SparkSession, d: String, sequentialArms: Boolean): DataFrame = {
+        val e = Tables.embeddings(s, d)
+          .filter(scorableVec(col("embedding")))
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("emb").as("qe"))
+        val n = e.select(col("vec_id").as("nid"), col("emb").as("ne"))
+        val pairs = q.join(n, col("qid") =!= col("nid"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("s").desc, col("nid"))
+        def top5(simCol: Column) = pairs
+          .withColumn("s", simCol)
+          .withColumn("r", row_number().over(w))
+          .filter(col("r") <= 5)
+          .select(col("qid"), col("nid"))
+        // five certification arms (full + one per truncation), each
+        // panel-bounded at 100 rows; run-and-free under sequentialArms
+        // (see ArmScheduler / the t57 li100 fix)
+        val dimsList = Seq(8, 16, 32, 64)
+        val armDefs: Seq[() => DataFrame] =
+          (() => top5(cosine(col("qe"), col("ne")))) +: dimsList.map(dims => () =>
+            top5(cosine(expr(s"slice(qe, 1, $dims)"), expr(s"slice(ne, 1, $dims)"))))
+        val arms = graft.operators.ArmScheduler.runAndFree(s, armDefs, sequentialArms)
+        val full = arms.head
+        dimsList.zip(arms.tail).map { case (dims, trunc) =>
+          trunc.join(full, Seq("qid", "nid"))
+            .agg(count(lit(1)).as("hits"))
+            .select(lit(dims.toLong).as("dims"), col("hits"))
+        }.reduce(_ union _)
+          .withColumn("n_queries", lit(20L))
+          .withColumn("recall", round(col("hits") * 1.0 / (5 * 20), 4))
+          .orderBy("dims")
+      }
 
   /** Verified MinHash near-dup pairs — candidate generation (4×8 banding,
     * bucket cap [2,20]) plus exact Jaccard verify at 0.8 — shared by t31
@@ -691,6 +841,10 @@ object Similarity {
 
   private def pqVecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
+      // component-corrupt vectors (NULL/NaN element) are quarantined from
+      // the whole PQ stack — codes/distances over corrupt components are
+      // engine-dependent garbage (see finiteVec) — mirrored in pqSqlCtes
+      .filter(finiteVec(col("embedding")))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
 
   /** (vec_id, m, sv): the m-th 8-dim subvector of every vector. */
@@ -745,7 +899,8 @@ object Similarity {
   /** The t104/t107/t108 oracle CTE prefix: vectors → seeds → subvectors →
     * codebook → per-subvector distances → nearest-entry assignment `p`. */
   private val pqSqlCtes =
-    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |       WHERE $finiteVecSql),
       |seeds AS (SELECT vec_id AS code, emb AS cemb FROM e WHERE vec_id < 16),
       |ms AS (SELECT CAST(unnest(generate_series(0, 7)) AS BIGINT) AS m),
       |sub AS (SELECT vec_id, m, emb[m*8 + 1 : m*8 + 8] AS sv FROM e, ms),
@@ -1022,6 +1177,13 @@ object Similarity {
         // log2(corpus/8), up to SimKit.SrpBits planes — and the cap bounds
         // the join cost on skewed clusters that defeat that average.
         val e0 = Tables.embeddings(s, d)
+          // quarantine corrupt AND zero-norm vectors BEFORE the bucket
+          // kernel: srpBucket raises on NULL elements by contract, and the
+          // zero vector's cosine is NaN — which Spark's NaN-greatest
+          // ordering RANKS FIRST and even passes `>= threshold` (NaN >= t
+          // is TRUE in Spark, NULL in DuckDB), so scoring queries must
+          // exclude it up front — mirrored in srpBucketSqlCtes
+          .filter(scorableVec(col("embedding")))
           .withColumn("bucket", ArrayFns.srpBucket(col("embedding"), 16))
           .select(col("vec_id"), col("embedding"), col("bucket"))
           .localCheckpoint()
@@ -1075,6 +1237,10 @@ object Similarity {
         // makes the in-bucket pair join quadratic — at larger corpora raise
         // nBits (≈ log2(corpus/8)) rather than the cap.
         val e0 = Tables.embeddings(s, d)
+          // quarantine corrupt and zero-norm vectors (see t37/scorableVec:
+          // Spark's NaN >= 0.99 is TRUE, so one zero vector would mark
+          // every bucket-mate `would_remove`)
+          .filter(scorableVec(col("embedding")))
           .withColumn("bucket", ArrayFns.srpBucket(col("embedding"), 8))
           .select(col("vec_id"), col("embedding"), col("bucket"))
           .localCheckpoint()
@@ -1128,7 +1294,12 @@ object Similarity {
           // interpreted exists/aggregate lambda pair this replaces was the
           // only per-row HOF left in the similarity surface
           .withColumn("norm_raw", ArrayFns.l2Norm(col("embedding")))
-          .withColumn("bad", col("norm_raw").isNull)
+          // bad covers BOTH corruption classes: NULL element (norm NULL)
+          // and NaN element (norm NaN — which would poison max() on the
+          // Spark side, CRASH the ANSI round-cast in avg, and sort
+          // differently in DuckDB; the health check must report it, not
+          // absorb or die on it)
+          .withColumn("bad", col("norm_raw").isNull || isnan(col("norm_raw")))
           .groupBy(col("label"))
           .agg(
             count(lit(1)).as("n_vecs"),
@@ -1138,17 +1309,19 @@ object Similarity {
             // NULLs, so a bare min(size(...)) would diverge on exactly the
             // rows the n_bad machinery exists to surface.
             min(when(col("embedding").isNotNull, size(col("embedding")))).as("n_dims"),
-            round(sum(round(col("norm_raw") * 10000).cast("long")) / 10000.0
+            round(sum(when(!col("bad"), round(col("norm_raw") * 10000).cast("long"))) / 10000.0
               / sum(when(col("bad"), 0L).otherwise(1L)), 4).as("avg_norm"),
-            round(min(col("norm_raw")), 4).as("min_norm"),
-            round(max(col("norm_raw")), 4).as("max_norm"))
+            round(min(when(!col("bad"), col("norm_raw"))), 4).as("min_norm"),
+            round(max(when(!col("bad"), col("norm_raw"))), 4).as("max_norm"))
           .orderBy("label"),
       Some("""WITH e AS (
              |  SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
              |n AS (
              |  SELECT label, len(emb) AS nd,
-             |    (emb IS NULL OR len(list_filter(emb, x -> x IS NULL)) > 0) AS bad,
-             |    CASE WHEN NOT (emb IS NULL OR len(list_filter(emb, x -> x IS NULL)) > 0)
+             |    (emb IS NULL OR len(list_filter(emb,
+             |       x -> x IS NULL OR isnan(x))) > 0) AS bad,
+             |    CASE WHEN NOT (emb IS NULL OR len(list_filter(emb,
+             |       x -> x IS NULL OR isnan(x))) > 0)
              |         THEN sqrt(list_sum(list_transform(emb, x -> x * x))) END AS norm_raw
              |  FROM e)
              |SELECT label, COUNT(*) AS n_vecs,
@@ -1294,6 +1467,10 @@ object Similarity {
       "t84_kmeans_assign",
       (s, d) => {
         val e = Tables.embeddings(s, d)
+          // corrupt components are quarantined from TRAINING and assignment
+          // alike — a NaN poisons the centroid mean, a NULL kills the
+          // cosine kernel (see finiteVec; mirrored in the oracle's e CTE)
+          .filter(finiteVec(col("embedding")))
           .select(col("vec_id"), col("label"),
             col("embedding").cast("array<double>").as("emb"))
         val cents = e
@@ -1313,8 +1490,9 @@ object Similarity {
           .agg(count(lit(1)).as("n_vecs"))
           .orderBy("label", "assigned")
       },
-      Some("""WITH e AS (
-             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      Some(s"""WITH e AS (
+             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+             |  WHERE $finiteVecSql),
              |u AS (
              |  SELECT label AS clabel, CAST(generate_subscripts(emb, 1) - 1 AS INT) AS pos,
              |         unnest(emb) AS x
@@ -1443,68 +1621,8 @@ object Similarity {
     // document).
     Q(
       "t92_ann_recall",
-      (s, d) => {
-        val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-          .filter(scorableVec(col("embedding")))
-        // exact arm (t33 shape)
-        val qf = e.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-        val nf = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
-        val wx = Window.partitionBy(col("query_id")).orderBy(col("sim_raw").desc, col("neighbor_id"))
-        val exact = qf.join(nf, col("query_id") =!= col("neighbor_id"))
-          .withColumn("sim_raw", cosine(col("qe"), col("ne")))
-          .withColumn("rank", row_number().over(wx))
-          .filter(col("rank") <= 5)
-          .select(col("query_id"), col("neighbor_id"))
-        // approximate arm (t61 pipeline, same constants), probing the
-        // widest panel once with each probe's rank retained
-        val cents = e.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-        val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-        val inverted = e.join(broadcast(cents))
-          .withColumn("csim", cosine(col("embedding"), col("cemb")))
-          .withColumn("rn", row_number().over(wAsg))
-          .filter(col("rn") === 1)
-          .select(col("cid"), col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
-        val wProbe = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cid"))
-        val probes = e.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-          .join(broadcast(cents))
-          .withColumn("csim", cosine(col("qe"), col("cemb")))
-          .withColumn("probe_rn", row_number().over(wProbe))
-          .filter(col("probe_rn") <= 8)
-          .select(col("query_id"), col("qe"), col("cid"), col("probe_rn"))
-        // the probe panel is O(100) rows by construction — broadcast it so
-        // the corpus-sized inverted-list side never shuffles for the probe
-        // join; candidate sims land once, tagged with the probe's rank
-        val cand = broadcast(probes).join(inverted, Seq("cid"))
-          .filter(col("query_id") =!= col("neighbor_id"))
-          .withColumn("sim_raw", cosine(col("qe"), col("ne")))
-          .select(col("query_id"), col("neighbor_id"), col("probe_rn"), col("sim_raw"))
-        // sweep: per level, keep candidates whose probe rank is within the
-        // level, re-rank, take top-5 (candidate frame is panel-bounded, so
-        // the 4× explode is tiny; the corpus join above is not repeated)
-        val wRankL = Window.partitionBy(col("nprobe"), col("query_id"))
-          .orderBy(col("sim_raw").desc, col("neighbor_id"))
-        val swept = cand
-          .withColumn("nprobe", explode(array(lit(1L), lit(2L), lit(4L), lit(8L))))
-          .filter(col("probe_rn") <= col("nprobe"))
-          .withColumn("rank", row_number().over(wRankL))
-          .filter(col("rank") <= 5)
-          .select(col("nprobe"), col("query_id"), col("neighbor_id"))
-        val hits = exact.join(broadcast(swept), Seq("query_id", "neighbor_id"))
-          .groupBy(col("nprobe")).agg(count(lit(1)).as("h"))
-        // left join from the level list so a zero-recall level still reports
-        import s.implicits._
-        Seq(1L, 2L, 4L, 8L).toDF("nprobe")
-          .join(hits, Seq("nprobe"), "left")
-          .select(
-            col("nprobe"),
-            lit(20L).as("n_queries"), lit(5L).as("k"),
-            coalesce(col("h"), lit(0L)).as("n_hits"),
-            expr("coalesce(h, 0L) * 10000 div 100").as("recall_bp"))
-          .orderBy("nprobe")
-      },
+      (s, d) => t92Build(s, d,
+        sys.env.get("SPARK_GRAFT_SEQUENTIAL_ARMS").contains("1")),
       Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
              |       FROM embeddings WHERE $scorableVecSql),
              |xsims AS (
@@ -1631,6 +1749,12 @@ object Similarity {
       "t98_quantize_audit",
       (s, d) => {
         Tables.embeddings(s, d)
+          // corrupt components quarantine up front: a NaN would crash the
+          // ANSI round-cast on BOTH engines (symmetric, but the contract
+          // is quarantine-not-crash at 100 TB) and a NULL element NULLs
+          // the Spark folds while DuckDB's list_sum skips it. The zero
+          // vector STAYS — m=0 → scale 1 → all-zero codes, reportable.
+          .filter(finiteVec(col("embedding")))
           .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
           .withColumn("m", expr(
             "aggregate(emb, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
@@ -1647,7 +1771,8 @@ object Similarity {
               .as("err_e4"))
           .orderBy("vec_id")
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+             |         WHERE $finiteVecSql),
              |s AS (
              |  SELECT vec_id, emb,
              |    CASE WHEN m = 0 THEN 1.0 ELSE 127.0 / m END AS scale
@@ -1965,26 +2090,8 @@ object Similarity {
     // tunes M/K until this number clears a product bar).
     Q(
       "t108_adc_recall",
-      (s, d) => {
-        val e = pqVecs(s, d)
-        val q = e.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("query_id"), col("emb").as("qe"))
-        val wx = Window.partitionBy(col("query_id"))
-          .orderBy(col("d2"), col("neighbor_id"))
-        val exact = q.join(e.select(col("vec_id").as("neighbor_id"), col("emb").as("ne")),
-            col("query_id") =!= col("neighbor_id"))
-          .withColumn("d2", expr(pqL2("qe", "ne")))
-          .withColumn("rank", row_number().over(wx))
-          .filter(col("rank") <= 5)
-          .select(col("query_id"), col("neighbor_id"))
-        val adc = pqAdcTop5(e).select(col("query_id"), col("neighbor_id"))
-        val hits = exact.join(adc, Seq("query_id", "neighbor_id"))
-          .agg(count(lit(1)).as("n_hits"))
-        hits.select(
-          lit(20L).as("n_queries"), lit(5L).as("k"),
-          col("n_hits"),
-          expr("n_hits * 10000 div 100").as("recall_bp"))
-      },
+      (s, d) => t108Build(s, d,
+        sys.env.get("SPARK_GRAFT_SEQUENTIAL_ARMS").contains("1")),
       Some(s"""WITH $pqSqlCtes,
               |$pqAdcSqlCtes,
               |xd AS (
@@ -2068,7 +2175,11 @@ object Similarity {
       "t126_pca_power",
       (s, d) => {
         val v = graft.operators.PcaPower
-          .topComponent(Tables.embeddings(s, d), "embedding", dim = 64, iters = 6)
+          .topComponent(
+            // quarantine component-corrupt vectors: a NULL element kills
+            // the dot kernel, a NaN poisons every iterate (see finiteVec)
+            Tables.embeddings(s, d).filter(finiteVec(col("embedding"))),
+            "embedding", dim = 64, iters = 6)
         import s.implicits._
         v.zipWithIndex.map { case (x, i) => ((i + 1).toLong, x) }.toSeq
           .toDF("component", "loading")
@@ -2077,7 +2188,8 @@ object Similarity {
           .orderBy("component")
       },
       Some(graft.operators.PcaPower.oracleSql(64, 6,
-        "SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings WHERE embedding IS NOT NULL")),
+        "SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings " +
+          s"WHERE embedding IS NOT NULL AND $finiteVecSql")),
     ),
 
     // ----- t129: near-dup graph centrality (canonical-pick PageRank) -----
@@ -2507,31 +2619,8 @@ object Similarity {
     // and recall in exact integer counts.
     Q(
       "t150_matryoshka_recall",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .filter(scorableVec(col("embedding")))
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-        val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("emb").as("qe"))
-        val n = e.select(col("vec_id").as("nid"), col("emb").as("ne"))
-        val pairs = q.join(n, col("qid") =!= col("nid"))
-        val w = Window.partitionBy(col("qid")).orderBy(col("s").desc, col("nid"))
-        def top5(simCol: Column) = pairs
-          .withColumn("s", simCol)
-          .withColumn("r", row_number().over(w))
-          .filter(col("r") <= 5)
-          .select(col("qid"), col("nid"))
-        val full = top5(cosine(col("qe"), col("ne")))
-        Seq(8, 16, 32, 64).map { dims =>
-          val trunc = top5(cosine(
-            expr(s"slice(qe, 1, $dims)"), expr(s"slice(ne, 1, $dims)")))
-          trunc.join(full, Seq("qid", "nid"))
-            .agg(count(lit(1)).as("hits"))
-            .select(lit(dims.toLong).as("dims"), col("hits"))
-        }.reduce(_ union _)
-          .withColumn("n_queries", lit(20L))
-          .withColumn("recall", round(col("hits") * 1.0 / (5 * 20), 4))
-          .orderBy("dims")
-      },
+      (s, d) => t150Build(s, d,
+        sys.env.get("SPARK_GRAFT_SEQUENTIAL_ARMS").contains("1")),
       Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
              |       FROM embeddings WHERE $scorableVecSql),
              |dims AS (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS dims),

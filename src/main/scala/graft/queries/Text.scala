@@ -1702,6 +1702,9 @@ object Text {
     // IEEE-correctly-rounded and written in the identical association in
     // both engines (ln differs in the last ulp between libm and DuckDB).
     // The term sum is a fixed 3-term left-to-right add, not an agg.
+    // Term hits use the letter-run contract (wordRunPat / wordHitCntSql),
+    // NOT \b: Java's Unicode \b vs RE2's ASCII \b diverge when a keyword
+    // abuts CJK/accented/combining chars — the EDGE.md finding-4 class.
     Q(
       "t128_bm25_topk",
       (s, d) => {
@@ -1709,9 +1712,9 @@ object Text {
           .select(
             col("doc_id"),
             regexp_count(lower(col("text")), lit("[a-z]+")).cast("long").as("dl"),
-            regexp_count(lower(col("text")), lit("\\bhash\\b")).cast("long").as("tf_hash"),
-            regexp_count(lower(col("text")), lit("\\bjoin\\b")).cast("long").as("tf_join"),
-            regexp_count(lower(col("text")), lit("\\bmerge\\b")).cast("long").as("tf_merge"))
+            regexp_count(lower(col("text")), lit(wordRunPat(Seq("hash")))).cast("long").as("tf_hash"),
+            regexp_count(lower(col("text")), lit(wordRunPat(Seq("join")))).cast("long").as("tf_join"),
+            regexp_count(lower(col("text")), lit(wordRunPat(Seq("merge")))).cast("long").as("tf_merge"))
         val g = tfd.agg(
           count(lit(1)).as("n"),
           sum(col("dl")).as("sumdl"),
@@ -1728,12 +1731,12 @@ object Text {
           .orderBy(col("bm25").desc, col("doc_id"))
           .limit(20)
       },
-      Some("""WITH t AS (
+      Some(s"""WITH t AS (
              |  SELECT doc_id,
              |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS dl,
-             |    CAST(len(regexp_extract_all(lower(text), '\bhash\b')) AS BIGINT) AS tf_hash,
-             |    CAST(len(regexp_extract_all(lower(text), '\bjoin\b')) AS BIGINT) AS tf_join,
-             |    CAST(len(regexp_extract_all(lower(text), '\bmerge\b')) AS BIGINT) AS tf_merge
+             |    CAST(${wordHitCntSql(Seq("hash"), "lower(text)")} AS BIGINT) AS tf_hash,
+             |    CAST(${wordHitCntSql(Seq("join"), "lower(text)")} AS BIGINT) AS tf_join,
+             |    CAST(${wordHitCntSql(Seq("merge"), "lower(text)")} AS BIGINT) AS tf_merge
              |  FROM documents),
              |g AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
              |  CAST(SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash,

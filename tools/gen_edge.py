@@ -82,6 +82,11 @@ def gen_documents(rng):
     add("café menu café menu")        # combining e-acute (NFC-differs)
     add("مرحبا بالعالم rtl mixed ltr")
     add("zͦaͦlͦgͦoͦ combining stack text")
+    # E2b: BM25 keywords ADJACENT to CJK/accented chars (no ASCII boundary
+    # chars around them) — pins the Java-\b vs RE2-\b divergence for
+    # t128's hash/join/merge terms; the letter-run contract counts these
+    # identically on both engines, \b does not
+    add("哈希hash表 data join查询 merge合并 éhashé plus plain hash join merge")
     # E3: pathological repetition
     add("a" * 4000)
     add(("word " * 800).strip())
@@ -155,6 +160,21 @@ def gen_embeddings(rng):
     for i in range(40, 300):
         lab = rng.randrange(10)
         rows.append((i, gauss(lab), lab))
+    # V6: component-level corruption (round 14, ADVICE) — one NaN
+    # component and one NULL component. Same corruption class as the V1
+    # zero vector but asymmetric between engines at the COMPONENT level:
+    # DuckDB's list_sum ignores NULL elements while Spark's fold NULLs
+    # out; NaN ordering/aggregation semantics differ per expression. The
+    # scorableVec contract (queries/Similarity.scala) excludes these up
+    # front on BOTH engines. Appended at the tail so vec_ids stay
+    # contiguous and the Gaussian filler sequence is unchanged.
+    # NaN planted as a placeholder here; main() rewrites it to a true
+    # 'nan'::FLOAT via SQL (duckdb's executemany converts Python NaN
+    # parameters to NULL, which would collapse V6 to two NULL rows)
+    nanv = gauss(1); nanv[13] = 0.0
+    rows.append((300, nanv, 1))
+    nullv = gauss(2); nullv[27] = None
+    rows.append((301, nullv, 2))
     return rows
 
 
@@ -202,6 +222,15 @@ def gen_events(rng):
     add(50_360, 4, props="not json at all")
     add(50_420, 4, props='{"k": ')
     add(50_480, 4, props='{"k": "str"}')
+    # T6c: LENIENTLY-malformed props (round 14, ADVICE) — parse under
+    # Jackson's Hive-compat leniency flags (which get_json_object
+    # hard-enables) but are SPEC-invalid JSON: DuckDB's json_valid
+    # quarantines them to NULL. t39's contract is spec-strict on both
+    # engines (from_json with the leniency flags off), pinned here.
+    add(50_540, 4, props="{'k': 5}")                       # single quotes
+    add(50_600, 4, props='{"k": 3, "s": "a\x01b"}')        # raw ctrl char in string
+    add(50_660, 4, props='{"k": 05}')                      # leading zero
+    add(50_720, 4, props='{"k": NaN}')                     # non-numeric number
     # T7: timestamp extremes (epoch-adjacent + far future), micro precision
     rows.append((eid, "TIMESTAMP '1970-01-01 00:00:01'", 5, "view", 1.0, '{"k": 1}')); eid += 1
     rows.append((eid, "TIMESTAMP '2099-12-31 23:59:59'", 5, "view", 2.0, '{"k": 2}')); eid += 1
@@ -287,11 +316,19 @@ def main():
     embs = gen_embeddings(rng)
     con.execute("CREATE TABLE e (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
     con.executemany("INSERT INTO e VALUES (?,?,?)", embs)
+    # V6 NaN component (see gen_embeddings): set element 14 of vec 300 to a
+    # TRUE NaN — Python NaN params arrive as NULL, so it must be SQL-side
+    con.execute("""UPDATE e SET embedding = list_transform(range(1, 65),
+        i -> CASE WHEN i = 14 THEN 'nan'::FLOAT ELSE embedding[i] END)
+        WHERE vec_id = 300""")
     con.execute(f"COPY e TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
 
     evs = gen_events(rng)
+    # props may contain single quotes (T6c plants {'k': 5}) — escape for
+    # the SQL literal; the control-char byte passes through verbatim
     vals = ",".join(f"({i}, {t}, {u}, '{et}', {v!r}, '{p}')"
-                    for (i, t, u, et, v, p) in evs)
+                    for (i, t, u, et, v, p0) in evs
+                    for p in [p0.replace("'", "''")])
     con.execute(f"""COPY (SELECT * FROM (VALUES {vals})
         t(event_id, ts, user_id, event_type, value, props)
         ORDER BY event_id) TO '{out}/events.parquet' (FORMAT PARQUET)""")
