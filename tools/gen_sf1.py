@@ -97,6 +97,13 @@ def main():
     n_docs, n_vecs, n_vocab = N_DOCS * mult, N_VECS * mult, 500 * mult
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    # The third-decade relational COPY (liCopies=1000 -> 600M lineitem +
+    # 150M orders) buffers its whole result under DuckDB's default
+    # preserve_insertion_order and OOMs the box (observed: 98 GB resident,
+    # zero bytes written). Output order is irrelevant -- every consumer
+    # sorts or aggregates -- so stream the COPY and cap the buffer.
+    con.execute("SET preserve_insertion_order = false")
+    con.execute("SET memory_limit = '24GB'")
     if relational_only:
         gen_relational(con, out, li_copies)
         skip = {"documents.parquet", "embeddings.parquet",
