@@ -89,6 +89,14 @@ def main():
                      "[--relational-only] [--events N]  (N must be an integer)")
         ev_copies = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
+    vec_mult = 0
+    if "--vectors-only" in argv:
+        i = argv.index("--vectors-only")
+        if i + 1 >= len(argv) or not argv[i + 1].lstrip("-").isdigit():
+            sys.exit("usage: gen_sf1.py [outDir] [--vectors-only MULT]  "
+                     "(MULT must be an integer)")
+        vec_mult = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
     args = [a for a in argv if not a.startswith("--")]
     relational_only = "--relational-only" in argv
     out = args[0] if len(args) > 0 else "/root/repo/testdata-sf1"
@@ -104,6 +112,15 @@ def main():
     # sorts or aggregates -- so stream the COPY and cap the buffer.
     con.execute("SET preserve_insertion_order = false")
     con.execute("SET memory_limit = '24GB'")
+    if vec_mult:
+        gen_vectors_only(con, out, N_VECS * vec_mult)
+        for f in os.listdir(SRC):
+            if f != "embeddings.parquet":
+                shutil.copy(os.path.join(SRC, f), os.path.join(out, f))
+        nv = con.execute(
+            f"SELECT count(*) FROM '{out}/embeddings.parquet'").fetchone()[0]
+        print(f"wrote {out}: {nv} vecs (vector axis; other tables = sf0.1)")
+        return
     if relational_only:
         gen_relational(con, out, li_copies)
         skip = {"documents.parquet", "embeddings.parquet",
@@ -203,6 +220,49 @@ def main():
                          f"FROM '{out}/documents.parquet'").fetchone()
     nv = con.execute(f"SELECT count(*) FROM '{out}/embeddings.parquet'").fetchone()[0]
     print(f"wrote {out}: {n} docs, avg len {avg:.0f}; {nv} vecs")
+
+
+def gen_vectors_only(con, out, n_vecs):
+    """The VECTOR axis's own corpus (--vectors-only MULT): embeddings
+    scaled MULT-fold with every other table copied from sf0.1 unscaled,
+    for the certification-arm / ANN-index family whose cost is vector
+    count, not document count. Same statistical contract as the standard
+    embeddings synthesis (per-(label, dim) Gaussians fitted from sf0.1,
+    labels from the empirical marginal) but drawn with numpy's
+    PCG64(SEED+2) instead of the random.gauss loop — 2M x 64 draws is
+    ~130M samples, minutes-vs-hours territory. A distinct corpus class,
+    so the sf1/sf10/sf100 embeddings stay bit-identical to prior rounds."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    stats = con.execute(
+        f"""SELECT label, pos - 1, avg(x), stddev_samp(x)
+            FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                         unnest(embedding) AS x
+                  FROM '{SRC}/embeddings.parquet')
+            GROUP BY 1, 2""").fetchall()
+    labels_sorted = sorted({int(l) for l, _, _, _ in stats})
+    dims = 1 + max(int(p) for _, p, _, _ in stats)
+    mu = np.zeros((len(labels_sorted), dims))
+    sd = np.zeros((len(labels_sorted), dims))
+    lab_idx = {l: i for i, l in enumerate(labels_sorted)}
+    for l, p, m, s in stats:
+        mu[lab_idx[int(l)], int(p)] = m
+        sd[lab_idx[int(l)], int(p)] = s
+    marginal = np.array([int(r[0]) for r in con.execute(
+        f"SELECT label FROM '{SRC}/embeddings.parquet'").fetchall()])
+    rng = np.random.default_rng(SEED + 2)
+    labs = marginal[rng.integers(0, len(marginal), size=n_vecs)]
+    li = np.vectorize(lab_idx.get)(labs)
+    emb = (mu[li] + rng.standard_normal((n_vecs, dims)) * sd[li]).astype(np.float32)
+    flat = pa.array(emb.reshape(-1), type=pa.float32())
+    offsets = pa.array(np.arange(0, (n_vecs + 1) * dims, dims, dtype=np.int32))
+    table = pa.table({
+        "vec_id": pa.array(np.arange(n_vecs, dtype=np.int64)),
+        "embedding": pa.ListArray.from_arrays(offsets, flat),
+        "label": pa.array(labs.astype(np.int32)),
+    })
+    pq.write_table(table, f"{out}/embeddings.parquet")
 
 
 def gen_events(con, out, copies):
