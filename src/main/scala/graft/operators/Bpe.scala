@@ -382,6 +382,38 @@ object Bpe {
          |FROM r JOIN canon ON r.doc_id = canon.doc_id
          |ORDER BY r.doc_id""".stripMargin
 
+  /** The DuckDB oracle for the t172 CADENCE round-trip certification —
+    * the bounded-state form of [[roundTripOracleSql]]: identical rule
+    * derivation and per-word decode, but the per-document check is
+    * `n_bad_words == 0` instead of materializing the rebuilt string.
+    * The two are equivalent by construction: the canonical stream and
+    * the rebuilt stream are space-joins of the SAME extracted token
+    * sequence ([a-z]+ tokens are space-free, so the join is injective),
+    * hence rebuilt == canon ⟺ dec == w at every position ⟺
+    * n_bad_words == 0. Dropping the reassembly turns the corpus-sized
+    * per-doc collect/string_agg state into four longs per document —
+    * the production-cadence shape (t169's full reassembly stays the
+    * offline audit, additionally exercising the assembly machinery
+    * itself). `docTokensSql` must emit (doc_id, w); no position column
+    * is needed — order no longer matters. */
+  def roundTripCadenceOracleSql(
+      steps: Int,
+      wordFreqSql: String,
+      docTokensSql: String): String =
+    chainSql(steps, wordFreqSql, resegmentLast = true) +
+      s""",
+         |enc AS (SELECT w, CAST(len(s) AS BIGINT) AS np,
+         |  substring(list_aggregate(s, 'string_agg', ''), 2) AS dec FROM w$steps),
+         |tok AS ($docTokensSql)
+         |SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(enc.np) AS BIGINT) AS n_pieces,
+         |  CAST(SUM(CASE WHEN enc.dec <> tok.w THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_bad_words,
+         |  CAST(CASE WHEN SUM(CASE WHEN enc.dec <> tok.w THEN 1 ELSE 0 END) = 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS ok
+         |FROM tok JOIN enc ON tok.w = enc.w
+         |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin
+
   /** Shared unrolled-CTE chain: w0..w{steps-1} vocabulary states (plus
     * w{steps} when `resegmentLast` — encoding needs the post-final-rule
     * segmentation that training never materializes), each with its pair

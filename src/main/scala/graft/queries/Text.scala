@@ -1598,6 +1598,56 @@ object Text {
           |    AS canon FROM documents""".stripMargin)),
     ),
 
+    // ----- t172: BPE round-trip certification, CADENCE form -----
+    // t169's full-reassembly audit is corpus-sized by construction: the
+    // per-doc collect_list of every decoded token materializes the whole
+    // corpus inside aggregation buffers (measured: the round-14 sf100
+    // rehearsal's one new spiller, 9.6 GB). But the reassembly is
+    // REDUNDANT for the certification verdict: rebuilt and canon are
+    // space-joins of the SAME extracted token sequence, and [a-z]+ tokens
+    // are space-free, so the join is injective — rebuilt == canon ⟺
+    // dec == w at every position ⟺ n_bad_words == 0. This is that
+    // theorem as the registered production-cadence form: identical rules,
+    // identical per-word decode, but the per-doc aggregation state is
+    // four longs (count/sum/sum/derived ok) instead of the document text
+    // — bounded state at any corpus, zero spill by shape. t169 remains
+    // the offline audit (it additionally exercises position numbering
+    // and assembly itself — machinery t172 deliberately trusts).
+    // TextSpec pins row-identity between the two forms' shared columns.
+    Q(
+      "t172_bpe_roundtrip_cadence",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+          .localCheckpoint()
+        val wf = toks.groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq"))
+          .localCheckpoint()
+        val merges = graft.operators.Bpe.train(s, wf, "w", "freq", steps = BpeSteps)
+          .select(col("lhs"), col("rhs")).collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        val dec = graft.operators.Bpe.encodeVocab(wf.select(col("w")), "w", merges)
+          .select(col("w"), col("n_pieces"),
+            expr("substring(array_join(pieces, ''), 2)").as("dec"))
+        toks.join(dec, "w")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_words"),
+            sum(col("n_pieces")).as("n_pieces"),
+            sum(when(col("dec") =!= col("w"), 1L).otherwise(0L)).as("n_bad_words"))
+          .select(col("doc_id"), col("n_words"), col("n_pieces"), col("n_bad_words"),
+            when(col("n_bad_words") === 0L, 1L).otherwise(0L).as("ok"))
+          .orderBy("doc_id")
+      },
+      Some(graft.operators.Bpe.roundTripCadenceOracleSql(
+        BpeSteps,
+        """SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+          |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+          |  GROUP BY w""".stripMargin,
+        """SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          |  FROM documents""".stripMargin)),
+    ),
+
     // ----- temperature-based source mixing (α = 0.5) -----
     // The mixture-reweighting step of a multi-source training run
     // (multilingual-LM style temperature sampling): source s is drawn with

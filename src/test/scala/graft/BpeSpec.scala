@@ -254,4 +254,21 @@ class BpeSpec extends SparkTestBase {
     assert(enc.length == 1 && enc(0).getLong(2) == 1L,
       s"'ab' must encode to the single merged symbol: ${enc.toSeq}")
   }
+
+  test("t172 cadence form ≡ t169 full reassembly, row for row") {
+    // The injective-join theorem the cadence form rests on: rebuilt and
+    // canon are space-joins of the SAME extracted [a-z]+ token sequence
+    // (space-free tokens ⇒ the join is injective), so t169's
+    // rebuilt == canon verdict must equal t172's n_bad_words == 0 on
+    // every document — all five shared columns identical, not just ok.
+    val dir = "/root/testdata/sf0.001"
+    val full = SparkEntry.registry.find(_.name == "t169_bpe_roundtrip").get
+      .build(spark, dir)
+    val cadence = SparkEntry.registry.find(_.name == "t172_bpe_roundtrip_cadence").get
+      .build(spark, dir)
+    assert(cadence.columns.toSeq == full.columns.toSeq,
+      s"cadence schema drifted: ${cadence.columns.toSeq} vs ${full.columns.toSeq}")
+    assert(cadence.exceptAll(full).isEmpty && full.exceptAll(cadence).isEmpty,
+      "cadence and full round-trip certifications disagree")
+  }
 }
