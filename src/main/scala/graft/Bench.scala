@@ -77,8 +77,12 @@ object Bench {
     val loadBefore = loadAvg
     // oracle timing runs FIRST, on an otherwise-idle machine: timing it after
     // the Spark loop measured DuckDB on thermally-throttled cores next to a
-    // hot 16 GB JVM and inflated t31 4× (23.4 s vs 6.1 s standalone)
-    val duck = oracleTimes(sfDir, runs, cpus, selected.map(_.name).toSet)
+    // hot 16 GB JVM and inflated t31 4× (23.4 s vs 6.1 s standalone).
+    // SPARK_GRAFT_BENCH_NO_ORACLE=1 skips it for Spark-side iteration loops
+    // (ratios print as null); the driver never sets it.
+    val duck =
+      if (sys.env.get("SPARK_GRAFT_BENCH_NO_ORACLE").contains("1")) Map.empty[String, Double]
+      else oracleTimes(sfDir, runs, cpus, selected.map(_.name).toSet)
     val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
     // partitions-scale-with-data: see ShuffleSizing (no-op at sf0.1)

@@ -17,6 +17,8 @@ import org.apache.spark.sql.SparkSession
   */
 object JobProfile {
 
+  private val stageDetail = sys.env.get("SPARK_GRAFT_PROFILE_STAGES").contains("1")
+
   final class Acc extends SparkListener {
     val jobs = new AtomicInteger
     val stages = new AtomicInteger
@@ -33,6 +35,13 @@ object JobProfile {
       shufRead.addAndGet(info.taskMetrics.shuffleReadMetrics.totalBytesRead)
       shufWrite.addAndGet(info.taskMetrics.shuffleWriteMetrics.bytesWritten)
       spill.addAndGet(info.taskMetrics.diskBytesSpilled)
+      if (stageDetail) {
+        val rt = info.taskMetrics.executorRunTime / 1e3
+        val wall = (for { c <- info.completionTime; s <- info.submissionTime }
+          yield (c - s) / 1e3).getOrElse(-1.0)
+        println(f"  stage ${info.stageId}%4d tasks=${info.numTasks}%4d " +
+          f"run=$rt%7.2fs wall=$wall%6.2fs  ${info.name.linesIterator.next()}")
+      }
     }
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
       if (t.taskMetrics != null) taskTimeMs.addAndGet(t.taskMetrics.executorRunTime)

@@ -99,6 +99,17 @@ object Bpe {
     val merges = ArrayBuffer.empty[(Long, String, String, String, Long)]
     var rounds = 0
     var exhausted = false
+    // Round-14 job diet: checkpoint every CkEvery-th round instead of every
+    // round. Between checkpoints `cur` is a LAZY stack of ≤ CkEvery merge-fold
+    // projections over the last checkpoint — each round's ranked-pairs
+    // collect recomputes those few vocabulary-sized folds (cheap: the
+    // vocabulary is distinct words, Zipf-tiny next to the corpus), and the
+    // plan stays linear because the fold is a non-cheap multi-referenced
+    // expression CollapseProject keeps un-inlined (see encodeVocab's note).
+    // Halves the sequential actions of a merge run; the emitted table is
+    // unchanged (checkpointing never affected what a round computes).
+    val CkEvery = 4
+    var sinceCk = 0
     while (merges.size < steps && !exhausted) {
       val remaining = steps - merges.size
       val want = math.min(batch, remaining)
@@ -125,10 +136,15 @@ object Bpe {
           merges += ((merges.size.toLong + 1, a, b, a + b, cnt))
         known ++= accepted.map { case (a, b, _) => a + b }
         val rules = accepted.map { case (a, b, _) => (a, b) }
-        val (next, nextIds) = tracker.ck(cur.withColumn("s", applyMergesFold(col("s"), rules)))
-        tracker.free(curIds)
-        cur = next
-        curIds = nextIds
+        val folded = cur.withColumn("s", applyMergesFold(col("s"), rules))
+        sinceCk += 1
+        if (sinceCk >= CkEvery && merges.size < steps) {
+          val (next, nextIds) = tracker.ck(folded)
+          tracker.free(curIds)
+          cur = next
+          curIds = nextIds
+          sinceCk = 0
+        } else cur = folded // lazy until the next checkpoint boundary
       }
     }
     tracker.free(curIds)

@@ -79,15 +79,26 @@ object ConnectedComponents {
       .select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    // nodes first: isolated-by-self-loop nodes still get an output row
+    // nodes are only consumed by the final labeling join — LAZY, so the
+    // loop pays no up-front materialization action for them (round-14 job
+    // diet: every eager action here was a sequential job in a loop that
+    // runs 3-6 rounds on near-dup graphs); the edge pipeline's internal
+    // exchanges are reused across the two union branches
     val nodes = edges.select(col(srcCol).as("id"))
       .union(edges.select(col(dstCol).as("id")))
       .distinct()
-      .localCheckpoint()
 
     var (cur, curIds) = tracker.ck(base)
+    // round-14 job diet, part 2: set-equality was two anti-join actions per
+    // round (each shuffling both edge sets). Both sets are DISTINCT, so
+    // |next| == |cur| && (next ∖ cur) == ∅ ⟺ next == cur — and the count of
+    // a just-checkpointed frame is a shuffle-free one-stage job, so the
+    // anti-join runs ONLY on rounds whose counts already match (in practice:
+    // the convergence round, plus count-collision rounds where it correctly
+    // reports inequality).
+    var prevCnt = cur.count()
     var round = 0
-    var converged = cur.isEmpty
+    var converged = prevCnt == 0
     while (!converged) {
       round += 1
       require(
@@ -99,10 +110,15 @@ object ConnectedComponents {
       val lsMin = sym.groupBy("u")
         .agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
-      val (ls, lsIds) = tracker.ck(sym.join(lsMin, "u")
+      // NOT checkpointed (round-14 job diet, part 3): both small-star
+      // consumers sit above ls's distinct Exchange, an identical subtree
+      // AQE's stage cache / ReuseExchange materializes once — the eager
+      // per-round checkpoint bought nothing but an extra action + a full
+      // write-read pass of the edge set
+      val ls = sym.join(lsMin, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct())
+        .distinct()
       // ---- small-star: key every edge by its LARGER endpoint; the center
       //      and all its ≤-neighbors are rewired to the neighborhood min
       val dir = ls.select(
@@ -118,14 +134,11 @@ object ConnectedComponents {
         .filter(col("u") =!= col("m"))
         .select(col("u"), col("m").as("v"))
       val (next, nextIds) = tracker.ck(fromNbrs.union(fromCenter).distinct())
-      // convergence = the canonical edge set is stable (both sets are
-      // distinct, so two anti-join counts decide equality exactly)
-      converged =
-        next.join(cur, Seq("u", "v"), "left_anti").isEmpty &&
-        cur.join(next, Seq("u", "v"), "left_anti").isEmpty
-      // this round's inputs are dead: next is materialized and compared
-      tracker.free(lsIds)
+      val cnt = next.count()
+      converged = cnt == prevCnt &&
+        next.join(cur, Seq("u", "v"), "left_anti").isEmpty
       tracker.free(curIds)
+      prevCnt = cnt
       cur = next
       curIds = nextIds
     }

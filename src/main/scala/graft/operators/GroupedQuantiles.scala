@@ -154,33 +154,28 @@ object GroupedQuantiles {
       }
     }.toDF("g", "rank", "v").localCheckpoint() // ≤ (2·|quantiles| + 2) rows per group
 
-    // assemble: interpolate each quantile from its lo/hi order statistics
-    val spec = totals
-      .withColumn("q", explode(qArr))
-      .withColumn("pos", col("q") * (col("n") - 1))
-      .withColumn("lo_rank", floor(col("pos")).cast("long"))
-      .withColumn("hi_rank", ceil(col("pos")).cast("long"))
-    val loV = picked.select(col("g"), col("rank").as("lo_rank"), col("v").as("v_lo"))
-    val hiV = picked.select(col("g"), col("rank").as("hi_rank"), col("v").as("v_hi"))
-    val interp = spec
-      .join(loV, Seq("g", "lo_rank"))
-      .join(hiV, Seq("g", "hi_rank"))
-      .withColumn("qv",
-        when(col("lo_rank") === col("hi_rank"), col("v_lo"))
-          .otherwise(col("v_lo") * (col("hi_rank") - col("pos"))
-            + col("v_hi") * (col("pos") - col("lo_rank"))))
+    // assemble: one rank→value map per group, one join (round-14 shuffle
+    // diet — the former shape exploded a per-quantile spec and re-joined
+    // `picked` FOUR times (lo arm, hi arm, min, max: ~6 exchanges + a
+    // grouped max-disambiguation); the map form is one tiny groupBy plus
+    // one join, and the interpolation arithmetic below is the identical
+    // double expression, so outputs are bit-for-bit unchanged). `picked`
+    // has one row per (g, rank) by construction (needs is distinct), so
+    // map_from_entries never sees a duplicate key.
+    val pickedMap = picked.groupBy(col("g"))
+      .agg(map_from_entries(collect_list(struct(col("rank"), col("v")))).as("m"))
     val qCols: Seq[Column] = quantiles.map { q =>
-      max(when(col("q") === q, col("qv"))).as(s"p${math.round(q * 100)}")
+      val pos = lit(q) * (col("n") - 1)
+      val loR = floor(pos).cast("long")
+      val hiR = ceil(pos).cast("long")
+      when(loR === hiR, element_at(col("m"), loR))
+        .otherwise(element_at(col("m"), loR) * (hiR - pos)
+          + element_at(col("m"), hiR) * (pos - loR))
+        .as(s"p${math.round(q * 100)}")
     }
-    val mins = picked.filter(col("rank") === 0L).select(col("g"), col("v").as("lo"))
-    val maxs = picked.join(totals, Seq("g"))
-      .filter(col("rank") === col("n") - 1)
-      .select(col("g"), col("v").as("hi"))
-    interp.groupBy(col("g"), col("n"))
-      .agg(qCols.head, qCols.tail: _*)
-      .join(mins, Seq("g"))
-      .join(maxs, Seq("g"))
-      .select((col("g").as(groupCol) +: col("n").as("cnt") +:
-        quantiles.map(q => col(s"p${math.round(q * 100)}")) :+ col("lo") :+ col("hi")): _*)
+    totals.join(pickedMap, Seq("g"))
+      .select((col("g").as(groupCol) +: col("n").as("cnt") +: qCols :+
+        element_at(col("m"), lit(0L)).as("lo") :+
+        element_at(col("m"), col("n") - 1).as("hi")): _*)
   }
 }

@@ -77,7 +77,11 @@ object SetSimJoin {
       .select(col("__id"), col("__n"), (col("pos") + 1).cast("long").as("__p"),
         col("col").as("__w"))
       // both candidate-join sides read the prefix frame; without the
-      // barrier the collect+sort prefix build runs twice
+      // barrier the collect+sort prefix build runs twice. (Round-14 probe:
+      // removing this in favor of ReuseExchange REGRESSED t147/t153/t155 —
+      // the candidate join goes BROADCAST on small corpora, and a
+      // BroadcastExchange build side embeds a full second copy of the
+      // prefix build that shuffle-exchange reuse cannot deduplicate.)
       .localCheckpoint()
     // prefix-against-prefix with A the smaller side (ties broken by id),
     // the length filter, and the positional filter — see the scaladoc for

@@ -354,17 +354,24 @@ object Similarity {
     * the same candidate set can feed different verification arms (exact
     * Jaccard for t31/t49, edit distance for t130). */
   private def minhashCandPairs(sh: DataFrame): DataFrame = {
-    val bands = sh
+    // Bucket cap as a WINDOW over (band, sig) instead of the former
+    // groupBy-then-join-back (round-14 shuffle diet, guide §2.4): the count
+    // rides the SAME exchange the self-join needs anyway — the window's
+    // hashpartitioning(band, sig) satisfies both self-join sides, so the
+    // whole candidate stage runs on ONE exchange of the signature table
+    // where the old shape paid three (groupBy agg + join back + self-join),
+    // and the eager bands checkpoint that glued them together disappears.
+    // Same rows out: bsize is the bucket's intrinsic size either way.
+    val wB = Window.partitionBy(col("band"), col("sig"))
+    val kept = sh
       .withColumn("mins", ArrayFns.minhashSig(col("shingles")))
       .withColumn("band", explode(expr("sequence(0, 3)")))
       .withColumn("sig", expr(
         "array_join(transform(slice(mins, band*8 + 1, 8), v -> CAST(v AS STRING)), '-')"))
       .select(col("doc_id"), col("band"), col("sig"))
-      .localCheckpoint()
-    val bucketSizes = bands.groupBy(col("band"), col("sig"))
-      .agg(count(lit(1)).as("bsize"))
+      .withColumn("bsize", count(lit(1)).over(wB))
       .filter(col("bsize") >= 2 && col("bsize") <= 20)
-    val kept = bands.join(bucketSizes.select("band", "sig"), Seq("band", "sig"))
+      .select(col("band"), col("sig"), col("doc_id"))
     val b1 = kept.select(col("band"), col("sig"), col("doc_id").as("doc_id1"))
     val b2 = kept.select(col("band"), col("sig"), col("doc_id").as("doc_id2"))
     b1.join(b2, Seq("band", "sig")).filter(col("doc_id1") < col("doc_id2"))
@@ -426,7 +433,11 @@ object Similarity {
     * ≤ 60 bp — proven on a planted corpus in SimilaritySpec). */
   private[graft] def lshRecallCadenceDocs(docs: DataFrame, sliceDocs: Int): DataFrame = {
     val sh = shingleDocs(docs).localCheckpoint()
-    // orderBy+limit → TakeOrderedAndProject: no global sort materializes
+    // orderBy+limit → TakeOrderedAndProject: no global sort materializes.
+    // slice/ids stay checkpointed: the slice carries FAT shingle-array rows
+    // and is consumed three times (truth arm + two broadcast semi filters) —
+    // a round-14 probe that dropped these barriers re-ran the TakeOrdered
+    // inside every consumer and regressed t170 by ~2 s.
     val slice = sh
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
       .limit(sliceDocs)
