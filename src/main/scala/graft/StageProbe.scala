@@ -37,9 +37,8 @@ object StageProbe {
     def sitesH(s: SparkSession, d: String) =
       toks(s, d)
         .filter(size(col("__t")) >= k)
-        .select(col("__id"), posexplode(
-          transform(sequence(lit(1), size(col("__t")) - (k - 1)),
-            p => xxhash64(concat_ws(" ", slice(col("__t"), p, lit(k)))))))
+        .select(col("__id"),
+          posexplode(graft.functions.ArrayFns.kgramHashesAt(col("__t"), k)))
         .select(col("__id"), (col("pos") + 1).cast("long").as("p"), col("col").as("h"))
     Seq(
       "grams_hash" -> ((s, d) => sitesH(s, d)),

@@ -98,6 +98,29 @@ case class WordNgramHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Positional (or distinct-sorted) 64-bit k-gram fingerprints over a token
+  * array — the DupSpans/TemplateGrams gram key (internal fingerprints only;
+  * see SimKit.kgramHashesAt). */
+case class KgramHashes(child: Expression, k: Int, distinct: Boolean)
+    extends UnaryExpression with SimKitCall {
+  require(k >= 1, "k-gram size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    requireType(child, {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }, "array<string>")
+  override def nullSafeEval(a: Any): Any =
+    if (distinct) SimKit.kgramHashesDistinct(a.asInstanceOf[ArrayData], k)
+    else SimKit.kgramHashesAt(a.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      if (distinct) s"$kit.kgramHashesDistinct($c, $k)" else s"$kit.kgramHashesAt($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Per-document intra-repetition counts [t2,s2,t3,s3,t4,s4] of a
   * (lowercased) string — word-n-gram totals and distincts for
   * n ∈ {2,3,4} in ONE tokenization pass (t166's kernel). */

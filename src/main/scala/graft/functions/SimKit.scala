@@ -193,6 +193,83 @@ object SimKit {
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
 
+  // ---- positional k-gram fingerprints (round-14 kernel) -------------------
+  // DupSpans/TemplateGrams keyed their k-grams as xxhash64(concat_ws(...))
+  // over a per-window slice: three allocations (slice array, joined string,
+  // byte copy) and O(k·token_len) hashed bytes PER WINDOW POSITION. These
+  // fingerprints are internal only (never mirrored in an oracle — DupSpans
+  // string-verifies candidates, TemplateGrams surfaces only counts), so the
+  // hash is free to change: hash each token ONCE, then combine k consecutive
+  // token hashes with a multiply-xor polynomial + an avalanche finish —
+  // O(k) word ops per window, zero per-window allocation. Collision quality
+  // is the same 64-bit-birthday class as the old xxhash64 (t117's argument),
+  // and two windows collide in the polynomial only with fmix64-grade
+  // randomness since every token hash is already avalanched.
+
+  /** murmur3 64-bit finalizer — full-entropy avalanche. */
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  /** FNV-1a 64 over the token's UTF-8 bytes, avalanched. */
+  private def tokenFp(tok: UTF8String): Long = {
+    val b = tok.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    fmix64(h)
+  }
+
+  private final val KgramPrime = 0x9e3779b97f4a7c15L
+
+  /** One 64-bit fingerprint per k-gram start position (1-based position i
+    * covers tokens [i, i+k-1]); array length = numTokens − k + 1. Callers
+    * must ensure numTokens ≥ k (DupSpans/TemplateGrams filter first). */
+  def kgramHashesAt(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      th(i) = if (t == null) 0L else tokenFp(t)
+      i += 1
+    }
+    val m = n - k + 1
+    val out = new Array[Long](if (m > 0) m else 0)
+    i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h ^ th(i + j)) * KgramPrime; j += 1 }
+      out(i) = fmix64(h ^ k.toLong)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct sorted [[kgramHashesAt]] — per-ROW gram dedup, so callers
+    * that only need the per-document gram SET skip the corpus-wide
+    * distinct() exchange the explode-then-distinct shape paid. */
+  def kgramHashesDistinct(toks: ArrayData, k: Int): ArrayData = {
+    val at = kgramHashesAt(toks, k)
+    val n = at.numElements()
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = at.getLong(i); i += 1 }
+    java.util.Arrays.sort(a)
+    var w = 0
+    var r = 0
+    while (r < n) {
+      if (w == 0 || a(w - 1) != a(r)) { a(w) = a(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(a, w))
+  }
+
   /** MinHash permutation constants: a_k = ((2k+1)·1103515245) mod p,
     * b_k = 12345k+7, p = 2^31-1 (SURVEY §2 minhash spec; mirrored verbatim
     * in the t31 oracle SQL). */

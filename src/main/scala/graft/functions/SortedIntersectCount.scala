@@ -88,6 +88,10 @@ object ArrayFns {
     GraftColumnBridge.column(WordNgramHashes(GraftColumnBridge.expression(text), n))
   def intraDupCounts(text: Column): Column =
     GraftColumnBridge.column(IntraDupCounts(GraftColumnBridge.expression(text)))
+  def kgramHashes(toks: Column, k: Int, distinct: Boolean): Column =
+    GraftColumnBridge.column(KgramHashes(GraftColumnBridge.expression(toks), k, distinct))
+  /** Positional form of [[kgramHashes]] (one hash per window start). */
+  def kgramHashesAt(toks: Column, k: Int): Column = kgramHashes(toks, k, distinct = false)
   def minhashSig(shingles: Column): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(shingles)))
   def simhash64(hashes: Column): Column =

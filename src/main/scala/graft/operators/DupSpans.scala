@@ -67,13 +67,17 @@ object DupSpans {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val toks = df.select(q(id).as("__id"), litSplit(q(text), delim).as("__t"))
     // ONE corpus-sized explode, emitting only (id, pos, 8-byte hash) — the
-    // gram string is built, hashed, and discarded map-side, so neither the
-    // explode output nor the aggregation shuffle ever carries k-token text
+    // gram is fingerprinted map-side, so neither the explode output nor the
+    // aggregation shuffle ever carries k-token text. Round-14 kernel: the
+    // per-window slice+concat_ws+xxhash64 became one native pass over
+    // per-token fingerprints (SimKit.kgramHashesAt — zero per-window
+    // allocation). Fingerprint equality still implies nothing on its own:
+    // candidates are re-derived as STRINGS and verified below, so the hash
+    // choice affects only the candidate set, never the result.
     val sitesH = toks
       .filter(size(col("__t")) >= k)
-      .select(col("__id"), posexplode(
-        transform(sequence(lit(1), size(col("__t")) - (k - 1)),
-          p => xxhash64(concat_ws(delim, slice(col("__t"), p, lit(k)))))))
+      .select(col("__id"),
+        posexplode(graft.functions.ArrayFns.kgramHashesAt(col("__t"), k)))
       .select(col("__id"), (col("pos") + 1).cast("long").as("p"), col("col").as("h"))
     val dupH = sitesH.groupBy(col("h"))
       .agg(countDistinct(col("__id")).as("nd"))

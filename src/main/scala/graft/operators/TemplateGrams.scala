@@ -31,13 +31,19 @@ object TemplateGrams {
       "input must not already have columns named 'h' or '__t'")
     val tc = s"`${textCol.replace("`", "``")}`"
     val keep = docs.columns.filter(_ != textCol).map(col).toSeq
+    // Round-14 kernel: the per-window slice+concat+xxhash64 HOF became ONE
+    // native pass over token fingerprints (SimKit.kgramHashesAt), and the
+    // dedup moved INSIDE the row (kgramHashesDistinct) — the old
+    // explode-then-DataFrame-distinct shape shuffled the whole gram table
+    // to dedup keys that are already unique per (row, gram). Fingerprint
+    // values changed with the hash; they are internal only (oracles hash
+    // their own gram strings), and the t165 store is always written and
+    // read by this same kernel.
     docs
       .withColumn("__t", expr(s"regexp_extract_all(lower($tc), '[a-z]+', 0)"))
       .filter(size(col("__t")) >= k)
-      .select(keep :+ explode(expr(
-        s"transform(sequence(1, size(__t) - ${k - 1}), " +
-          s"i -> xxhash64(concat_ws(' ', slice(__t, i, $k))))")).as("h"): _*)
-      .distinct()
+      .select(keep :+ explode(
+        graft.functions.ArrayFns.kgramHashes(col("__t"), k, distinct = true)).as("h"): _*)
   }
 
   /** One batch's PARTIAL per-gram document frequency: (h, df_part). df is

@@ -120,6 +120,38 @@ class SimKitSpec extends SparkTestBase {
     assert(grams("  a   b  c ", 3) == grams("a b c", 3))
   }
 
+  test("kgramHashes: positional fingerprints agree with string-window equality") {
+    import spark.implicits._
+    // the contract the DupSpans/TemplateGrams rewire relies on: two window
+    // positions share a fingerprint iff their token windows are equal
+    // (collisions are 2^-64-class; a planted corpus cannot hit one), the
+    // positional array has exactly n-k+1 entries, and the distinct variant
+    // is the sorted unique set of the positional one
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "bb", "ccc", "word", "xyz", "dup", "héllo")
+    val cases = Seq(
+      Seq("a", "b", "c", "a", "b", "c", "a", "b"),
+      Seq("x"), Seq("x", "x", "x", "x"),
+      Seq("a b", "c", "a", "b c")) ++ // delimiter-bearing tokens stay distinct
+      (1 to 40).map(_ => (0 to rnd.nextInt(25)).map(_ => vocab(rnd.nextInt(vocab.length))))
+    for (k <- Seq(2, 3, 8); toks <- cases) {
+      val row = Seq(Tuple1(toks)).toDF("t")
+        .select(
+          ArrayFns.kgramHashesAt(col("t"), k).as("at"),
+          ArrayFns.kgramHashes(col("t"), k, distinct = true).as("d"))
+        .head()
+      val at = row.getSeq[Long](0)
+      val d = row.getSeq[Long](1)
+      val windows = toks.sliding(k).filter(_.length == k).toVector
+      assert(at.length == math.max(toks.length - k + 1, 0))
+      // fingerprint equality structure == window equality structure
+      val byFp = at.zipWithIndex.groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+      val byWin = windows.indices.groupBy(windows(_)).values.map(_.toSet).toSet
+      assert(byFp == byWin, s"fingerprint/window partition drift on $toks k=$k")
+      assert(d == at.distinct.sorted, s"distinct variant drift on $toks k=$k")
+    }
+  }
+
   test("intraDupCounts matches a string-gram reference on random corpora") {
     import spark.implicits._
     // reference: regex tokenization + literal gram-string distinct counts
