@@ -121,6 +121,39 @@ case class KgramHashes(child: Expression, k: Int, distinct: Boolean)
     copy(child = newChild)
 }
 
+/** Leftmost-greedy BPE merge pass(es) over a symbol array — the
+  * trainer/encoder hot loop as a native kernel instead of an interpreted
+  * `aggregate(...)` HOF. `sequentialPasses = false` is the trainer's batch
+  * form (one pass, pairwise-disjoint rules checked per step);
+  * `true` is the encoder's (one full pass per rule, in learned order). */
+case class ApplyMerges(child: Expression, rules: Seq[(String, String)], sequentialPasses: Boolean)
+    extends UnaryExpression with SimKitCall {
+  require(rules.nonEmpty, "need at least one merge rule")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    requireType(child, {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }, "array<string>")
+  @transient private lazy val lhsArr = rules.map(r => UTF8String.fromString(r._1)).toArray
+  @transient private lazy val rhsArr = rules.map(r => UTF8String.fromString(r._2)).toArray
+  @transient private lazy val mergedArr = rules.map(r => UTF8String.fromString(r._1 + r._2)).toArray
+  override def nullSafeEval(a: Any): Any =
+    if (sequentialPasses) SimKit.applyMergesSeq(a.asInstanceOf[ArrayData], lhsArr, rhsArr, mergedArr)
+    else SimKit.applyMergesBatch(a.asInstanceOf[ArrayData], lhsArr, rhsArr, mergedArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = "org.apache.spark.unsafe.types.UTF8String[]"
+    val l = ctx.addReferenceObj("bpeLhs", lhsArr, cls)
+    val r = ctx.addReferenceObj("bpeRhs", rhsArr, cls)
+    val m = ctx.addReferenceObj("bpeMerged", mergedArr, cls)
+    val fn = if (sequentialPasses) "applyMergesSeq" else "applyMergesBatch"
+    defineCodeGen(ctx, ev, c => s"$kit.$fn($c, $l, $r, $m)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Per-document intra-repetition counts [t2,s2,t3,s3,t4,s4] of a
   * (lowercased) string — word-n-gram totals and distincts for
   * n ∈ {2,3,4} in ONE tokenization pass (t166's kernel). */

@@ -270,6 +270,76 @@ object SimKit {
     new GenericArrayData(java.util.Arrays.copyOf(a, w))
   }
 
+  // ---- BPE merge passes (round-14 kernel) ---------------------------------
+  // The trainer/encoder merge fold was an `aggregate(slice(...))` HOF —
+  // Spark evaluates higher-order lambdas on the INTERPRETED path, and the
+  // fold runs once per vocabulary word per rule (encode: per round). These
+  // are the same leftmost-greedy semantics as the HOF form: a just-merged
+  // symbol never immediately re-merges, and in the single-pass batch form
+  // at most one rule can match per step (acceptBatch's C1/C2 disjointness).
+
+  /** One leftmost-greedy non-overlapping pass applying whichever of the
+    * pairwise-disjoint rules matches at each step (the trainer's batch
+    * form). `lhs`/`rhs`/`merged` are parallel arrays. */
+  def applyMergesBatch(
+      toks: ArrayData,
+      lhs: Array[UTF8String],
+      rhs: Array[UTF8String],
+      merged: Array[UTF8String]): ArrayData = {
+    val n = toks.numElements()
+    if (n <= 1) return toks.copy()
+    val out = new Array[AnyRef](n)
+    out(0) = toks.getUTF8String(0)
+    var w = 1
+    var i = 1
+    while (i < n) {
+      val x = toks.getUTF8String(i)
+      val last = out(w - 1).asInstanceOf[UTF8String]
+      var r = 0
+      var hit = -1
+      while (hit < 0 && r < lhs.length) {
+        if (lhs(r).equals(last) && rhs(r).equals(x)) hit = r
+        r += 1
+      }
+      if (hit >= 0) out(w - 1) = merged(hit)
+      else { out(w) = x; w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  /** The encoder's form: apply each rule as its OWN full leftmost-greedy
+    * pass, in learned order — identical to chaining one fold per rule. */
+  def applyMergesSeq(
+      toks: ArrayData,
+      lhs: Array[UTF8String],
+      rhs: Array[UTF8String],
+      merged: Array[UTF8String]): ArrayData = {
+    val n0 = toks.numElements()
+    var cur = new Array[AnyRef](n0)
+    var n = n0
+    var i = 0
+    while (i < n0) { cur(i) = toks.getUTF8String(i); i += 1 }
+    var r = 0
+    while (r < lhs.length && n > 1) {
+      val a = lhs(r); val b = rhs(r); val ab = merged(r)
+      val out = new Array[AnyRef](n)
+      out(0) = cur(0)
+      var w = 1
+      i = 1
+      while (i < n) {
+        val x = cur(i).asInstanceOf[UTF8String]
+        if (a.equals(out(w - 1).asInstanceOf[UTF8String]) && b.equals(x)) out(w - 1) = ab
+        else { out(w) = x; w += 1 }
+        i += 1
+      }
+      cur = out
+      n = w
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(cur, n))
+  }
+
   /** MinHash permutation constants: a_k = ((2k+1)·1103515245) mod p,
     * b_k = 12345k+7, p = 2^31-1 (SURVEY §2 minhash spec; mirrored verbatim
     * in the t31 oracle SQL). */

@@ -92,6 +92,10 @@ object ArrayFns {
     GraftColumnBridge.column(KgramHashes(GraftColumnBridge.expression(toks), k, distinct))
   /** Positional form of [[kgramHashes]] (one hash per window start). */
   def kgramHashesAt(toks: Column, k: Int): Column = kgramHashes(toks, k, distinct = false)
+  /** Native BPE merge pass(es) — see [[ApplyMerges]]. */
+  def applyMerges(toks: Column, rules: Seq[(String, String)], sequentialPasses: Boolean): Column =
+    GraftColumnBridge.column(
+      ApplyMerges(GraftColumnBridge.expression(toks), rules, sequentialPasses))
   def minhashSig(shingles: Column): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(shingles)))
   def simhash64(hashes: Column): Column =

@@ -272,33 +272,18 @@ object Bpe {
       .map(r => (r.getString(0), r.getString(1)))
       .toSeq
 
-  /** One leftmost-greedy non-overlapping merge pass of (a, b) → a+b over a
-    * symbol-array column — the shared merge kernel of [[train]] (per-round
-    * re-segmentation) and [[encodeVocab]] (rule application at encode time).
-    * A codegen'd array fold: the accumulator's last symbol merging with the
-    * next one means a just-merged symbol never immediately re-merges. */
-  private def applyMergeFold(s: Column, a: String, b: String): Column =
-    applyMergesFold(s, Seq((a, b)))
-
   /** One leftmost-greedy pass applying a whole BATCH of pairwise-disjoint
-    * rules simultaneously: per fold step at most one rule can match (rules
+    * rules simultaneously: per step at most one rule can match (rules
     * share no symbols and merge results are fresh — acceptBatch's C1/C2),
-    * so the chained `when`s are order-independent and the single pass
-    * equals applying the rules in sequential passes. ONE fold with K
-    * branches — codegen size linear in K, unlike nesting K fold calls
-    * (see [[encodeVocab]]'s 3^rules note, which is about nesting). */
+    * so the single pass equals applying the rules in sequential passes.
+    * Round 14: a native SimKit kernel instead of an `aggregate(...)` HOF —
+    * higher-order lambdas run on Spark's interpreted path, and this fold
+    * is the trainer's per-word hot loop (it also re-evaluates under the
+    * lazy between-checkpoint rounds below). Semantics unchanged: the
+    * accumulator's last symbol merging with the next one means a
+    * just-merged symbol never immediately re-merges. */
   private def applyMergesFold(s: Column, rules: Seq[(String, String)]): Column =
-    aggregate(
-      slice(s, lit(2), size(s) - 1),
-      array(element_at(s, 1)),
-      (acc, x) => {
-        val last = element_at(acc, -1)
-        rules.foldRight(concat(acc, array(x))) { case ((a, b), els) =>
-          when(last === lit(a) && x === lit(b),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-            .otherwise(els)
-        }
-      })
+    graft.functions.ArrayFns.applyMerges(s, rules, sequentialPasses = false)
 
   /** Encode a VOCABULARY of distinct words with a learned merge table:
     * segment each word into '_'-prefixed characters, then apply each
@@ -318,15 +303,17 @@ object Bpe {
     val escaped = s"`${word.replace("`", "``")}`"
     val chars = expr(
       s"transform(sequence(1, length(concat('_', $escaped))), i -> substring(concat('_', $escaped), i, 1))")
-    // One projection per rule, NOT a single folded expression: applyMergeFold
-    // references its input ~3× (head, tail slice, size), so nesting rule k+1
-    // around rule k's tree grows ~3^rules — a 20 MiB codegen blob by rule 8.
-    // As separate aliases the non-cheap multi-referenced fold is kept
-    // un-inlined by CollapseProject and the plan stays linear in the rule
-    // count.
-    var df = vocab.withColumn("pieces", chars)
-    for ((a, b) <- merges) df = df.withColumn("pieces", applyMergeFold(col("pieces"), a, b))
-    df.withColumn("n_pieces", size(col("pieces")).cast("long"))
+    // Round 14: ALL rules apply inside ONE native kernel call (one full
+    // leftmost-greedy pass per rule, in learned order — identical to the
+    // former chain of per-rule fold projections, which evaluated an
+    // interpreted HOF once per rule per word). The rule table rides into
+    // the generated code as a codegen reference object — the same
+    // degenerate model broadcast as before, without the 3^rules /
+    // per-projection plan growth concerns.
+    vocab
+      .withColumn("pieces",
+        graft.functions.ArrayFns.applyMerges(chars, merges, sequentialPasses = true))
+      .withColumn("n_pieces", size(col("pieces")).cast("long"))
   }
 
   /** The DuckDB oracle for [[train]]: `steps` unrolled CTE rounds, each
