@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output defaults to sbt's logger, which prefixes every program
+// stdout line with "[info] " — the driver's bench parser rejects a line that
+// does not start with '{', so 14 rounds of per-query JSON never parsed.
+// StdoutOutput pipes the forked JVM's stdout through raw.
+run / outputStrategy := Some(sbt.OutputStrategy.StdoutOutput)
+// ...and sbt's closing "[success] Total time ..." line (~75 chars) would
+// otherwise sit between the bench's final JSON line and the end of the
+// driver's ~2000-char tail capture, stealing budget a 180-query map needs.
+Global / showSuccess := false
 // JDK 17 derives sun.jnu.encoding from the process locale; without a UTF-8
 // locale, java.nio cannot address unicode file names (copy-layer fixtures).
 Test / envVars += "LANG" -> "C.UTF-8"
