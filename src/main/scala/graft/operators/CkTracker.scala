@@ -25,6 +25,18 @@ private[graft] final class CkTracker(sc: SparkContext) {
     (out, (sc.getPersistentRDDs.keySet -- before).toSeq)
   }
 
+  /** Checkpoint LAZILY and materialize through a count — the count's job
+    * computes and pins the checkpoint blocks (RDD.doCheckpoint cascades
+    * through the lineage at job end), so a loop that needs its per-round
+    * cardinality anyway pays ONE action where eager-ck-then-count paid two.
+    * Returns (frame, pinned ids, count). */
+  def ckCount(df: DataFrame): (DataFrame, Seq[Int], Long) = {
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint(eager = false)
+    val cnt = out.count()
+    (out, (sc.getPersistentRDDs.keySet -- before).toSeq, cnt)
+  }
+
   /** Free previously tracked checkpoint blocks. */
   def free(ids: Seq[Int]): Unit = {
     val live = sc.getPersistentRDDs

@@ -88,15 +88,17 @@ object ConnectedComponents {
       .union(edges.select(col(dstCol).as("id")))
       .distinct()
 
-    var (cur, curIds) = tracker.ck(base)
-    // round-14 job diet, part 2: set-equality was two anti-join actions per
-    // round (each shuffling both edge sets). Both sets are DISTINCT, so
-    // |next| == |cur| && (next ∖ cur) == ∅ ⟺ next == cur — and the count of
-    // a just-checkpointed frame is a shuffle-free one-stage job, so the
-    // anti-join runs ONLY on rounds whose counts already match (in practice:
-    // the convergence round, plus count-collision rounds where it correctly
-    // reports inequality).
-    var prevCnt = cur.count()
+    // round-15 job diet: the per-round state lands via ckCount (ONE action
+    // materializes the checkpoint AND reads the cardinality the convergence
+    // test needs; eager-ck-then-count paid two), and each star pass funds
+    // exactly ONE exchange — an explicit hash repartition on its key that
+    // the groupBy-min AND the rewire join both inherit (guide §2.4: two
+    // operations keyed the same way share one exchange). The former shape
+    // paid ~6 exchanges/round (groupBy + join side + an intermediate
+    // distinct, twice); with AQE each exchange is a sequential job, and the
+    // loop's 3-6 rounds made that the dominant scheduling floor across all
+    // eight CC-consumer queries.
+    var (cur, curIds, prevCnt) = tracker.ckCount(base)
     var round = 0
     var converged = prevCnt == 0
     while (!converged) {
@@ -107,23 +109,24 @@ object ConnectedComponents {
       // ---- large-star: symmetric neighborhoods; each neighbor v > u is
       //      rewired to m = min(N(u) ∪ {u}) (v > u ≥ m, so no self-loops)
       val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
       val lsMin = sym.groupBy("u")
         .agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
-      // NOT checkpointed (round-14 job diet, part 3): both small-star
-      // consumers sit above ls's distinct Exchange, an identical subtree
-      // AQE's stage cache / ReuseExchange materializes once — the eager
-      // per-round checkpoint bought nothing but an extra action + a full
-      // write-read pass of the edge set
+      // large-star output is NOT deduplicated here: duplicates are bounded
+      // by |sym| and the round's closing distinct absorbs them, so the
+      // former ls.distinct() exchange (and the AQE ReuseExchange reliance
+      // it forced on the two small-star consumers) is simply gone — the
+      // small-star pass repartitions once on ITS key instead.
       val ls = sym.join(lsMin, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
       // ---- small-star: key every edge by its LARGER endpoint; the center
       //      and all its ≤-neighbors are rewired to the neighborhood min
       val dir = ls.select(
         greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
+        .repartition(col("u"))
       val ssMin = dir.groupBy("u")
         .agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
@@ -133,8 +136,11 @@ object ConnectedComponents {
       val fromCenter = ssMin
         .filter(col("u") =!= col("m"))
         .select(col("u"), col("m").as("v"))
-      val (next, nextIds) = tracker.ck(fromNbrs.union(fromCenter).distinct())
-      val cnt = next.count()
+      // set-equality (round 14): both sets are DISTINCT, so |next| == |cur|
+      // && (next ∖ cur) == ∅ ⟺ next == cur — the anti-join runs ONLY on
+      // rounds whose counts already match (the convergence round, plus
+      // count-collision rounds where it correctly reports inequality)
+      val (next, nextIds, cnt) = tracker.ckCount(fromNbrs.union(fromCenter).distinct())
       converged = cnt == prevCnt &&
         next.join(cur, Seq("u", "v"), "left_anti").isEmpty
       tracker.free(curIds)
